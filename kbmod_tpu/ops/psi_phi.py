@@ -1,0 +1,361 @@
+"""PsiPhiArray: the device-resident, search-ready representation of the
+image stack.
+
+psi = conv(sci / var, PSF) and phi = conv(1 / var, PSF^2) are the per-pixel
+likelihood components; the trajectory search sums them along candidate paths.
+Semantics follow the reference's psi/phi generation
+(src/kbmod/core/shift_and_stack.py:8-45, src/kbmod/search/
+image_utils_cpp.cpp:126-177) and its packed/quantized array
+(src/kbmod/search/psi_phi_array_ds.h:40-67, psi_phi_array.cpp:219-291).
+
+TPU-native design notes
+-----------------------
+* Instead of the reference's interleaved [psi, phi] flat buffer, psi and phi
+  are separate (T, H, W) device arrays: the search kernel reads them with
+  large contiguous slices, and XLA lays each out in its native tiling.
+* Masked pixels are stored as 0.0 with a separate validity plane (uint8) in
+  the float path; in the quantized path the code 0 means masked exactly as
+  the reference's encoding, so no separate plane is needed.
+* Quantization (uint8 / uint16) maps valid values to [1, 2^b - 1] with a
+  global min/scale, identical to encode_uint_scalar (psi_phi_array_ds.h:40).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from kbmod_tpu.ops.convolve import convolve_masked_batch
+
+
+# ----------------------------------------------------------------------
+# psi / phi generation
+# ----------------------------------------------------------------------
+
+@jax.jit
+def _psi_phi_from_sci_var(sci, var, psf):
+    """Fused psi/phi generation for a batch of images sharing one PSF.
+
+    sci, var: (N, H, W) float32 (NaN = masked); psf: (kh, kw).
+    Returns psi, phi: (N, H, W) float32 with NaN at masked pixels.
+    """
+    valid = jnp.isfinite(sci) & jnp.isfinite(var) & (var > 0.0)
+    psi_raw = jnp.where(valid, sci / var, jnp.nan)
+    phi_raw = jnp.where(valid, 1.0 / var, jnp.nan)
+    psi = convolve_masked_batch(psi_raw, psf, scale_by_masked=True)
+    phi = convolve_masked_batch(phi_raw, psf * psf, scale_by_masked=True)
+    return psi, phi
+
+
+def generate_psi_phi_images(sci, var, psf):
+    """Generate the psi and phi images for a single time step.
+
+    Parameters
+    ----------
+    sci, var : array (H, W)
+        Science and variance pixels (NaN = masked).
+    psf : array or PSF
+        The PSF kernel.
+
+    Returns
+    -------
+    (psi, phi) : numpy arrays (H, W), NaN at masked pixels.
+    """
+    kernel = getattr(psf, "kernel", psf)
+    psi, phi = _psi_phi_from_sci_var(
+        jnp.asarray(np.asanyarray(sci)[None], dtype=jnp.float32),
+        jnp.asarray(np.asanyarray(var)[None], dtype=jnp.float32),
+        jnp.asarray(kernel, dtype=jnp.float32),
+    )
+    return np.asarray(psi[0]), np.asarray(phi[0])
+
+
+def generate_all_psi_phi_images(sci, var, psfs):
+    """Generate psi/phi image lists for corresponding lists of inputs.
+
+    Groups images that share a PSF shape so the convolution stays batched on
+    device (the common case: one PSF per stack or few distinct sizes).
+    """
+    num = len(sci)
+    kernels = [np.asanyarray(getattr(p, "kernel", p), dtype=np.float32) for p in psfs]
+    psi_out = [None] * num
+    phi_out = [None] * num
+
+    # Group by (psf shape, psf bytes) to batch identical-PSF images.
+    groups = {}
+    for i, k in enumerate(kernels):
+        groups.setdefault((k.shape, k.tobytes()), []).append(i)
+
+    for (_, _), idxs in groups.items():
+        k = kernels[idxs[0]]
+        sci_b = jnp.asarray(np.stack([np.asanyarray(sci[i]) for i in idxs]), dtype=jnp.float32)
+        var_b = jnp.asarray(np.stack([np.asanyarray(var[i]) for i in idxs]), dtype=jnp.float32)
+        psi_b, phi_b = _psi_phi_from_sci_var(sci_b, var_b, jnp.asarray(k))
+        psi_b = np.asarray(psi_b)
+        phi_b = np.asarray(phi_b)
+        for j, i in enumerate(idxs):
+            psi_out[i] = psi_b[j]
+            phi_out[i] = phi_b[j]
+    return psi_out, phi_out
+
+
+def generate_psi_phi_from_image_stack(stack):
+    """Generate psi/phi lists from an ImageStackPy."""
+    return generate_all_psi_phi_images(stack.sci, stack.var, stack.psfs)
+
+
+# ----------------------------------------------------------------------
+# Quantization helpers (parity with psi_phi_array_ds.h:40-47)
+# ----------------------------------------------------------------------
+
+def compute_scale_params_from_image_vect(imgs, num_bytes):
+    """Global (min, max, scale) over the finite values of a list of images.
+
+    Mirrors psi_phi_array.cpp:219-245."""
+    min_val = np.inf
+    max_val = -np.inf
+    for img in imgs:
+        finite = np.asanyarray(img)[np.isfinite(img)]
+        if finite.size:
+            min_val = min(min_val, float(finite.min()))
+            max_val = max(max_val, float(finite.max()))
+    scale = 1.0
+    if num_bytes == 1 or num_bytes == 2:
+        width = max_val - min_val
+        if width < 1e-6:
+            width = 1e-6
+        num_values = (1 << (8 * num_bytes)) - 1
+        scale = width / float(num_values)
+    return [min_val, max_val, scale]
+
+
+def encode_uint_scalar(value, min_val, max_val, scale):
+    """Encode one float as the reference does (psi_phi_array_ds.h:40-42):
+    invalid -> 0; valid -> (clamp(value) - min) / scale + 1."""
+    if not np.isfinite(value):
+        return 0.0
+    return (min(max(value, min_val), max_val) - min_val) / scale + 1.0
+
+
+def decode_uint_scalar(value, min_val, scale):
+    """Decode one encoded value (psi_phi_array_ds.h:44-46)."""
+    if value == 0.0:
+        return float("nan")
+    return (value - 1.0) * scale + min_val
+
+
+def _encode_array(imgs, min_val, max_val, scale, dtype):
+    """Vectorized encode of a (T, H, W) float stack to uint codes."""
+    arr = np.asarray(imgs, dtype=np.float32)
+    # Safe max slightly below true max to avoid rollover (psi_phi_array.cpp:264).
+    safe_max = max_val - scale / 100.0
+    valid = np.isfinite(arr)
+    clamped = np.clip(np.where(valid, arr, min_val), min_val, safe_max)
+    codes = np.floor(((clamped - min_val) / scale + 1.0)).astype(dtype)
+    codes[~valid] = 0
+    return codes
+
+
+# ----------------------------------------------------------------------
+# PsiPhiArray
+# ----------------------------------------------------------------------
+
+class PsiPhiArrayMeta:
+    """Metadata mirror of the reference's PsiPhiArrayMeta
+    (psi_phi_array_ds.h:49-67)."""
+
+    def __init__(self):
+        self.num_times = 0
+        self.width = 0
+        self.height = 0
+        self.pixels_per_image = 0
+        self.num_entries = 0
+        self.block_size = 0
+        self.total_array_size = 0
+        self.num_bytes = 4
+        self.psi_min_val = np.inf
+        self.psi_max_val = -np.inf
+        self.psi_scale = 1.0
+        self.phi_min_val = np.inf
+        self.phi_max_val = -np.inf
+        self.phi_scale = 1.0
+
+
+class PsiPhiArray:
+    """The packed psi/phi data for the search.
+
+    Attributes
+    ----------
+    psi, phi : device arrays (T, H, W)
+        float32 (0 at masked pixels) or uint8/uint16 codes (0 = masked).
+    valid : device array (T, H, W) uint8 or None
+        Validity plane for the float path (None for quantized: code 0 is
+        the validity signal there).
+    times : np.ndarray (T,)
+        Zero-shifted times.
+    """
+
+    def __init__(self):
+        self.meta = PsiPhiArrayMeta()
+        self.psi = None
+        self.phi = None
+        self.valid = None
+        self.times = np.array([])
+        self._on_device = False
+
+    # --- reference-compatible metadata accessors ---
+    @property
+    def on_gpu(self):
+        return self._on_device
+
+    def get_meta_data(self):
+        return self.meta
+
+    def get_num_times(self):
+        return self.meta.num_times
+
+    def get_width(self):
+        return self.meta.width
+
+    def get_height(self):
+        return self.meta.height
+
+    def get_num_bytes(self):
+        return self.meta.num_bytes
+
+    def get_psi_min_val(self):
+        return self.meta.psi_min_val
+
+    def get_psi_max_val(self):
+        return self.meta.psi_max_val
+
+    def get_psi_scale(self):
+        return self.meta.psi_scale
+
+    def get_phi_min_val(self):
+        return self.meta.phi_min_val
+
+    def get_phi_max_val(self):
+        return self.meta.phi_max_val
+
+    def get_phi_scale(self):
+        return self.meta.phi_scale
+
+    def read_time(self, index):
+        if index < 0 or index >= self.meta.num_times:
+            raise RuntimeError(f"Out of bounds read for time step. [{index}]")
+        return float(self.times[index])
+
+    def set_time_array(self, times):
+        self.times = np.asarray(times, dtype=float)
+
+    def clear(self):
+        self.psi = None
+        self.phi = None
+        self.valid = None
+        self.meta = PsiPhiArrayMeta()
+        self.times = np.array([])
+        self._on_device = False
+
+    def move_to_gpu(self):
+        """Ensure the arrays live on the default device (no-op if already)."""
+        if self.psi is not None:
+            self.psi = jnp.asarray(self.psi)
+            self.phi = jnp.asarray(self.phi)
+            if self.valid is not None:
+                self.valid = jnp.asarray(self.valid)
+            self._on_device = True
+
+    def clear_from_gpu(self):
+        self._on_device = False
+
+    # --- decode for host reads ---
+
+    def decoded_psi_phi(self):
+        """Return (psi, phi) as float device arrays with 0 at masked pixels,
+        plus a float validity plane. Used by the search kernels."""
+        if self.meta.num_bytes == 4:
+            valid = self.valid
+            return self.psi, self.phi, valid
+        # Quantized: decode lazily on device.
+        psi_codes = jnp.asarray(self.psi)
+        phi_codes = jnp.asarray(self.phi)
+        valid = (psi_codes != 0).astype(jnp.uint8)
+        psi = jnp.where(
+            psi_codes == 0, 0.0, (psi_codes.astype(jnp.float32) - 1.0) * self.meta.psi_scale + self.meta.psi_min_val
+        )
+        phi = jnp.where(
+            phi_codes == 0, 0.0, (phi_codes.astype(jnp.float32) - 1.0) * self.meta.phi_scale + self.meta.phi_min_val
+        )
+        return psi, phi, valid
+
+    def read_psi_phi(self, time, row, col):
+        """Read a single (psi, phi) value pair; out-of-bounds or masked reads
+        return NaN. Mirrors psi_phi_array.cpp:172-205."""
+        if (
+            self.psi is None
+            or row < 0
+            or col < 0
+            or row >= self.meta.height
+            or col >= self.meta.width
+            or time >= self.meta.num_times
+        ):
+            return (float("nan"), float("nan"))
+        if self.meta.num_bytes == 4:
+            if self.valid is not None and not bool(np.asarray(self.valid[time, row, col])):
+                return (float("nan"), float("nan"))
+            return (float(np.asarray(self.psi[time, row, col])), float(np.asarray(self.phi[time, row, col])))
+        psi_code = float(np.asarray(self.psi[time, row, col]))
+        phi_code = float(np.asarray(self.phi[time, row, col]))
+        return (
+            decode_uint_scalar(psi_code, self.meta.psi_min_val, self.meta.psi_scale),
+            decode_uint_scalar(phi_code, self.meta.phi_min_val, self.meta.phi_scale),
+        )
+
+
+def fill_psi_phi_array(result, num_bytes, psi_imgs, phi_imgs, zeroed_times):
+    """Pack lists of psi/phi images into a PsiPhiArray, quantizing when
+    requested. Mirrors psi_phi_array.cpp:321-372."""
+    num_times = len(psi_imgs)
+    if num_times == 0:
+        raise RuntimeError("No images to fill PsiPhiArray.")
+    height, width = np.asanyarray(psi_imgs[0]).shape
+
+    meta = result.meta
+    meta.num_bytes = num_bytes if num_bytes in (1, 2) else 4
+    meta.block_size = {1: 1, 2: 2, 4: 4}[meta.num_bytes]
+    meta.num_times = num_times
+    meta.height = height
+    meta.width = width
+    meta.pixels_per_image = height * width
+    meta.num_entries = 2 * meta.pixels_per_image * num_times
+    meta.total_array_size = meta.block_size * meta.num_entries
+
+    psi_stack = np.stack([np.asanyarray(p, dtype=np.float32) for p in psi_imgs])
+    phi_stack = np.stack([np.asanyarray(p, dtype=np.float32) for p in phi_imgs])
+
+    if meta.num_bytes in (1, 2):
+        dtype = np.uint8 if meta.num_bytes == 1 else np.uint16
+        psi_params = compute_scale_params_from_image_vect(psi_imgs, meta.num_bytes)
+        phi_params = compute_scale_params_from_image_vect(phi_imgs, meta.num_bytes)
+        meta.psi_min_val, meta.psi_max_val, meta.psi_scale = psi_params
+        meta.phi_min_val, meta.phi_max_val, meta.phi_scale = phi_params
+        result.psi = jnp.asarray(_encode_array(psi_stack, *psi_params, dtype))
+        result.phi = jnp.asarray(_encode_array(phi_stack, *phi_params, dtype))
+        result.valid = None
+    else:
+        valid = (np.isfinite(psi_stack) & np.isfinite(phi_stack)).astype(np.uint8)
+        result.psi = jnp.asarray(np.where(valid, psi_stack, 0.0).astype(np.float32))
+        result.phi = jnp.asarray(np.where(valid, phi_stack, 0.0).astype(np.float32))
+        result.valid = jnp.asarray(valid)
+
+    result.times = np.asarray(zeroed_times, dtype=float)
+    result._on_device = True
+    return result
+
+
+def fill_psi_phi_array_from_image_arrays(result, num_bytes, sci, var, psfs, zeroed_times):
+    """Generate psi/phi from sci/var/psf and pack them.
+
+    Mirrors psi_phi_array.cpp:374-410."""
+    psi_imgs, phi_imgs = generate_all_psi_phi_images(sci, var, psfs)
+    return fill_psi_phi_array(result, num_bytes, psi_imgs, phi_imgs, zeroed_times)

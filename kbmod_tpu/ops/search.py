@@ -1,0 +1,490 @@
+"""The core trajectory-scoring kernels (TPU-native shift-and-stack search).
+
+The reference scores candidates with one CUDA thread per starting pixel,
+gathering psi/phi along the trajectory per time step
+(src/kbmod/search/kernels/kernels.cu:154-332). That access pattern is
+irregular for a TPU.
+
+TPU-native reformulation
+------------------------
+Starting pixels are integers, so the predicted index factorizes:
+
+    floor(x + vx * t + 0.5) == x + floor(vx * t + 0.5)
+
+i.e. each (candidate, time) pair shifts the *whole image* by one integer
+offset (dy, dx) that is independent of the starting pixel. Scoring candidate
+c is therefore a sum of T uniformly-shifted images:
+
+    lh_image[c] = sum_t shift(psi[t], dy[c,t], dx[c,t])   (+ same for phi)
+
+A uniform 2D shift of a row-major image is a *single contiguous 1D slice* of
+the flattened (T*H*W) stack: element (i, j) of the shifted image lives at
+flat[t*H*W + (y0+i+dy)*W + (x0+j+dx)] — the row-wrap and out-of-bounds
+pixels are exactly the ones masked out analytically with iota row/col masks.
+So the hot loop is: one dynamic-slice per plane per (c, t), a mask multiply,
+and an accumulate — dense contiguous VPU work at HBM bandwidth, no gathers.
+
+Offsets are precomputed on host in float64 (the reference computes
+double-precision `floor(x + vx*t + 0.5)`; kernels.cu:33-35), so device code
+never rounds positions.
+
+Top-K per pixel is maintained as a K-slot sorted insertion (bubble pass) in
+the candidate scan carry, mirroring the reference's per-thread insertion sort
+(kernels.cu:322-330) but vectorized over all pixels at once.
+"""
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+FLT_MAX = float(np.finfo(np.float32).max)
+
+
+# ----------------------------------------------------------------------
+# Host-side offset precomputation
+# ----------------------------------------------------------------------
+
+def trajectory_offsets(vxs, vys, times):
+    """Integer pixel offsets floor(v * t + 0.5) for each (candidate, time).
+
+    Computed in float64 after rounding velocities to float32 (the reference
+    stores Trajectory velocities as C floats; common.h:57-58).
+
+    Returns
+    -------
+    (dxs, dys) : np.ndarray int32 of shape (C, T)
+    """
+    vxs = np.asarray(vxs, dtype=np.float32).astype(np.float64)
+    vys = np.asarray(vys, dtype=np.float32).astype(np.float64)
+    times = np.asarray(times, dtype=np.float64)
+    dxs = np.floor(vxs[:, None] * times[None, :] + 0.5).astype(np.int32)
+    dys = np.floor(vys[:, None] * times[None, :] + 0.5).astype(np.int32)
+    return dxs, dys
+
+
+def predict_index(pos0, vel0, time):
+    """Reference-parity predicted pixel index (kernels.cu:33-35)."""
+    return int(np.floor(np.float64(pos0) + np.float64(np.float32(vel0)) * np.float64(time) + 0.5))
+
+
+# ----------------------------------------------------------------------
+# Gather-based exact evaluation (reference semantics, used for curves,
+# single-trajectory eval, and re-scoring search winners)
+# ----------------------------------------------------------------------
+
+@jax.jit
+def _gather_curves(psi, phi, valid, xs, ys, dxs, dys):
+    """Gather per-time psi/phi values along trajectories.
+
+    psi, phi: (T, H, W) float32 zero-filled at masked; valid: (T, H, W) uint8.
+    xs, ys: (N,) int32 starting pixels; dxs, dys: (N, T) int32 offsets.
+
+    Returns psi_v, phi_v: (N, T) float32 (0 where invalid) and ok: (N, T) bool.
+    """
+    T, H, W = psi.shape
+    px = xs[:, None] + dxs
+    py = ys[:, None] + dys
+    inb = (px >= 0) & (px < W) & (py >= 0) & (py < H)
+    pxc = jnp.clip(px, 0, W - 1)
+    pyc = jnp.clip(py, 0, H - 1)
+    tt = jnp.arange(T, dtype=jnp.int32)[None, :]
+    flat_idx = (tt * H + pyc) * W + pxc
+    ok = inb & (valid.reshape(-1)[flat_idx] > 0)
+    psi_v = jnp.where(ok, psi.reshape(-1)[flat_idx], 0.0)
+    phi_v = jnp.where(ok, phi.reshape(-1)[flat_idx], 0.0)
+    return psi_v, phi_v, ok
+
+
+def evaluate_trajectories(psi, phi, valid, times, xs, ys, vxs, vys, chunk=262144):
+    """Exact evaluation of a list of trajectories (reference semantics of
+    evaluateTrajectory without sigma-G; kernels.cu:154-197).
+
+    Returns a dict of numpy arrays: psi_sum, phi_sum, obs_count, lh, flux.
+    """
+    xs = np.asarray(xs, dtype=np.int32)
+    ys = np.asarray(ys, dtype=np.int32)
+    n = len(xs)
+    out = {k: np.zeros(n, dtype=np.float32) for k in ("psi_sum", "phi_sum", "lh", "flux")}
+    out["obs_count"] = np.zeros(n, dtype=np.int32)
+    for lo in range(0, n, chunk):
+        hi = min(lo + chunk, n)
+        dxs, dys = trajectory_offsets(vxs[lo:hi], vys[lo:hi], times)
+        psi_v, phi_v, ok = _gather_curves(
+            psi, phi, valid, jnp.asarray(xs[lo:hi]), jnp.asarray(ys[lo:hi]), jnp.asarray(dxs), jnp.asarray(dys)
+        )
+        psi_sum = np.asarray(jnp.sum(psi_v, axis=1))
+        phi_sum = np.asarray(jnp.sum(phi_v, axis=1))
+        obs = np.asarray(jnp.sum(ok, axis=1, dtype=jnp.int32))
+        good = phi_sum > 0
+        out["psi_sum"][lo:hi] = psi_sum
+        out["phi_sum"][lo:hi] = phi_sum
+        out["obs_count"][lo:hi] = obs
+        out["lh"][lo:hi] = np.where(good, psi_sum / np.sqrt(phi_sum, where=good, out=np.ones_like(phi_sum)), -1.0)
+        out["flux"][lo:hi] = np.where(good, psi_sum / np.where(good, phi_sum, 1.0), -1.0)
+    return out
+
+
+def extract_psi_phi_curves(psi, phi, valid, times, xs, ys, vxs, vys):
+    """Per-time psi/phi curves with 0.0 at invalid samples, matching
+    extract_joint_psi_phi_curve (stack_search.cpp:14-31).
+
+    Returns (psi_curves, phi_curves): numpy (N, T) float32.
+    """
+    dxs, dys = trajectory_offsets(vxs, vys, times)
+    psi_v, phi_v, _ = _gather_curves(
+        psi, phi, valid,
+        jnp.asarray(np.asarray(xs, dtype=np.int32)),
+        jnp.asarray(np.asarray(ys, dtype=np.int32)),
+        jnp.asarray(dxs), jnp.asarray(dys),
+    )
+    return np.asarray(psi_v), np.asarray(phi_v)
+
+
+# ----------------------------------------------------------------------
+# Sigma-G clipped re-scoring (parity with the in-kernel GPU filter)
+# ----------------------------------------------------------------------
+
+def sigmag_bounds_indices(num_values, sgl0, sgl1):
+    """The reference's nonstandard percentile indexing
+    (SigmaGFilteredIndicesCU, kernels.cu:93-127): index of percentile q in a
+    sorted array of n values is clamp(int(ceil(n*q) + 0.001) - 1, 0, n-1)."""
+    sgl0 = max(sgl0, 0.0001)
+    sgl1 = min(sgl1, 0.9999)
+
+    def pct(q):
+        idx = int(np.ceil(num_values * q) + 0.001) - 1
+        return min(max(idx, 0), num_values - 1)
+
+    return pct(sgl0), pct(0.5), pct(sgl1)
+
+
+def clipped_sigmag_scores(psi_v, phi_v, ok, sgl_L, sgl_H, coeff, width=2.0):
+    """Recompute (lh, flux) after the reference's in-kernel sigma-G clipping
+    (kernels.cu:213-241), vectorized over N trajectories.
+
+    psi_v, phi_v: (N, T) per-time values (anything at invalid slots), ok:
+    (N, T) bool validity. The light curve is psi/phi over the *valid* samples
+    only, compacted in time order; clipping keeps the sorted values within
+    [median - width*sigma_g, median + width*sigma_g] using the reference's
+    scan-from-median rules.
+
+    Returns (new_lh, new_flux, new_psi_sum, new_phi_sum) as numpy arrays.
+    The caller is responsible for only applying these where the unclipped
+    result passed the min_obs / min_lh gates (kernels.cu:201-203).
+    """
+    psi_v = np.asarray(psi_v, dtype=np.float64)
+    phi_v = np.asarray(phi_v, dtype=np.float64)
+    ok = np.asarray(ok, dtype=bool)
+    N, T = psi_v.shape
+
+    new_psi = np.zeros(N)
+    new_phi = np.zeros(N)
+    for i in range(N):
+        sel = ok[i]
+        psi_i = psi_v[i][sel].astype(np.float32)
+        phi_i = phi_v[i][sel].astype(np.float32)
+        n = len(psi_i)
+        if n == 0:
+            continue
+        lc = np.where(phi_i != 0, psi_i / phi_i, 0.0)
+        order = np.argsort(lc, kind="stable")
+        vals = lc[order]
+        iL, iM, iH = sigmag_bounds_indices(n, sgl_L, sgl_H)
+        sigma_g = coeff * (vals[iH] - vals[iL])
+        min_value = vals[iM] - width * sigma_g
+        max_value = vals[iM] + width * sigma_g
+        # Scan from the start (stop at the median) for the first value >= min.
+        start = 0
+        while start < iM and vals[start] < min_value:
+            start += 1
+        # Scan from just past the median for the last value <= max.
+        end = iM + 1
+        while end < n and vals[end] <= max_value:
+            end += 1
+        keep = order[start:end]
+        new_psi[i] = np.sum(psi_i[keep], dtype=np.float32)
+        new_phi[i] = np.sum(phi_i[keep], dtype=np.float32)
+
+    good = new_phi > 0
+    new_lh = np.where(good, new_psi / np.sqrt(np.where(good, new_phi, 1.0)), -1.0).astype(np.float32)
+    new_flux = np.where(good, new_psi / np.where(good, new_phi, 1.0), -1.0).astype(np.float32)
+    return new_lh, new_flux, new_psi.astype(np.float32), new_phi.astype(np.float32)
+
+
+def sigmag_filtered_indices(values, sgl0, sgl1, sigmag_coeff, width):
+    """Test-compat shim mirroring kernel_helpers.cpp:86-106: return the kept
+    *original* indices after sigma-G filtering a single value array."""
+    values = np.asarray(values, dtype=np.float32)
+    n = len(values)
+    if n == 0:
+        return np.array([], dtype=int)
+    order = np.argsort(values, kind="stable")
+    vals = values[order]
+    iL, iM, iH = sigmag_bounds_indices(n, sgl0, sgl1)
+    sigma_g = sigmag_coeff * (vals[iH] - vals[iL])
+    min_value = vals[iM] - width * sigma_g
+    max_value = vals[iM] + width * sigma_g
+    start = 0
+    while start < iM and vals[start] < min_value:
+        start += 1
+    end = iM + 1
+    while end < n and vals[end] <= max_value:
+        end += 1
+    return np.sort(order[start:end])
+
+
+# ----------------------------------------------------------------------
+# The shift-and-accumulate top-K search kernel
+# ----------------------------------------------------------------------
+
+@partial(
+    jax.jit,
+    static_argnames=("x_min", "x_max", "y_min", "y_max", "k_results", "gate_min_obs", "gate_min_lh", "unroll"),
+)
+def search_topk_shift(
+    psi,
+    phi,
+    valid,
+    dxs,
+    dys,
+    min_obs,
+    min_lh,
+    *,
+    x_min,
+    x_max,
+    y_min,
+    y_max,
+    k_results,
+    gate_min_obs=True,
+    gate_min_lh=False,
+    unroll=1,
+):
+    """Score all candidates at all starting pixels; keep the top-K per pixel.
+
+    Parameters
+    ----------
+    psi, phi : (T, H, W) float32, zero-filled at masked pixels.
+    valid : (T, H, W) uint8 validity plane.
+    dxs, dys : (C, T) int32 per-candidate per-time integer offsets.
+    min_obs, min_lh : scalars for the insertion gates (GPU-path semantics,
+        kernels.cu:318-320). ``gate_min_obs=False`` reproduces the CPU path
+        which inserts everything (cpu_search_algorithms.cpp:69-86).
+    x_min..y_max : static search bounds (may extend beyond the image).
+    k_results : static results per pixel.
+
+    Returns
+    -------
+    top_lh : (K, SH, SW) float32 — best likelihoods (empty = -FLT_MAX).
+    top_idx : (K, SH, SW) int32 — candidate indices (empty = -1).
+    """
+    T, H, W = psi.shape
+    SH = y_max - y_min
+    SW = x_max - x_min
+    if SW > W:
+        raise ValueError(
+            f"Search width {SW} exceeds image width {W}; use the gather path for oversized x bounds."
+        )
+
+    L = SH * W  # slice length per plane per time step
+    pad = (SH + H + 2) * W
+    total = T * H * W + 2 * pad
+
+    def flat(a, dtype):
+        z = jnp.zeros((pad,), dtype=dtype)
+        return jnp.concatenate([z, a.reshape(-1).astype(dtype), z])
+
+    psi_f = flat(psi, jnp.float32)
+    phi_f = flat(phi, jnp.float32)
+    val_f = flat(valid, jnp.uint8)
+
+    ii = lax.broadcasted_iota(jnp.int32, (SH, 1), 0)
+    jj = lax.broadcasted_iota(jnp.int32, (1, SW), 1)
+
+    def accumulate(dy, dx):
+        """Sum shifted psi/phi/valid over all T for one candidate."""
+
+        def tbody(t, acc):
+            psi_s, phi_s, obs = acc
+            oy = y_min + dy[t]
+            ox = x_min + dx[t]
+            start = jnp.clip(pad + t * H * W + oy * W + ox, 0, total - L)
+            ps = lax.dynamic_slice(psi_f, (start,), (L,)).reshape(SH, W)[:, :SW]
+            fs = lax.dynamic_slice(phi_f, (start,), (L,)).reshape(SH, W)[:, :SW]
+            vs = lax.dynamic_slice(val_f, (start,), (L,)).reshape(SH, W)[:, :SW]
+            # In-bounds masks: row i valid iff 0 <= y_min + i + dy < H.
+            m = (ii >= -oy) & (ii < H - oy) & (jj >= -ox) & (jj < W - ox)
+            mf = jnp.where(m, vs.astype(jnp.float32), 0.0)
+            return (psi_s + ps * mf, phi_s + fs * mf, obs + mf)
+
+        zeros = jnp.zeros((SH, SW), dtype=jnp.float32)
+        return lax.fori_loop(0, T, tbody, (zeros, zeros, zeros), unroll=unroll)
+
+    def cand_step(carry, inp):
+        top_lh, top_idx = carry
+        dy, dx, cidx = inp
+        psi_s, phi_s, obs = accumulate(dy, dx)
+        lh = jnp.where(phi_s > 0, psi_s / jnp.sqrt(phi_s), -1.0)
+        ok = jnp.ones(lh.shape, dtype=bool)
+        if gate_min_obs:
+            ok &= obs >= min_obs
+        if gate_min_lh:
+            ok &= lh >= min_lh
+        new = jnp.where(ok, lh, -jnp.inf)
+        newi = jnp.full(lh.shape, cidx, dtype=jnp.int32)
+        # Sorted K-slot insertion (vectorized bubble; kernels.cu:322-330).
+        for k in range(k_results):
+            better = new > top_lh[k]
+            cur_lh = top_lh[k]
+            cur_idx = top_idx[k]
+            top_lh = top_lh.at[k].set(jnp.where(better, new, cur_lh))
+            top_idx = top_idx.at[k].set(jnp.where(better, newi, cur_idx))
+            new = jnp.where(better, cur_lh, new)
+            newi = jnp.where(better, cur_idx, newi)
+        return (top_lh, top_idx), None
+
+    top_lh0 = jnp.full((k_results, SH, SW), -FLT_MAX, dtype=jnp.float32)
+    top_idx0 = jnp.full((k_results, SH, SW), -1, dtype=jnp.int32)
+    cidx = jnp.arange(dxs.shape[0], dtype=jnp.int32)
+    (top_lh, top_idx), _ = lax.scan(cand_step, (top_lh0, top_idx0), (dys, dxs, cidx))
+    return top_lh, top_idx
+
+
+# ----------------------------------------------------------------------
+# Orchestration: full core search producing a struct-of-arrays result set
+# ----------------------------------------------------------------------
+
+def core_search(
+    psi,
+    phi,
+    valid,
+    times,
+    vxs,
+    vys,
+    x_min,
+    x_max,
+    y_min,
+    y_max,
+    results_per_pixel,
+    min_obs=0,
+    min_lh=0.0,
+    do_sigmag=False,
+    sgl_L=0.25,
+    sgl_H=0.75,
+    sigmag_coeff=-1.0,
+    gate_min_obs=True,
+):
+    """Run the full top-K search and assemble per-result statistics.
+
+    Returns a dict of numpy arrays (x, y, vx, vy, lh, flux, obs_count) laid
+    out pixel-major with K entries per pixel (reference layout,
+    kernels.cu:286), with empty slots carrying lh = -FLT_MAX, matching
+    searchFilterImages' initialization (kernels.cu:293-301).
+
+    When ``do_sigmag`` is set, candidate scores are recomputed with the
+    reference's in-kernel sigma-G clipping. The clipped score is computed for
+    the surviving top-K per pixel with an over-provisioned K (so that
+    clipping-induced reordering is captured), mirroring kernels.cu:213-241.
+    """
+    T, H, W = psi.shape
+    SH, SW = y_max - y_min, x_max - x_min
+    num_cand = len(vxs)
+    k = int(results_per_pixel)
+
+    # With sigma-G the clipped lh decides the final top-K, but clipping can
+    # only lower a score; searching with a larger unclipped K and re-ranking
+    # after clipping captures reordering. (Exact for keep >= hits per pixel.)
+    k_search = min(num_cand, 4 * k if do_sigmag else k)
+    k_search = max(k_search, k)
+
+    dxs, dys = trajectory_offsets(vxs, vys, times)
+    top_lh, top_idx = search_topk_shift(
+        jnp.asarray(psi),
+        jnp.asarray(phi),
+        jnp.asarray(valid),
+        jnp.asarray(dxs),
+        jnp.asarray(dys),
+        jnp.float32(min_obs),
+        jnp.float32(min_lh),
+        x_min=int(x_min),
+        x_max=int(x_max),
+        y_min=int(y_min),
+        y_max=int(y_max),
+        k_results=int(k_search),
+        gate_min_obs=gate_min_obs,
+        gate_min_lh=bool(do_sigmag),
+    )
+    top_lh = np.asarray(top_lh)  # (K', SH, SW)
+    top_idx = np.asarray(top_idx)
+
+    # Pixel-major layout: result[(i*SW + j)*K + k].
+    kidx = np.transpose(top_idx, (1, 2, 0)).reshape(-1)  # (SH*SW*K',)
+    klh = np.transpose(top_lh, (1, 2, 0)).reshape(-1)
+
+    jjg, iig = np.meshgrid(np.arange(SW), np.arange(SH))
+    xs_all = np.repeat((jjg + x_min).reshape(-1), k_search).astype(np.int32)
+    ys_all = np.repeat((iig + y_min).reshape(-1), k_search).astype(np.int32)
+
+    filled = kidx >= 0
+    vx_arr = np.zeros(len(kidx), dtype=np.float32)
+    vy_arr = np.zeros(len(kidx), dtype=np.float32)
+    vx_arr[filled] = np.asarray(vxs, dtype=np.float32)[kidx[filled]]
+    vy_arr[filled] = np.asarray(vys, dtype=np.float32)[kidx[filled]]
+
+    # Re-evaluate the winners exactly for flux / obs_count (and the sigma-G
+    # clipped scores when enabled).
+    flux = np.zeros(len(kidx), dtype=np.float32)
+    obs = np.zeros(len(kidx), dtype=np.int32)
+    lh = klh.copy()
+    if filled.any():
+        f_idx = np.nonzero(filled)[0]
+        stats = evaluate_trajectories(
+            psi, phi, valid, times, xs_all[f_idx], ys_all[f_idx], vx_arr[f_idx], vy_arr[f_idx]
+        )
+        flux[f_idx] = stats["flux"]
+        obs[f_idx] = stats["obs_count"]
+        # Use the kernel-pass lh (authoritative for ranking); fall back to the
+        # recomputed value for slots the kernel marked as unscored.
+        if do_sigmag:
+            psi_v, phi_v = extract_psi_phi_curves(
+                psi, phi, valid, times, xs_all[f_idx], ys_all[f_idx], vx_arr[f_idx], vy_arr[f_idx]
+            )
+            ok = (phi_v != 0.0) | (psi_v != 0.0)
+            # Validity for curves: recompute exactly.
+            _, _, okg = _gather_curves(
+                jnp.asarray(psi), jnp.asarray(phi), jnp.asarray(valid),
+                jnp.asarray(xs_all[f_idx]), jnp.asarray(ys_all[f_idx]),
+                *(jnp.asarray(a) for a in trajectory_offsets(vx_arr[f_idx], vy_arr[f_idx], times)),
+            )
+            okg = np.asarray(okg)
+            new_lh, new_flux, _, _ = clipped_sigmag_scores(psi_v, phi_v, okg, sgl_L, sgl_H, sigmag_coeff)
+            # Gates before clipping (kernels.cu:201-203): clipping only
+            # applies where obs/lh passed; otherwise score is unchanged.
+            passed = (stats["obs_count"] >= min_obs) & (stats["lh"] >= min_lh)
+            lh[f_idx] = np.where(passed, new_lh, lh[f_idx])
+            flux[f_idx] = np.where(passed, new_flux, flux[f_idx])
+            # Post-clip insertion gate (kernels.cu:318-320).
+            drop = passed & (new_lh < min_lh)
+            lh[f_idx] = np.where(drop, -FLT_MAX, lh[f_idx])
+
+    results = {
+        "x": xs_all,
+        "y": ys_all,
+        "vx": vx_arr,
+        "vy": vy_arr,
+        "lh": lh.astype(np.float32),
+        "flux": flux,
+        "obs_count": obs,
+    }
+
+    if do_sigmag and k_search > k:
+        # Re-rank within each pixel by clipped lh and keep only K per pixel.
+        n_pix = SH * SW
+        lh_px = results["lh"].reshape(n_pix, k_search)
+        order = np.argsort(-lh_px, axis=1, kind="stable")[:, :k]
+        flat = (np.arange(n_pix)[:, None] * k_search + order).reshape(-1)
+        results = {key: val[flat] for key, val in results.items()}
+
+    return results

@@ -1,0 +1,158 @@
+"""kbmod_tpu.search — the search-engine API.
+
+This module exports the same names as the reference's pybind11 module
+``kbmod.search`` (src/kbmod/search/bindings.cpp:20-41) so code written
+against the reference ports directly. The implementation is JAX/XLA instead
+of C++/CUDA; "GPU" in the API surface means "the default JAX accelerator"
+(TPU here).
+"""
+
+import jax
+import numpy as np
+
+from kbmod_tpu.constants import KB_NO_DATA, pixel_value_valid
+from kbmod_tpu.utils.debug_timer import DebugTimer
+from kbmod_tpu.utils.logging_utils import Logging
+from kbmod_tpu.search.trajectory import Trajectory
+from kbmod_tpu.search.trajectory_list import (
+    TrajectoryList,
+    extract_all_trajectory_x,
+    extract_all_trajectory_y,
+    extract_all_trajectory_vx,
+    extract_all_trajectory_vy,
+    extract_all_trajectory_lh,
+    extract_all_trajectory_flux,
+    extract_all_trajectory_obs_count,
+)
+from kbmod_tpu.search.stack_search import StackSearch
+from kbmod_tpu.ops.psi_phi import (
+    PsiPhiArray,
+    PsiPhiArrayMeta,
+    fill_psi_phi_array,
+    fill_psi_phi_array_from_image_arrays,
+    compute_scale_params_from_image_vect,
+    encode_uint_scalar,
+    decode_uint_scalar,
+)
+from kbmod_tpu.ops.search import (
+    sigmag_filtered_indices,
+    evaluate_trajectories,
+    predict_index,
+)
+
+
+class StampType:
+    """Coadd stamp types (bindings.cpp:33-38)."""
+
+    STAMP_SUM = 0
+    STAMP_MEAN = 1
+    STAMP_MEDIAN = 2
+    STAMP_VAR_WEIGHTED = 3
+
+
+def _accelerator_devices():
+    return [d for d in jax.devices() if d.platform != "cpu"]
+
+
+def kb_has_gpu():
+    """True when a non-CPU JAX accelerator (TPU) is available."""
+    try:
+        return len(_accelerator_devices()) > 0
+    except Exception:
+        return False
+
+
+# Flags mirroring the reference build flags (bindings.cpp:20-30). HAS_CUDA
+# here reports accelerator availability; HAS_OMP reports nothing meaningful
+# on TPU and is kept False for API parity.
+HAS_CUDA = kb_has_gpu()
+HAS_OMP = False
+
+
+def kb_get_gpu_free_memory():
+    """Free device memory in bytes (kernel_helpers.cpp:35-50)."""
+    devs = _accelerator_devices()
+    if not devs:
+        return 0
+    stats = devs[0].memory_stats() or {}
+    limit = stats.get("bytes_limit", 0)
+    used = stats.get("bytes_in_use", 0)
+    return max(limit - used, 0)
+
+
+def kb_get_gpu_total_memory():
+    devs = _accelerator_devices()
+    if not devs:
+        return 0
+    stats = devs[0].memory_stats() or {}
+    return stats.get("bytes_limit", 0)
+
+
+def get_gpu_free_memory():
+    return kb_get_gpu_free_memory()
+
+
+def get_gpu_total_memory():
+    return kb_get_gpu_total_memory()
+
+
+def stat_gpu_memory_mb():
+    """Human-readable device memory stats (kernel_helpers.cpp:52-66)."""
+    devs = _accelerator_devices()
+    if not devs:
+        return "No accelerator device available."
+    stats = devs[0].memory_stats() or {}
+    used = stats.get("bytes_in_use", 0) / (1024.0 * 1024.0)
+    limit = stats.get("bytes_limit", 0) / (1024.0 * 1024.0)
+    return f"Device memory: {used:.2f} MB used of {limit:.2f} MB total."
+
+
+def print_cuda_stats():
+    print(stat_gpu_memory_mb())
+
+
+def validate_gpu(req_memory=0):
+    """Check the accelerator exists and has at least req_memory bytes free
+    (kernel_helpers.cpp:68-84)."""
+    if not kb_has_gpu():
+        return False
+    return kb_get_gpu_free_memory() >= req_memory
+
+
+__all__ = [
+    "KB_NO_DATA",
+    "HAS_CUDA",
+    "HAS_OMP",
+    "DebugTimer",
+    "Logging",
+    "PsiPhiArray",
+    "PsiPhiArrayMeta",
+    "StackSearch",
+    "StampType",
+    "Trajectory",
+    "TrajectoryList",
+    "kb_has_gpu",
+    "kb_get_gpu_free_memory",
+    "kb_get_gpu_total_memory",
+    "get_gpu_free_memory",
+    "get_gpu_total_memory",
+    "stat_gpu_memory_mb",
+    "print_cuda_stats",
+    "validate_gpu",
+    "pixel_value_valid",
+    "fill_psi_phi_array",
+    "fill_psi_phi_array_from_image_arrays",
+    "compute_scale_params_from_image_vect",
+    "encode_uint_scalar",
+    "decode_uint_scalar",
+    "sigmag_filtered_indices",
+    "evaluate_trajectories",
+    "predict_index",
+    "extract_all_trajectory_x",
+    "extract_all_trajectory_y",
+    "extract_all_trajectory_vx",
+    "extract_all_trajectory_vy",
+    "extract_all_trajectory_lh",
+    "extract_all_trajectory_flux",
+    "extract_all_trajectory_obs_count",
+]

@@ -1,0 +1,128 @@
+"""PsiPhiArray packing/encoding tests (modeled on the reference's
+tests/test_psi_phi_array.py)."""
+
+import numpy as np
+
+from kbmod_tpu.core.psf import PSF
+from kbmod_tpu.ops.psi_phi import (
+    PsiPhiArray,
+    fill_psi_phi_array,
+    fill_psi_phi_array_from_image_arrays,
+    compute_scale_params_from_image_vect,
+    encode_uint_scalar,
+    decode_uint_scalar,
+    generate_psi_phi_images,
+)
+
+
+class TestEncoding:
+    def test_scale_params(self):
+        imgs = [np.array([[1.0, 2.0], [3.0, np.nan]]), np.array([[0.5, 5.0], [np.nan, 4.0]])]
+        mn, mx, scale = compute_scale_params_from_image_vect(imgs, 1)
+        assert mn == 0.5
+        assert mx == 5.0
+        assert np.isclose(scale, 4.5 / 255.0)
+
+    def test_scale_params_no_encoding(self):
+        imgs = [np.array([[1.0, 2.0]])]
+        mn, mx, scale = compute_scale_params_from_image_vect(imgs, -1)
+        assert scale == 1.0
+
+    def test_encode_decode_roundtrip(self):
+        mn, mx, scale = 0.0, 10.0, 10.0 / 255.0
+        for v in [0.0, 0.5, 3.3, 9.9, 10.0]:
+            enc = encode_uint_scalar(v, mn, mx, scale)
+            assert enc >= 1.0
+            dec = decode_uint_scalar(np.floor(enc), mn, scale)
+            assert abs(dec - v) <= scale
+
+    def test_encode_invalid(self):
+        assert encode_uint_scalar(np.nan, 0.0, 10.0, 0.1) == 0.0
+        assert encode_uint_scalar(np.inf, 0.0, 10.0, 0.1) == 0.0
+        assert np.isnan(decode_uint_scalar(0.0, 0.0, 0.1))
+
+
+class TestPsiPhiArray:
+    def _make(self, num_bytes):
+        T, H, W = 3, 5, 6
+        rng = np.random.default_rng(17)
+        psi = [rng.uniform(-1, 3, (H, W)).astype(np.float32) for _ in range(T)]
+        phi = [rng.uniform(0.1, 2, (H, W)).astype(np.float32) for _ in range(T)]
+        psi[1][2, 3] = np.nan
+        phi[1][2, 3] = np.nan
+        arr = PsiPhiArray()
+        fill_psi_phi_array(arr, num_bytes, psi, phi, np.arange(T) * 0.1)
+        return arr, psi, phi
+
+    def test_float_layout(self):
+        arr, psi, phi = self._make(-1)
+        assert arr.get_num_times() == 3
+        assert arr.get_height() == 5
+        assert arr.get_width() == 6
+        assert arr.get_num_bytes() == 4
+        p, f = arr.read_psi_phi(0, 1, 2)
+        assert np.isclose(p, psi[0][1, 2])
+        assert np.isclose(f, phi[0][1, 2])
+        # Masked pixel reads NaN.
+        p, f = arr.read_psi_phi(1, 2, 3)
+        assert np.isnan(p) and np.isnan(f)
+        # Out of bounds reads NaN.
+        p, f = arr.read_psi_phi(0, -1, 0)
+        assert np.isnan(p)
+        p, f = arr.read_psi_phi(0, 0, 100)
+        assert np.isnan(p)
+
+    def test_encoded_roundtrip_uint8(self):
+        arr, psi, phi = self._make(1)
+        assert arr.get_num_bytes() == 1
+        # Every valid value decodes within one quantization step.
+        p, f = arr.read_psi_phi(0, 1, 2)
+        assert abs(p - psi[0][1, 2]) <= arr.get_psi_scale()
+        assert abs(f - phi[0][1, 2]) <= arr.get_phi_scale()
+        # Masked stays masked.
+        p, f = arr.read_psi_phi(1, 2, 3)
+        assert np.isnan(p) and np.isnan(f)
+
+    def test_encoded_roundtrip_uint16(self):
+        arr, psi, phi = self._make(2)
+        assert arr.get_num_bytes() == 2
+        p, f = arr.read_psi_phi(2, 4, 5)
+        assert abs(p - psi[2][4, 5]) <= arr.get_psi_scale()
+        assert abs(f - phi[2][4, 5]) <= arr.get_phi_scale()
+
+    def test_read_times(self):
+        arr, _, _ = self._make(-1)
+        assert np.isclose(arr.read_time(1), 0.1)
+
+
+class TestGeneratePsiPhi:
+    def test_from_sci_var(self):
+        rng = np.random.default_rng(3)
+        sci = rng.normal(0, 1, (10, 10)).astype(np.float32)
+        var = np.full((10, 10), 4.0, dtype=np.float32)
+        var[5, 5] = 0.0  # zero variance must be masked
+        sci[2, 2] = np.nan
+        psf = PSF.make_gaussian_kernel(0.5)
+        psi, phi = generate_psi_phi_images(sci, var, psf)
+        assert np.isnan(psi[5, 5]) and np.isnan(phi[5, 5])
+        assert np.isnan(psi[2, 2]) and np.isnan(phi[2, 2])
+        # With a flat variance, phi = (1/var) * sum(psf^2) everywhere valid
+        # (phi convolves with the unnormalized squared kernel, and the
+        # masked-fraction rescale keeps a constant field constant).
+        good = np.isfinite(phi)
+        expected = 0.25 * float(np.sum(psf.astype(np.float64) ** 2))
+        assert np.allclose(phi[good], expected, atol=1e-5)
+
+    def test_fill_from_image_arrays(self):
+        rng = np.random.default_rng(4)
+        T, H, W = 4, 8, 8
+        sci = [rng.normal(0, 1, (H, W)).astype(np.float32) for _ in range(T)]
+        var = [np.full((H, W), 2.0, dtype=np.float32) for _ in range(T)]
+        psfs = [PSF.make_gaussian_kernel(0.5) for _ in range(T)]
+        arr = PsiPhiArray()
+        fill_psi_phi_array_from_image_arrays(arr, -1, sci, var, psfs, np.arange(T) * 0.1)
+        assert arr.get_num_times() == T
+        psi_expected, phi_expected = generate_psi_phi_images(sci[0], var[0], psfs[0])
+        p, f = arr.read_psi_phi(0, 3, 3)
+        assert np.isclose(p, psi_expected[3, 3], atol=1e-5)
+        assert np.isclose(f, phi_expected[3, 3], atol=1e-5)
