@@ -283,18 +283,22 @@ def search_topk_shift(
     T, H, W = psi.shape
     SH = y_max - y_min
     SW = x_max - x_min
-    if SW > W:
-        raise ValueError(
-            f"Search width {SW} exceeds image width {W}; use the gather path for oversized x bounds."
-        )
 
-    L = SH * W  # slice length per plane per time step
-    pad = (SH + H + 2) * W
-    total = T * H * W + 2 * pad
+    # When the search region is wider than the image (x pixel buffers), pad
+    # zero columns on the right so rows of the flattened stack are at least
+    # SW wide; the in-bounds masks still test against the true W.
+    W2 = max(W, SW)
+
+    L = SH * W2  # slice length per plane per time step
+    pad = (SH + H + 2) * W2
+    total = T * H * W2 + 2 * pad
 
     def flat(a, dtype):
+        a = a.astype(dtype)
+        if W2 > W:
+            a = jnp.pad(a, ((0, 0), (0, 0), (0, W2 - W)))
         z = jnp.zeros((pad,), dtype=dtype)
-        return jnp.concatenate([z, a.reshape(-1).astype(dtype), z])
+        return jnp.concatenate([z, a.reshape(-1), z])
 
     psi_f = flat(psi, jnp.float32)
     phi_f = flat(phi, jnp.float32)
@@ -310,10 +314,10 @@ def search_topk_shift(
             psi_s, phi_s, obs = acc
             oy = y_min + dy[t]
             ox = x_min + dx[t]
-            start = jnp.clip(pad + t * H * W + oy * W + ox, 0, total - L)
-            ps = lax.dynamic_slice(psi_f, (start,), (L,)).reshape(SH, W)[:, :SW]
-            fs = lax.dynamic_slice(phi_f, (start,), (L,)).reshape(SH, W)[:, :SW]
-            vs = lax.dynamic_slice(val_f, (start,), (L,)).reshape(SH, W)[:, :SW]
+            start = jnp.clip(pad + t * H * W2 + oy * W2 + ox, 0, total - L)
+            ps = lax.dynamic_slice(psi_f, (start,), (L,)).reshape(SH, W2)[:, :SW]
+            fs = lax.dynamic_slice(phi_f, (start,), (L,)).reshape(SH, W2)[:, :SW]
+            vs = lax.dynamic_slice(val_f, (start,), (L,)).reshape(SH, W2)[:, :SW]
             # In-bounds masks: row i valid iff 0 <= y_min + i + dy < H.
             m = (ii >= -oy) & (ii < H - oy) & (jj >= -ox) & (jj < W - ox)
             mf = jnp.where(m, vs.astype(jnp.float32), 0.0)
