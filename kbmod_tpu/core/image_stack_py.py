@@ -356,38 +356,3 @@ class ImageStackPy:
         return np.stack(self.var, axis=0) if self.num_times else np.zeros((0, 0, 0), np.float32)
 
 
-def make_fake_image_stack(height, width, times, noise_level=2.0, psf_val=0.5, rng=None):
-    """Create a fake ImageStackPy with Gaussian noise and flat variance.
-
-    Mirrors reference fake_data/fake_data_creator.py:62-100.
-    """
-    rng = np.random.default_rng() if rng is None else rng
-    times = np.asarray(times)
-    sci = [rng.normal(0.0, noise_level, (height, width)).astype(np.float32) for _ in times]
-    var = [np.full((height, width), noise_level**2, dtype=np.float32) for _ in times]
-    psfs = [PSF.make_gaussian_kernel(psf_val) for _ in times]
-    return ImageStackPy(times=times, sci=sci, var=var, psfs=psfs)
-
-
-def image_stack_add_fake_object(stack, x, y, vx, vy, flux, ax=0.0, ay=0.0):
-    """Insert a fake moving object into every image of a stack.
-
-    The object moves linearly (plus optional acceleration) from (x, y) at the
-    stack's first time; its PSF-shaped flux is added to the science layer.
-    Mirrors reference fake_data/fake_data_creator.py:128-172.
-    """
-    from kbmod_tpu.ops.convolve import convolve_psf_and_image
-
-    for idx in range(stack.num_times):
-        dt = stack.zeroed_times[idx]
-        px = x + vx * dt + 0.5 * ax * dt * dt
-        py = y + vy * dt + 0.5 * ay * dt * dt
-        ix = int(np.floor(px + 0.5))
-        iy = int(np.floor(py + 0.5))
-        if ix < 0 or ix >= stack.width or iy < 0 or iy >= stack.height:
-            continue
-        # Add a delta of the flux then convolve with the image PSF.
-        delta = np.zeros((stack.height, stack.width), dtype=np.float32)
-        delta[iy, ix] = flux
-        delta = convolve_psf_and_image(delta, stack.psfs[idx], scale_by_masked=False)
-        stack.sci[idx] += delta

@@ -93,6 +93,10 @@ def _from_jsonable(v):
 def _read_ecsv(filepath):
     import csv as csv_mod
     import io as io_mod
+    import sys
+
+    # Image columns serialize to very large JSON cells.
+    csv_mod.field_size_limit(sys.maxsize)
 
     text = filepath.read_text()
     header_lines = []

@@ -180,8 +180,9 @@ class Results:
         self.table.remove_column(colname)
 
     def extend(self, results2):
-        """Append the rows of another Results (same columns required)."""
-        if set(self.colnames) != set(results2.colnames):
+        """Append the rows of another Results. Non-empty tables must share
+        columns; an empty side adopts the other's schema."""
+        if len(self) > 0 and len(results2) > 0 and set(self.colnames) != set(results2.colnames):
             raise ValueError("Column mismatch in extend().")
         self.table = vstack([self.table, results2.table])
         for label, count in results2.filtered_stats.items():

@@ -125,9 +125,11 @@ class TrajectoryList:
         if not np.all(ok):
             raise RuntimeError(f"{np.count_nonzero(~ok)} invalid trajectories in list.")
 
-    def estimate_memory(self):
-        # 4 bytes x 7 fields per trajectory (common.h:55-67 layout).
-        return len(self) * 28
+    @staticmethod
+    def estimate_memory(num_elements):
+        """Estimated bytes for num_elements trajectories (4 bytes x 7
+        fields; common.h:55-67 layout)."""
+        return int(num_elements) * 28
 
     # --- device lifecycle (no-ops: numpy-resident results) ---
 

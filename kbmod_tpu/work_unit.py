@@ -1,0 +1,429 @@
+"""WorkUnit: the standardized container for a single KBMOD run.
+
+API-compatible with the reference's kbmod.work_unit (src/kbmod/
+work_unit.py): an ImageStackPy + SearchConfiguration + global/per-image
+WCS + constituent image metadata + reprojection state (frame, barycentric
+distance, per-image mosaicking indices) + observatory location, with
+single-file and sharded FITS persistence (kbmod_tpu.io.fits_io) and lazy
+loading of sharded data.
+"""
+
+import logging
+import os
+from pathlib import Path
+
+import numpy as np
+
+from kbmod_tpu.configuration import SearchConfiguration
+from kbmod_tpu.core.image_stack_py import ImageStackPy, LayeredImagePy
+from kbmod_tpu.io import fits_io
+from kbmod_tpu.table import Table
+from kbmod_tpu.wcs_utils import (
+    calc_ecliptic_angle,
+    serialize_wcs,
+    deserialize_wcs,
+)
+
+logger = logging.getLogger(__name__)
+
+# Rubin Observatory (Cerro Pachon) geocentric coordinates in meters — the
+# reference's default observatory (work_unit.py:171-181).
+RUBIN_LOCATION_M = (1814303.74553723, -5214365.7436216, -3187340.56598756)
+
+
+def create_image_metadata(n_images, data=None):
+    """Create the constituent-image metadata table with the standard
+    columns (data_loc, ebd_wcs, geocentric_distance, per_image_wcs,
+    mjd_mid, obs_lon/lat/alt, filter, visit, dataId)."""
+    if n_images <= 0:
+        raise ValueError("Invalid number of images.")
+    defaults = {
+        "data_loc": np.full(n_images, None, dtype=object),
+        "ebd_wcs": np.full(n_images, None, dtype=object),
+        "geocentric_distance": np.full(n_images, None, dtype=object),
+        "per_image_wcs": np.full(n_images, None, dtype=object),
+    }
+    table = Table(defaults)
+    if data is not None:
+        if isinstance(data, dict):
+            data = Table(data)
+        if len(data) != n_images:
+            raise ValueError(f"Metadata table has {len(data)} rows; expected {n_images}.")
+        for col in data.colnames:
+            table[col] = data[col]
+    return table
+
+
+class WorkUnit:
+    """The work unit: images + configuration + geometry + provenance.
+
+    Parameters mirror the reference (work_unit.py:116-198).
+    """
+
+    def __init__(
+        self,
+        im_stack=None,
+        config=None,
+        wcs=None,
+        per_image_wcs=None,
+        reprojected=False,
+        reprojection_frame=None,
+        per_image_indices=None,
+        obstimes=None,
+        barycentric_distance=None,
+        lazy=False,
+        file_paths=None,
+        org_image_meta=None,
+        observatory=None,
+    ):
+        self.im_stack = im_stack if im_stack is not None else ImageStackPy()
+        self.config = config if config is not None else SearchConfiguration()
+        self.lazy = lazy
+        self.file_paths = file_paths
+        self._obstimes = obstimes
+
+        # Number of constituent (original, pre-mosaic) images.
+        if org_image_meta is not None:
+            self.n_constituents = len(org_image_meta)
+        elif per_image_wcs is not None:
+            self.n_constituents = len(per_image_wcs)
+        else:
+            self.n_constituents = self.im_stack.num_times
+
+        self.org_img_meta = create_image_metadata(max(self.n_constituents, 1), data=org_image_meta)
+        if per_image_wcs is not None:
+            self.org_img_meta["per_image_wcs"] = np.array(list(per_image_wcs), dtype=object)
+
+        self.wcs = wcs
+        self.reprojected = reprojected
+        self.reprojection_frame = reprojection_frame
+        self.barycentric_distance = barycentric_distance
+        self.observatory = observatory if observatory is not None else RUBIN_LOCATION_M
+
+        if per_image_indices is None:
+            # One constituent image per stack layer unless mosaicked.
+            self._per_image_indices = [[i] for i in range(self.n_constituents)]
+        else:
+            self._per_image_indices = per_image_indices
+
+    def __len__(self):
+        return self.im_stack.num_times
+
+    def get_num_images(self):
+        return self.im_stack.num_times
+
+    @property
+    def per_image_wcs(self):
+        return list(self.org_img_meta["per_image_wcs"])
+
+    def print_stats(self):
+        print(f"WorkUnit: {self.im_stack.num_times} images, {self.n_constituents} constituents.")
+        print(f"  Reprojected: {self.reprojected} (frame={self.reprojection_frame})")
+        self.im_stack.print_stats()
+
+    def get_constituent_meta(self, columns):
+        """Dict of requested constituent-metadata columns (those present)."""
+        if isinstance(columns, str):
+            columns = [columns]
+        result = {}
+        for col in columns:
+            if col in self.org_img_meta.colnames:
+                result[col] = list(self.org_img_meta[col])
+        return result
+
+    def get_wcs(self, img_num):
+        """The WCS for one image: the common WCS if set, else per-image."""
+        if self.wcs is not None:
+            return self.wcs
+        per_img = self.org_img_meta["per_image_wcs"][img_num]
+        return per_img
+
+    def compute_ecliptic_angle(self):
+        """The ecliptic angle (radians in pixel space) from the WCS."""
+        wcs = self.get_wcs(0)
+        if wcs is None:
+            logger.warning("A valid wcs is required to compute the ecliptic angle. Using 0.0.")
+            return 0.0
+        center = (self.im_stack.width / 2, self.im_stack.height / 2)
+        return calc_ecliptic_angle(wcs, center_pixel=center)
+
+    def get_all_obstimes(self):
+        """The constituent observation times."""
+        if self._obstimes is not None:
+            return self._obstimes
+        self._obstimes = np.copy(self.im_stack.times)
+        return self._obstimes
+
+    def get_unique_obstimes_and_indices(self):
+        from kbmod_tpu.util_functions import unique_obstimes_and_indices
+
+        return unique_obstimes_and_indices(self.get_all_obstimes())
+
+    def get_pixel_coordinates(self, ra, dec, times=None):
+        """Pixel (x, y) for sky positions, per matching time. ra/dec in
+        degrees; times (MJD) select which image's WCS to use."""
+        ra = np.atleast_1d(np.asarray(ra, dtype=float))
+        dec = np.atleast_1d(np.asarray(dec, dtype=float))
+        if times is None:
+            inds = np.arange(len(ra)) % max(self.im_stack.num_times, 1)
+        else:
+            obstimes = np.asarray(self.get_all_obstimes())
+            from kbmod_tpu.util_functions import get_matched_obstimes
+
+            inds = get_matched_obstimes(obstimes, times)
+            if np.any(inds < 0):
+                raise ValueError("One or more times could not be matched to an image.")
+        x = np.zeros(len(ra))
+        y = np.zeros(len(ra))
+        for i, (r, d, idx) in enumerate(zip(ra, dec, inds)):
+            wcs = self.get_wcs(int(idx))
+            if wcs is None:
+                raise ValueError(f"No WCS for image {idx}.")
+            x[i], y[i] = wcs.world_to_pixel_values(r, d)
+        return x, y
+
+    def filter_images(self, mask):
+        """Keep only images where mask is True, maintaining metadata."""
+        mask = np.asarray(mask, dtype=bool)
+        self.im_stack.filter_images(mask)
+        if self.file_paths is not None:
+            self.file_paths = [v for i, v in enumerate(self.file_paths) if mask[i]]
+        if self._obstimes is not None:
+            self._obstimes = [v for i, v in enumerate(self._obstimes) if mask[i]]
+        keep_constituents = sorted({c for i, group in enumerate(self._per_image_indices) if mask[i] for c in group})
+        remap = {old: new for new, old in enumerate(keep_constituents)}
+        con_mask = np.zeros(self.n_constituents, dtype=bool)
+        con_mask[keep_constituents] = True
+        self.org_img_meta = self.org_img_meta[con_mask]
+        self.n_constituents = len(keep_constituents)
+        self._per_image_indices = [
+            [remap[c] for c in group] for i, group in enumerate(self._per_image_indices) if mask[i]
+        ]
+
+    def apply_color_scale(self, color_scale=None):
+        """Scale images by per-filter magnitude corrections."""
+        if color_scale is None:
+            color_scale = self.config["color_scale"]
+        if color_scale is None:
+            return
+        if np.isscalar(color_scale):
+            self.im_stack.scale_images(color_scale, is_magnitude=True)
+            return
+        filters = self.get_constituent_meta(["filter"]).get("filter")
+        if filters is None:
+            raise ValueError("No filter metadata to apply a per-filter color scale.")
+        scales = np.array([color_scale.get(f, 0.0) for f in filters], dtype=float)
+        self.im_stack.scale_images(scales, is_magnitude=True)
+
+    # Alias matching the name used by SearchRunner in the reference.
+    def apply_color_scaling(self, color_scale=None):
+        self.apply_color_scale(color_scale)
+
+    def image_positions_to_original_icrs(
+        self, image_indices, positions, input_format="xy", output_format="xy", filter_in_frame=True
+    ):
+        """Map positions in the common (possibly EBD) frame back to the
+        original per-image frames (work_unit.py:938-996 behavior, using the
+        internal parallax inversion)."""
+        from kbmod_tpu.reprojection_utils import invert_correct_parallax_vectorized
+        from kbmod_tpu.geom.wcs import SkyCoordLite
+
+        obstimes = np.asarray(self.get_all_obstimes())
+        results = []
+        for idx, pos in zip(np.atleast_1d(image_indices), positions):
+            if input_format == "xy":
+                ra, dec = self.wcs.pixel_to_world_values(pos[0], pos[1])
+            else:
+                ra, dec = pos
+            if self.reprojected and self.reprojection_frame == "ebd":
+                coords = SkyCoordLite(np.atleast_1d(ra), np.atleast_1d(dec))
+                coords.distance_au = np.atleast_1d(self.barycentric_distance)
+                inv = invert_correct_parallax_vectorized(coords, obstimes=[obstimes[idx]])
+                ra, dec = float(inv.ra_deg[0]), float(inv.dec_deg[0])
+            if output_format == "radec":
+                results.append((ra, dec))
+            else:
+                wcs = self.org_img_meta["per_image_wcs"][idx] or self.wcs
+                x, y = wcs.world_to_pixel_values(ra, dec)
+                results.append((float(x), float(y)))
+        return results
+
+    # ------------------------------------------------------------------
+    # Serialization
+    # ------------------------------------------------------------------
+
+    def _meta_header(self):
+        hdu = fits_io.ImageHDU(name="METADATA")
+        hdu.header["NUMIMG"] = int(self.im_stack.num_times)
+        hdu.header["NCON"] = int(self.n_constituents)
+        hdu.header["REPROJ"] = bool(self.reprojected)
+        hdu.header["REPFRAME"] = self.reprojection_frame if self.reprojection_frame else ""
+        hdu.header["BARY"] = float(self.barycentric_distance) if self.barycentric_distance is not None else -1.0
+        hdu.header["OBSX"] = float(self.observatory[0])
+        hdu.header["OBSY"] = float(self.observatory[1])
+        hdu.header["OBSZ"] = float(self.observatory[2])
+        hdu.set_long_string("GWCS", serialize_wcs(self.wcs))
+        return hdu
+
+    def metadata_to_hdul(self):
+        """Build the metadata HDUs: PRIMARY, METADATA header, config,
+        constituent metadata table, and per-image index groups."""
+        hdus = fits_io.HDUList()
+        hdus.append(fits_io.ImageHDU(name="PRIMARY"))
+        hdus.append(self._meta_header())
+
+        cfg_hdu = fits_io.ImageHDU(name="KBMOD_CONFIG")
+        cfg_hdu.set_long_string("YAMLCFG", self.config.to_yaml())
+        hdus.append(cfg_hdu)
+
+        # Constituent metadata with serialized WCS columns.
+        meta = self.org_img_meta.copy()
+        for col in ("per_image_wcs", "ebd_wcs"):
+            if col in meta.colnames:
+                meta[col] = np.array([serialize_wcs(w) if w is not None else "" for w in meta[col]], dtype=object)
+        hdus.append(fits_io.TableHDU(meta, name="IMG_META"))
+
+        idx_table = Table({"groups": np.array([list(map(int, g)) for g in self._per_image_indices], dtype=object)})
+        hdus.append(fits_io.TableHDU(idx_table, name="IMG_IDX"))
+
+        times_table = Table({"obstimes": np.asarray(self.get_all_obstimes(), dtype=float)})
+        hdus.append(fits_io.TableHDU(times_table, name="OBSTIMES"))
+        return hdus
+
+    def _image_hdus(self, idx):
+        stack = self.im_stack
+        sci = fits_io.ImageHDU(stack.sci[idx].astype(np.float32), name=f"SCI_{idx}")
+        sci.header["MJD"] = float(stack.times[idx])
+        var = fits_io.ImageHDU(stack.var[idx].astype(np.float32), name=f"VAR_{idx}")
+        psf = fits_io.ImageHDU(np.asarray(stack.psfs[idx], dtype=np.float32), name=f"PSF_{idx}")
+        return [sci, var, psf]
+
+    def to_fits(self, filename, overwrite=False):
+        """Write the whole WorkUnit to a single FITS file."""
+        logger.info(f"Writing WorkUnit to {filename}")
+        hdus = self.metadata_to_hdul()
+        for idx in range(self.im_stack.num_times):
+            hdus.extend(self._image_hdus(idx))
+        hdus.writeto(filename, overwrite=overwrite)
+
+    @classmethod
+    def _from_metadata_hdul(cls, hdus):
+        meta_hdu = hdus["METADATA"]
+        config = SearchConfiguration.from_yaml(hdus["KBMOD_CONFIG"].get_long_string("YAMLCFG"))
+
+        img_meta = hdus["IMG_META"].to_table()
+        for col in ("per_image_wcs", "ebd_wcs"):
+            if col in img_meta.colnames:
+                img_meta[col] = np.array(
+                    [deserialize_wcs(v) if v else None for v in img_meta[col]], dtype=object
+                )
+        per_image_indices = [list(g) for g in hdus["IMG_IDX"].to_table()["groups"]]
+        obstimes = np.asarray(hdus["OBSTIMES"].to_table()["obstimes"], dtype=float)
+
+        wcs = deserialize_wcs(meta_hdu.get_long_string("GWCS"))
+        bary = meta_hdu.header.get("BARY", -1.0)
+        return {
+            "config": config,
+            "wcs": wcs,
+            "reprojected": bool(meta_hdu.header.get("REPROJ", False)),
+            "reprojection_frame": meta_hdu.header.get("REPFRAME") or None,
+            "barycentric_distance": None if bary is None or bary < 0 else float(bary),
+            "observatory": (
+                meta_hdu.header.get("OBSX", RUBIN_LOCATION_M[0]),
+                meta_hdu.header.get("OBSY", RUBIN_LOCATION_M[1]),
+                meta_hdu.header.get("OBSZ", RUBIN_LOCATION_M[2]),
+            ),
+            "org_image_meta": img_meta,
+            "per_image_indices": per_image_indices,
+            "obstimes": obstimes,
+            "num_img": int(meta_hdu.header["NUMIMG"]),
+        }
+
+    @classmethod
+    def from_fits(cls, filename, show_progress=None):
+        """Read a WorkUnit from a single FITS file."""
+        logger.info(f"Reading WorkUnit from {filename}")
+        hdus = fits_io.read_fits(filename)
+        meta = cls._from_metadata_hdul(hdus)
+        num_img = meta.pop("num_img")
+
+        stack = ImageStackPy()
+        for idx in range(num_img):
+            sci_hdu = hdus[f"SCI_{idx}"]
+            stack.append_image(
+                time=float(sci_hdu.header.get("MJD", idx)),
+                sci=np.asarray(sci_hdu.data, dtype=np.float32),
+                var=np.asarray(hdus[f"VAR_{idx}"].data, dtype=np.float32),
+                psf=np.asarray(hdus[f"PSF_{idx}"].data, dtype=np.float32),
+            )
+        return cls(im_stack=stack, **meta)
+
+    def to_sharded_fits(self, filename, directory, overwrite=False):
+        """Write a head file (metadata) plus one FITS shard per image."""
+        directory = Path(directory)
+        directory.mkdir(parents=True, exist_ok=True)
+        head = self.metadata_to_hdul()
+        head.writeto(directory / filename, overwrite=overwrite)
+        for idx in range(self.im_stack.num_times):
+            shard = fits_io.HDUList([fits_io.ImageHDU(name="PRIMARY")])
+            shard.extend(self._image_hdus(idx))
+            shard.writeto(directory / f"{idx}_{filename}", overwrite=overwrite)
+
+    @classmethod
+    def from_sharded_fits(cls, filename, directory, lazy=False):
+        """Read a sharded WorkUnit; with ``lazy`` the images load on
+        demand via load_images()."""
+        directory = Path(directory)
+        hdus = fits_io.read_fits(directory / filename)
+        meta = cls._from_metadata_hdul(hdus)
+        num_img = meta.pop("num_img")
+        file_paths = [str(directory / f"{idx}_{filename}") for idx in range(num_img)]
+
+        if lazy:
+            work = cls(im_stack=ImageStackPy(), lazy=True, file_paths=file_paths, **meta)
+            return work
+
+        stack = ImageStackPy()
+        for idx, path in enumerate(file_paths):
+            shard = fits_io.read_fits(path)
+            sci_hdu = shard[f"SCI_{idx}"]
+            stack.append_image(
+                time=float(sci_hdu.header.get("MJD", idx)),
+                sci=np.asarray(sci_hdu.data, dtype=np.float32),
+                var=np.asarray(shard[f"VAR_{idx}"].data, dtype=np.float32),
+                psf=np.asarray(shard[f"PSF_{idx}"].data, dtype=np.float32),
+            )
+        return cls(im_stack=stack, file_paths=file_paths, **meta)
+
+    def load_images(self):
+        """Load the image data for a lazy sharded WorkUnit."""
+        if not self.lazy:
+            return
+        stack = ImageStackPy()
+        for idx, path in enumerate(self.file_paths):
+            shard = fits_io.read_fits(path)
+            sci_hdu = shard[f"SCI_{idx}"]
+            stack.append_image(
+                time=float(sci_hdu.header.get("MJD", idx)),
+                sci=np.asarray(sci_hdu.data, dtype=np.float32),
+                var=np.asarray(shard[f"VAR_{idx}"].data, dtype=np.float32),
+                psf=np.asarray(shard[f"PSF_{idx}"].data, dtype=np.float32),
+            )
+        self.im_stack = stack
+        self.lazy = False
+
+    def write_config(self, filename, overwrite=False):
+        self.config.to_file(filename, overwrite=overwrite)
+
+
+def load_layered_image_from_shard(file_path):
+    """Load one LayeredImagePy from a shard file."""
+    idx = int(os.path.basename(file_path).split("_")[0])
+    shard = fits_io.read_fits(file_path)
+    sci_hdu = shard[f"SCI_{idx}"]
+    return LayeredImagePy(
+        sci=np.asarray(sci_hdu.data, dtype=np.float32),
+        var=np.asarray(shard[f"VAR_{idx}"].data, dtype=np.float32),
+        psf=np.asarray(shard[f"PSF_{idx}"].data, dtype=np.float32),
+        time=float(sci_hdu.header.get("MJD", idx)),
+    )

@@ -6,7 +6,7 @@ Modeled on the reference's tests/test_core_search_exact.py:16-60.
 
 import numpy as np
 
-from kbmod_tpu.core.image_stack_py import make_fake_image_stack, image_stack_add_fake_object
+from kbmod_tpu.fake_data.fake_data_creator import make_fake_image_stack, image_stack_add_fake_object
 from kbmod_tpu.search import StackSearch, Trajectory
 
 
