@@ -1,0 +1,77 @@
+"""Benchmark: candidate-trajectory evaluations/sec on the core search.
+
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+vs_baseline is relative to the BASELINE.json north star of 1e9
+candidate-trajectory evaluations/sec/chip.
+
+Config (overridable by env): a mid-scale stack (BASELINE.md config 3
+scaled to fit the bench budget) searched with the shift-and-accumulate
+kernel. One eval = one (starting pixel, candidate velocity) pair scored
+over all T times.
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from kbmod_tpu.ops.search import search_topk_shift, trajectory_offsets
+
+    T = int(os.environ.get("KB_BENCH_T", 20))
+    H = int(os.environ.get("KB_BENCH_H", 1024))
+    W = int(os.environ.get("KB_BENCH_W", 1024))
+    C = int(os.environ.get("KB_BENCH_C", 512))
+    K = int(os.environ.get("KB_BENCH_K", 8))
+
+    rng = np.random.default_rng(42)
+    psi = jnp.asarray(rng.normal(0, 1, (T, H, W)).astype(np.float32))
+    phi = jnp.asarray(rng.uniform(0.5, 2.0, (T, H, W)).astype(np.float32))
+    valid = jnp.ones((T, H, W), dtype=jnp.uint8)
+
+    # A survey-style polar velocity grid.
+    times = np.linspace(0.0, 4.0, T)
+    vel = rng.uniform(5.0, 120.0, C).astype(np.float32)
+    ang = rng.uniform(-0.3, 0.3, C).astype(np.float32)
+    vxs = (np.cos(ang) * vel).astype(np.float32)
+    vys = (np.sin(ang) * vel).astype(np.float32)
+    dxs, dys = trajectory_offsets(vxs, vys, times)
+    dxs = jnp.asarray(dxs)
+    dys = jnp.asarray(dys)
+
+    def run():
+        top_lh, top_idx = search_topk_shift(
+            psi, phi, valid, dxs, dys, jnp.float32(0), jnp.float32(0),
+            x_min=0, x_max=W, y_min=0, y_max=H, k_results=K,
+        )
+        jax.block_until_ready(top_lh)
+        return top_lh
+
+    run()  # compile + warm up
+    start = time.perf_counter()
+    n_iters = 3
+    for _ in range(n_iters):
+        run()
+    elapsed = (time.perf_counter() - start) / n_iters
+
+    evals = float(H) * float(W) * float(C)
+    evals_per_sec = evals / elapsed
+    print(
+        json.dumps(
+            {
+                "metric": "candidate_trajectory_evals_per_sec",
+                "value": evals_per_sec,
+                "unit": f"evals/s (T={T}, {H}x{W}, C={C}, K={K}, f32)",
+                "vs_baseline": evals_per_sec / 1e9,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -240,11 +240,7 @@ def sigmag_filtered_indices(values, sgl0, sgl1, sigmag_coeff, width):
 # The shift-and-accumulate top-K search kernel
 # ----------------------------------------------------------------------
 
-@partial(
-    jax.jit,
-    static_argnames=("x_min", "x_max", "y_min", "y_max", "k_results", "gate_min_obs", "gate_min_lh", "unroll"),
-)
-def search_topk_shift(
+def search_topk_core(
     psi,
     phi,
     valid,
@@ -252,37 +248,43 @@ def search_topk_shift(
     dys,
     min_obs,
     min_lh,
-    *,
     x_min,
-    x_max,
     y_min,
-    y_max,
+    cand_offset,
+    *,
+    sh,
+    sw,
     k_results,
     gate_min_obs=True,
     gate_min_lh=False,
     unroll=1,
+    cand_valid=None,
 ):
-    """Score all candidates at all starting pixels; keep the top-K per pixel.
+    """The shift-and-accumulate top-K kernel body (trace-time bounds are
+    dynamic so it composes with shard_map pixel/candidate sharding).
 
     Parameters
     ----------
     psi, phi : (T, H, W) float32, zero-filled at masked pixels.
     valid : (T, H, W) uint8 validity plane.
     dxs, dys : (C, T) int32 per-candidate per-time integer offsets.
-    min_obs, min_lh : scalars for the insertion gates (GPU-path semantics,
-        kernels.cu:318-320). ``gate_min_obs=False`` reproduces the CPU path
-        which inserts everything (cpu_search_algorithms.cpp:69-86).
-    x_min..y_max : static search bounds (may extend beyond the image).
+    min_obs, min_lh : traced scalars for the insertion gates (GPU-path
+        semantics, kernels.cu:318-320). ``gate_min_obs=False`` reproduces
+        the CPU path which inserts everything
+        (cpu_search_algorithms.cpp:69-86).
+    x_min, y_min : traced int32 — search-region origin (may be negative).
+    cand_offset : traced int32 — global index of this shard's candidate 0.
+    sh, sw : static search-region height/width.
     k_results : static results per pixel.
+    cand_valid : optional (C,) bool — False marks padding candidates.
 
     Returns
     -------
     top_lh : (K, SH, SW) float32 — best likelihoods (empty = -FLT_MAX).
-    top_idx : (K, SH, SW) int32 — candidate indices (empty = -1).
+    top_idx : (K, SH, SW) int32 — global candidate indices (empty = -1).
     """
     T, H, W = psi.shape
-    SH = y_max - y_min
-    SW = x_max - x_min
+    SH, SW = sh, sw
 
     # When the search region is wider than the image (x pixel buffers), pad
     # zero columns on the right so rows of the flattened stack are at least
@@ -328,10 +330,10 @@ def search_topk_shift(
 
     def cand_step(carry, inp):
         top_lh, top_idx = carry
-        dy, dx, cidx = inp
+        dy, dx, cidx, c_ok = inp
         psi_s, phi_s, obs = accumulate(dy, dx)
         lh = jnp.where(phi_s > 0, psi_s / jnp.sqrt(phi_s), -1.0)
-        ok = jnp.ones(lh.shape, dtype=bool)
+        ok = jnp.broadcast_to(c_ok, lh.shape)
         if gate_min_obs:
             ok &= obs >= min_obs
         if gate_min_lh:
@@ -349,11 +351,66 @@ def search_topk_shift(
             newi = jnp.where(better, cur_idx, newi)
         return (top_lh, top_idx), None
 
+    C = dxs.shape[0]
     top_lh0 = jnp.full((k_results, SH, SW), -FLT_MAX, dtype=jnp.float32)
     top_idx0 = jnp.full((k_results, SH, SW), -1, dtype=jnp.int32)
-    cidx = jnp.arange(dxs.shape[0], dtype=jnp.int32)
-    (top_lh, top_idx), _ = lax.scan(cand_step, (top_lh0, top_idx0), (dys, dxs, cidx))
+    cidx = cand_offset + jnp.arange(C, dtype=jnp.int32)
+    c_ok = jnp.ones((C,), dtype=bool) if cand_valid is None else cand_valid
+    (top_lh, top_idx), _ = lax.scan(cand_step, (top_lh0, top_idx0), (dys, dxs, cidx, c_ok))
     return top_lh, top_idx
+
+
+@partial(
+    jax.jit,
+    static_argnames=("x_min", "x_max", "y_min", "y_max", "k_results", "gate_min_obs", "gate_min_lh", "unroll"),
+)
+def search_topk_shift(
+    psi,
+    phi,
+    valid,
+    dxs,
+    dys,
+    min_obs,
+    min_lh,
+    *,
+    x_min,
+    x_max,
+    y_min,
+    y_max,
+    k_results,
+    gate_min_obs=True,
+    gate_min_lh=False,
+    unroll=1,
+):
+    """Single-device entry for the top-K search (see search_topk_core)."""
+    return search_topk_core(
+        psi,
+        phi,
+        valid,
+        dxs,
+        dys,
+        min_obs,
+        min_lh,
+        jnp.int32(x_min),
+        jnp.int32(y_min),
+        jnp.int32(0),
+        sh=y_max - y_min,
+        sw=x_max - x_min,
+        k_results=k_results,
+        gate_min_obs=gate_min_obs,
+        gate_min_lh=gate_min_lh,
+        unroll=unroll,
+    )
+
+
+def merge_topk(top_lh, top_idx, k_results):
+    """Merge stacked per-shard top-K maps (M, SH, SW) into global top-K by
+    per-pixel stable sort on descending lh; ties keep shard order (shards
+    hold ascending candidate ranges, matching sequential insertion)."""
+    order = jnp.argsort(-top_lh, axis=0, stable=True)
+    lh_sorted = jnp.take_along_axis(top_lh, order, axis=0)
+    idx_sorted = jnp.take_along_axis(top_idx, order, axis=0)
+    return lh_sorted[:k_results], idx_sorted[:k_results]
 
 
 # ----------------------------------------------------------------------

@@ -1,0 +1,269 @@
+"""Sharded (multi-chip) search over a jax.sharding.Mesh.
+
+Sharding strategy (SURVEY.md §5.8 / §7):
+* psi/phi stay replicated per device (even a 100 x 4k x 4k int8 stack is a
+  few GB) — the default survey velocity grid implies halos wider than any
+  reasonable tile, so candidate/pixel sharding beats H-sharding with halo
+  exchange.
+* "candidates" mode shards the velocity grid: each device scans its
+  candidate chunk over all pixels, then the per-pixel top-K maps are
+  all-gathered over ICI and merged with one stable sort.
+* "pixels" mode shards starting-pixel rows: each device scans all
+  candidates over its row block; outputs concatenate with no merge.
+* The psi/phi build shards the convolution over the time axis
+  (data-parallel conv) and all-gathers the result.
+
+Multi-host slices compose transparently: build the mesh from
+jax.devices() after jax.distributed.initialize and the same shard_map
+programs run with XLA inserting ICI/DCN collectives.
+"""
+
+import math
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+import inspect
+
+try:
+    from jax import shard_map as _shard_map
+except ImportError:  # older jax
+    from jax.experimental.shard_map import shard_map as _shard_map
+
+# The replication-check kwarg was renamed check_rep -> check_vma.
+_CHECK_KW = "check_vma" if "check_vma" in inspect.signature(_shard_map).parameters else "check_rep"
+
+
+def shard_map(f=None, **kwargs):
+    kwargs[_CHECK_KW] = kwargs.pop("check_rep", kwargs.pop("check_vma", False))
+    if f is None:
+        return lambda fn: _shard_map(fn, **kwargs)
+    return _shard_map(f, **kwargs)
+
+from kbmod_tpu.ops.search import search_topk_core, merge_topk, trajectory_offsets, FLT_MAX
+
+AXIS = "shard"
+
+
+def build_mesh(num_devices=None, devices=None):
+    """A 1D device mesh over the first ``num_devices`` devices."""
+    if devices is None:
+        devices = jax.devices()
+    if num_devices is not None:
+        devices = devices[:num_devices]
+    return Mesh(np.array(devices), (AXIS,))
+
+
+def _pad_to_multiple(arr, multiple, axis=0, fill=0):
+    n = arr.shape[axis]
+    rem = (-n) % multiple
+    if rem == 0:
+        return arr, n
+    pad_widths = [(0, 0)] * arr.ndim
+    pad_widths[axis] = (0, rem)
+    return np.pad(arr, pad_widths, constant_values=fill), n
+
+
+def sharded_search_topk(
+    psi,
+    phi,
+    valid,
+    dxs,
+    dys,
+    mesh,
+    *,
+    x_min,
+    x_max,
+    y_min,
+    y_max,
+    k_results,
+    min_obs=0.0,
+    min_lh=0.0,
+    gate_min_obs=True,
+    gate_min_lh=False,
+    shard_mode="candidates",
+    unroll=1,
+):
+    """Run the top-K search sharded over a mesh.
+
+    Returns (top_lh, top_idx) as (K, SH, SW) numpy arrays identical to the
+    single-device kernel's output.
+    """
+    n_dev = mesh.devices.size
+    SH = y_max - y_min
+    SW = x_max - x_min
+
+    dxs = np.asarray(dxs, dtype=np.int32)
+    dys = np.asarray(dys, dtype=np.int32)
+    C = dxs.shape[0]
+
+    min_obs = jnp.float32(min_obs)
+    min_lh = jnp.float32(min_lh)
+
+    if shard_mode == "candidates":
+        dxs_p, _ = _pad_to_multiple(dxs, n_dev)
+        dys_p, _ = _pad_to_multiple(dys, n_dev)
+        cand_valid = np.zeros(dxs_p.shape[0], dtype=bool)
+        cand_valid[:C] = True
+        c_local = dxs_p.shape[0] // n_dev
+
+        @partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=(P(), P(), P(), P(AXIS), P(AXIS), P(AXIS)),
+            out_specs=(P(), P()),
+            check_rep=False,
+        )
+        def run(psi_r, phi_r, valid_r, dxs_s, dys_s, cval_s):
+            offset = jax.lax.axis_index(AXIS) * c_local
+            local_lh, local_idx = search_topk_core(
+                psi_r, phi_r, valid_r, dxs_s, dys_s, min_obs, min_lh,
+                jnp.int32(x_min), jnp.int32(y_min), offset.astype(jnp.int32),
+                sh=SH, sw=SW, k_results=k_results,
+                gate_min_obs=gate_min_obs, gate_min_lh=gate_min_lh,
+                unroll=unroll, cand_valid=cval_s,
+            )
+            # Gather every shard's top-K and merge to the global top-K.
+            all_lh = jax.lax.all_gather(local_lh, AXIS, axis=0)  # (n, K, SH, SW)
+            all_idx = jax.lax.all_gather(local_idx, AXIS, axis=0)
+            all_lh = all_lh.reshape((-1,) + all_lh.shape[2:])
+            all_idx = all_idx.reshape((-1,) + all_idx.shape[2:])
+            return merge_topk(all_lh, all_idx, k_results)
+
+        with mesh:
+            top_lh, top_idx = jax.jit(run)(
+                jnp.asarray(psi), jnp.asarray(phi), jnp.asarray(valid),
+                jnp.asarray(dxs_p), jnp.asarray(dys_p), jnp.asarray(cand_valid),
+            )
+        return np.asarray(top_lh), np.asarray(top_idx)
+
+    if shard_mode == "pixels":
+        # Shard the output rows; each device scans all candidates.
+        rows_per = math.ceil(SH / n_dev)
+        SH_pad = rows_per * n_dev
+
+        @partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=(P(), P(), P(), P(), P()),
+            out_specs=(P(None, AXIS, None), P(None, AXIS, None)),
+            check_rep=False,
+        )
+        def run(psi_r, phi_r, valid_r, dxs_r, dys_r):
+            local_y_min = jnp.int32(y_min) + jax.lax.axis_index(AXIS).astype(jnp.int32) * rows_per
+            return search_topk_core(
+                psi_r, phi_r, valid_r, dxs_r, dys_r, min_obs, min_lh,
+                jnp.int32(x_min), local_y_min, jnp.int32(0),
+                sh=rows_per, sw=SW, k_results=k_results,
+                gate_min_obs=gate_min_obs, gate_min_lh=gate_min_lh, unroll=unroll,
+            )
+
+        with mesh:
+            top_lh, top_idx = jax.jit(run)(
+                jnp.asarray(psi), jnp.asarray(phi), jnp.asarray(valid),
+                jnp.asarray(dxs), jnp.asarray(dys),
+            )
+        return np.asarray(top_lh)[:, :SH, :], np.asarray(top_idx)[:, :SH, :]
+
+    raise ValueError(f"Unknown shard_mode {shard_mode}")
+
+
+def sharded_psi_phi_build(sci, var, psf, mesh):
+    """Build psi/phi for a (T, H, W) stack sharded over the time axis (one
+    shared PSF); returns replicated (psi, phi, valid) device arrays."""
+    from kbmod_tpu.ops.psi_phi import _psi_phi_from_sci_var
+
+    T = sci.shape[0]
+    n_dev = mesh.devices.size
+    sci_p, _ = _pad_to_multiple(np.asarray(sci, dtype=np.float32), n_dev, fill=np.nan)
+    var_p, _ = _pad_to_multiple(np.asarray(var, dtype=np.float32), n_dev, fill=np.nan)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(AXIS), P(AXIS), P()),
+        out_specs=(P(), P(), P()),
+        check_rep=False,
+    )
+    def run(sci_s, var_s, psf_r):
+        psi_s, phi_s = _psi_phi_from_sci_var(sci_s, var_s, psf_r)
+        ok = jnp.isfinite(psi_s) & jnp.isfinite(phi_s)
+        psi_z = jnp.where(ok, psi_s, 0.0)
+        phi_z = jnp.where(ok, phi_s, 0.0)
+        return (
+            jax.lax.all_gather(psi_z, AXIS, axis=0, tiled=True),
+            jax.lax.all_gather(phi_z, AXIS, axis=0, tiled=True),
+            jax.lax.all_gather(ok.astype(jnp.uint8), AXIS, axis=0, tiled=True),
+        )
+
+    with mesh:
+        psi, phi, valid = jax.jit(run)(jnp.asarray(sci_p), jnp.asarray(var_p), jnp.asarray(psf))
+    return psi[:T], phi[:T], valid[:T]
+
+
+def sharded_core_search(
+    psi,
+    phi,
+    valid,
+    times,
+    vxs,
+    vys,
+    mesh,
+    *,
+    x_min,
+    x_max,
+    y_min,
+    y_max,
+    results_per_pixel,
+    min_obs=0,
+    min_lh=0.0,
+    gate_min_obs=True,
+    shard_mode="candidates",
+):
+    """Sharded equivalent of ops.search.core_search (without the sigma-G
+    refinement pass): returns the pixel-major struct-of-arrays results."""
+    from kbmod_tpu.ops.search import evaluate_trajectories
+
+    dxs, dys = trajectory_offsets(vxs, vys, times)
+    top_lh, top_idx = sharded_search_topk(
+        psi, phi, valid, dxs, dys, mesh,
+        x_min=x_min, x_max=x_max, y_min=y_min, y_max=y_max,
+        k_results=int(results_per_pixel), min_obs=float(min_obs), min_lh=float(min_lh),
+        gate_min_obs=gate_min_obs, shard_mode=shard_mode,
+    )
+
+    SH, SW = y_max - y_min, x_max - x_min
+    k = int(results_per_pixel)
+    kidx = np.transpose(top_idx, (1, 2, 0)).reshape(-1)
+    klh = np.transpose(top_lh, (1, 2, 0)).reshape(-1)
+    jjg, iig = np.meshgrid(np.arange(SW), np.arange(SH))
+    xs_all = np.repeat((jjg + x_min).reshape(-1), k).astype(np.int32)
+    ys_all = np.repeat((iig + y_min).reshape(-1), k).astype(np.int32)
+
+    filled = kidx >= 0
+    vx_arr = np.zeros(len(kidx), dtype=np.float32)
+    vy_arr = np.zeros(len(kidx), dtype=np.float32)
+    vx_arr[filled] = np.asarray(vxs, dtype=np.float32)[kidx[filled]]
+    vy_arr[filled] = np.asarray(vys, dtype=np.float32)[kidx[filled]]
+
+    flux = np.zeros(len(kidx), dtype=np.float32)
+    obs = np.zeros(len(kidx), dtype=np.int32)
+    if filled.any():
+        f_idx = np.nonzero(filled)[0]
+        stats = evaluate_trajectories(
+            psi, phi, valid, times, xs_all[f_idx], ys_all[f_idx], vx_arr[f_idx], vy_arr[f_idx]
+        )
+        flux[f_idx] = stats["flux"]
+        obs[f_idx] = stats["obs_count"]
+
+    return {
+        "x": xs_all,
+        "y": ys_all,
+        "vx": vx_arr,
+        "vy": vy_arr,
+        "lh": klh.astype(np.float32),
+        "flux": flux,
+        "obs_count": obs,
+    }

@@ -1,0 +1,94 @@
+"""Multi-chip sharding tests on the 8-device virtual CPU mesh: the sharded
+search must produce exactly the single-device kernel's results."""
+
+import numpy as np
+import jax
+import pytest
+
+from kbmod_tpu.ops.psi_phi import PsiPhiArray, fill_psi_phi_array
+from kbmod_tpu.ops.search import search_topk_shift, trajectory_offsets, core_search
+from kbmod_tpu.parallel import build_mesh, sharded_search_topk, sharded_core_search, sharded_psi_phi_build
+
+
+@pytest.fixture(scope="module")
+def data():
+    rng = np.random.default_rng(77)
+    T, H, W = 5, 24, 20
+    times = np.arange(T) * 0.4
+    psi = [rng.normal(0, 1, (H, W)).astype(np.float32) for _ in range(T)]
+    phi = [rng.uniform(0.5, 2.0, (H, W)).astype(np.float32) for _ in range(T)]
+    for t in range(T):
+        bad = rng.uniform(size=(H, W)) < 0.05
+        psi[t][bad] = np.nan
+        phi[t][bad] = np.nan
+    arr = PsiPhiArray()
+    fill_psi_phi_array(arr, -1, psi, phi, times)
+    psi_z, phi_z, valid = arr.decoded_psi_phi()
+    vxs = np.array([0.0, 1.5, -2.0, 3.3, 0.7, 2.2, -1.1], dtype=np.float32)
+    vys = np.array([0.0, -1.0, 2.5, 0.4, -3.1, 1.8, 0.9], dtype=np.float32)
+    return psi_z, phi_z, valid, times, vxs, vys, (T, H, W)
+
+
+def _expected(data, k):
+    psi_z, phi_z, valid, times, vxs, vys, (T, H, W) = data
+    dxs, dys = trajectory_offsets(vxs, vys, times)
+    import jax.numpy as jnp
+
+    top_lh, top_idx = search_topk_shift(
+        jnp.asarray(psi_z), jnp.asarray(phi_z), jnp.asarray(valid),
+        jnp.asarray(dxs), jnp.asarray(dys), jnp.float32(0), jnp.float32(0),
+        x_min=0, x_max=W, y_min=0, y_max=H, k_results=k,
+    )
+    return np.asarray(top_lh), np.asarray(top_idx)
+
+
+class TestShardedSearch:
+    def test_eight_devices_available(self):
+        assert len(jax.devices()) == 8
+
+    @pytest.mark.parametrize("shard_mode", ["candidates", "pixels"])
+    def test_matches_single_device(self, data, shard_mode):
+        psi_z, phi_z, valid, times, vxs, vys, (T, H, W) = data
+        k = 3
+        exp_lh, exp_idx = _expected(data, k)
+        dxs, dys = trajectory_offsets(vxs, vys, times)
+        mesh = build_mesh(8)
+        got_lh, got_idx = sharded_search_topk(
+            psi_z, phi_z, valid, dxs, dys, mesh,
+            x_min=0, x_max=W, y_min=0, y_max=H, k_results=k,
+            shard_mode=shard_mode,
+        )
+        np.testing.assert_allclose(got_lh, exp_lh, rtol=1e-5, atol=1e-5)
+        # Indices must agree wherever likelihoods are distinct.
+        distinct = np.abs(np.sort(exp_lh, axis=0)[1:] - np.sort(exp_lh, axis=0)[:-1]).min() > 1e-6
+        if distinct:
+            np.testing.assert_array_equal(got_idx, exp_idx)
+
+    def test_sharded_core_search_matches(self, data):
+        psi_z, phi_z, valid, times, vxs, vys, (T, H, W) = data
+        mesh = build_mesh(8)
+        got = sharded_core_search(
+            psi_z, phi_z, valid, times, vxs, vys, mesh,
+            x_min=0, x_max=W, y_min=0, y_max=H, results_per_pixel=2,
+        )
+        exp = core_search(psi_z, phi_z, valid, times, vxs, vys, 0, W, 0, H, 2)
+        np.testing.assert_allclose(got["lh"], exp["lh"], rtol=1e-5, atol=1e-5)
+        np.testing.assert_array_equal(got["obs_count"], exp["obs_count"])
+
+    def test_sharded_psi_phi_build(self):
+        rng = np.random.default_rng(5)
+        T, H, W = 6, 16, 16
+        sci = rng.normal(0, 1, (T, H, W)).astype(np.float32)
+        var = np.full((T, H, W), 4.0, dtype=np.float32)
+        sci[0, 3, 3] = np.nan
+        from kbmod_tpu.core.psf import PSF
+        from kbmod_tpu.ops.psi_phi import _psi_phi_from_sci_var
+        import jax.numpy as jnp
+
+        psf = PSF.make_gaussian_kernel(0.5)
+        mesh = build_mesh(8)
+        psi, phi, valid = sharded_psi_phi_build(sci, var, psf, mesh)
+        psi_ref, phi_ref = _psi_phi_from_sci_var(jnp.asarray(sci), jnp.asarray(var), jnp.asarray(psf))
+        ok = np.isfinite(np.asarray(psi_ref))
+        np.testing.assert_allclose(np.asarray(psi)[ok], np.asarray(psi_ref)[ok], rtol=1e-5, atol=1e-6)
+        assert np.asarray(valid)[0, 3, 3] == 0
