@@ -47,10 +47,11 @@ def main():
     def run():
         top_lh, top_idx = search_topk_shift(
             psi, phi, valid, dxs, dys, jnp.float32(0), jnp.float32(0),
-            x_min=0, x_max=W, y_min=0, y_max=H, k_results=K,
+            x_min=0, x_max=W, y_min=0, y_max=H, k_results=K, has_masked=False,
         )
-        jax.block_until_ready(top_lh)
-        return top_lh
+        # Force full completion: fetch a value to host (block_until_ready
+        # does not block through the axon tunnel).
+        return float(np.asarray(top_lh[0, 0, 0]))
 
     run()  # compile + warm up
     start = time.perf_counter()

@@ -259,9 +259,14 @@ def search_topk_core(
     gate_min_lh=False,
     unroll=1,
     cand_valid=None,
+    has_masked=True,
 ):
     """The shift-and-accumulate top-K kernel body (trace-time bounds are
     dynamic so it composes with shard_map pixel/candidate sharding).
+
+    ``has_masked=False`` (static) skips the validity-plane reads entirely —
+    valid for stacks with no masked pixels, saving a third of the HBM
+    traffic in the hot loop.
 
     Parameters
     ----------
@@ -304,7 +309,7 @@ def search_topk_core(
 
     psi_f = flat(psi, jnp.float32)
     phi_f = flat(phi, jnp.float32)
-    val_f = flat(valid, jnp.uint8)
+    val_f = flat(valid, jnp.uint8) if has_masked else None
 
     ii = lax.broadcasted_iota(jnp.int32, (SH, 1), 0)
     jj = lax.broadcasted_iota(jnp.int32, (1, SW), 1)
@@ -319,10 +324,13 @@ def search_topk_core(
             start = jnp.clip(pad + t * H * W2 + oy * W2 + ox, 0, total - L)
             ps = lax.dynamic_slice(psi_f, (start,), (L,)).reshape(SH, W2)[:, :SW]
             fs = lax.dynamic_slice(phi_f, (start,), (L,)).reshape(SH, W2)[:, :SW]
-            vs = lax.dynamic_slice(val_f, (start,), (L,)).reshape(SH, W2)[:, :SW]
             # In-bounds masks: row i valid iff 0 <= y_min + i + dy < H.
             m = (ii >= -oy) & (ii < H - oy) & (jj >= -ox) & (jj < W - ox)
-            mf = jnp.where(m, vs.astype(jnp.float32), 0.0)
+            if has_masked:
+                vs = lax.dynamic_slice(val_f, (start,), (L,)).reshape(SH, W2)[:, :SW]
+                mf = jnp.where(m, vs.astype(jnp.float32), 0.0)
+            else:
+                mf = m.astype(jnp.float32)
             return (psi_s + ps * mf, phi_s + fs * mf, obs + mf)
 
         zeros = jnp.zeros((SH, SW), dtype=jnp.float32)
@@ -362,7 +370,9 @@ def search_topk_core(
 
 @partial(
     jax.jit,
-    static_argnames=("x_min", "x_max", "y_min", "y_max", "k_results", "gate_min_obs", "gate_min_lh", "unroll"),
+    static_argnames=(
+        "x_min", "x_max", "y_min", "y_max", "k_results", "gate_min_obs", "gate_min_lh", "unroll", "has_masked",
+    ),
 )
 def search_topk_shift(
     psi,
@@ -381,6 +391,7 @@ def search_topk_shift(
     gate_min_obs=True,
     gate_min_lh=False,
     unroll=1,
+    has_masked=True,
 ):
     """Single-device entry for the top-K search (see search_topk_core)."""
     return search_topk_core(
@@ -400,6 +411,7 @@ def search_topk_shift(
         gate_min_obs=gate_min_obs,
         gate_min_lh=gate_min_lh,
         unroll=unroll,
+        has_masked=has_masked,
     )
 
 
@@ -461,6 +473,7 @@ def core_search(
     k_search = max(k_search, k)
 
     dxs, dys = trajectory_offsets(vxs, vys, times)
+    has_masked = bool(np.asarray(jnp.min(jnp.asarray(valid))) == 0)
     top_lh, top_idx = search_topk_shift(
         jnp.asarray(psi),
         jnp.asarray(phi),
@@ -476,6 +489,7 @@ def core_search(
         k_results=int(k_search),
         gate_min_obs=gate_min_obs,
         gate_min_lh=bool(do_sigmag),
+        has_masked=has_masked,
     )
     top_lh = np.asarray(top_lh)  # (K', SH, SW)
     top_idx = np.asarray(top_idx)

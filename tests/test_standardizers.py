@@ -1,0 +1,185 @@
+"""Standardizer + ImageCollection tests (modeled on the reference's
+tests/test_standardizer.py and test_image_collection.py), using synthetic
+FITS files written by kbmod_tpu.io.fits_io."""
+
+import os
+import tempfile
+
+import numpy as np
+import pytest
+
+from kbmod_tpu.io import fits_io
+from kbmod_tpu.image_collection import ImageCollection
+from kbmod_tpu.standardizers import Standardizer, KBMODV1, SingleExtensionFits
+from kbmod_tpu.wcs_utils import make_fake_wcs
+
+
+def write_rubin_style_fits(path, seed=0, mjd=57130.5, shape=(32, 36), ra=200.0, dec=-7.0):
+    """A synthetic Rubin-imdiff-style FITS file: PRIMARY (with the Rubin
+    signature keys) + IMAGE/MASK/VARIANCE extensions."""
+    from kbmod_tpu.geom.time_utils import mjd_to_datetime
+
+    rng = np.random.default_rng(seed)
+    primary = fits_io.ImageHDU(name="PRIMARY")
+    primary.header.update(
+        {
+            "ZTENSION": "IMAGE",
+            "ZPCOUNT": 0,
+            "ZGCOUNT": 1,
+            "CCDNUM": 42,
+            "DATE-AVG": mjd_to_datetime(mjd).strftime("%Y-%m-%dT%H:%M:%S.%f"),
+            "EXPREQ": 200.0,
+            "OBS-LONG": -70.81,
+            "OBS-LAT": -30.17,
+            "OBS-ELEV": 2215.0,
+            "FILTER": "r",
+            "IDNUM": 1,
+            "EXPID": 100 + seed,
+            "OBSID": f"obs_{seed}",
+            "DTNSANAM": "fake.fits",
+            "AIRMASS": 1.2,
+            "DIMM2SEE": 0.9,
+            "GAINA": 1.0,
+            "GAINB": 1.0,
+        }
+    )
+    wcs = make_fake_wcs(ra, dec, shape[0], shape[1], 0.26 / 3600.0)
+
+    image = fits_io.ImageHDU(rng.normal(0, 1, shape).astype(np.float32), name="IMAGE")
+    image.header.update(wcs.to_header())
+    image.header["MJD"] = mjd
+    mask = fits_io.ImageHDU(np.zeros(shape, dtype=np.int32), name="MASK")
+    mask.data[2, 3] = 2**0  # BAD
+    variance = fits_io.ImageHDU(np.full(shape, 4.0, dtype=np.float32), name="VARIANCE")
+
+    fits_io.write_fits(path, [primary, image, mask, variance])
+    return path
+
+
+class TestStandardizerResolution:
+    def test_kbmodv1_volunteers(self):
+        with tempfile.TemporaryDirectory() as tmp:
+            path = write_rubin_style_fits(os.path.join(tmp, "img.fits"))
+            std = Standardizer.get(path)
+            assert isinstance(std, KBMODV1)
+
+    def test_force_by_name(self):
+        with tempfile.TemporaryDirectory() as tmp:
+            path = write_rubin_style_fits(os.path.join(tmp, "img.fits"))
+            std = Standardizer.get(path, force="KBMODV1")
+            assert isinstance(std, KBMODV1)
+            with pytest.raises(KeyError):
+                Standardizer.get(path, force="NoSuchStandardizer")
+
+    def test_unresolvable(self):
+        with pytest.raises(ValueError):
+            Standardizer.get("/nonexistent/file.fits")
+
+
+class TestKBMODV1:
+    def test_standardize(self):
+        with tempfile.TemporaryDirectory() as tmp:
+            path = write_rubin_style_fits(os.path.join(tmp, "img.fits"))
+            std = KBMODV1(path)
+            meta = std.standardizeMetadata()
+            assert abs(meta["mjd_mid"][0] - 57130.5) < 0.01
+            assert meta["FILTER"][0] == "r"
+            # The center ra/dec come from the WCS.
+            assert abs(meta["ra"][0] - 200.0) < 0.01
+            assert abs(meta["dec"][0] - (-7.0)) < 0.01
+
+            sci = std.standardizeScienceImage()[0]
+            var = std.standardizeVarianceImage()[0]
+            mask = std.standardizeMaskImage()[0]
+            assert sci.shape == (32, 36)
+            assert np.allclose(var, 4.0)
+            # Mask grown around the BAD pixel.
+            assert mask[2, 3]
+            assert mask[5, 6]
+            assert not mask[25, 30]
+
+    def test_to_layered_image(self):
+        with tempfile.TemporaryDirectory() as tmp:
+            path = write_rubin_style_fits(os.path.join(tmp, "img.fits"))
+            std = KBMODV1(path)
+            layered = std.toLayeredImage()
+            assert len(layered) == 1
+            img = layered[0]
+            # The mask is carried with the layer (applied as NaN when the
+            # layer joins an ImageStackPy, matching the reference).
+            assert img.mask[2, 3]
+            assert abs(img.time - 57130.5) < 0.01
+
+
+class TestImageCollection:
+    def _make_collection(self, tmp, n=4):
+        paths = [
+            write_rubin_style_fits(os.path.join(tmp, f"img_{i}.fits"), seed=i, mjd=57130.0 + 0.05 * i)
+            for i in range(n)
+        ]
+        return ImageCollection.fromTargets(paths)
+
+    def test_from_targets(self):
+        with tempfile.TemporaryDirectory() as tmp:
+            ic = self._make_collection(tmp)
+            assert len(ic) == 4
+            assert "mjd_mid" in ic.columns
+            assert "std_idx" in ic.columns
+            assert np.allclose(np.sort(ic["mjd_mid"]), 57130.0 + 0.05 * np.arange(4))
+
+    def test_from_dir(self):
+        with tempfile.TemporaryDirectory() as tmp:
+            self._make_collection(tmp)
+            ic = ImageCollection.fromDir(tmp)
+            assert len(ic) == 4
+
+    def test_filter_by_time_range(self):
+        with tempfile.TemporaryDirectory() as tmp:
+            ic = self._make_collection(tmp)
+            ic.filter_by_time_range(start_mjd=57130.06)
+            assert len(ic) == 2
+
+    def test_filter_by_bands(self):
+        with tempfile.TemporaryDirectory() as tmp:
+            ic = self._make_collection(tmp)
+            ic.filter_by_bands(["r"])
+            assert len(ic) == 4
+            ic.filter_by_bands(["g"])
+            assert len(ic) == 0
+
+    def test_ecsv_roundtrip(self):
+        with tempfile.TemporaryDirectory() as tmp:
+            ic = self._make_collection(tmp)
+            path = os.path.join(tmp, "collection.ecsv")
+            ic.write(path)
+            ic2 = ImageCollection.read(path)
+            assert len(ic2) == 4
+            np.testing.assert_allclose(
+                np.asarray(ic2["mjd_mid"], dtype=float), np.asarray(ic["mjd_mid"], dtype=float)
+            )
+            # Lazy standardizers rebuild from the metadata.
+            entry = ic2.get_standardizer(0)
+            assert entry["std"] is not None
+
+    def test_reflex_correct(self):
+        with tempfile.TemporaryDirectory() as tmp:
+            ic = self._make_collection(tmp)
+            ic.reflex_correct(5.0)
+            assert "ra_5.0" in ic.columns
+            assert "dec_5.0" in ic.columns
+            # The parallax correction at 5 AU moves coordinates by up to
+            # ~arcsin(1/5) ~ 11.5 deg, and by a nonzero amount.
+            shift = np.abs(np.asarray(ic["ra_5.0"]) - np.asarray(ic["ra"], dtype=float))
+            assert np.all(shift < 15.0)
+            assert np.all(shift > 1e-6)
+
+    def test_to_work_unit(self):
+        with tempfile.TemporaryDirectory() as tmp:
+            ic = self._make_collection(tmp)
+            work = ic.toWorkUnit()
+            assert work.im_stack.num_times == 4
+            assert work.im_stack.width == 36
+            # Masked pixel propagated to NaN.
+            assert np.isnan(work.im_stack.sci[0][2, 3])
+            # Per-image WCS preserved.
+            assert work.get_wcs(0) is not None
