@@ -64,6 +64,9 @@ def correct_parallax_geometrically_vectorized(ra, dec, mjds, heliocentric_distan
     disc = e_dot_u**2 + heliocentric_distance**2 - e_sq
     valid = disc >= 0.0
     s = np.where(valid, -e_dot_u + np.sqrt(np.where(valid, disc, 0.0)), np.nan)
+    # The object must be in front of the observer.
+    valid &= s > 0.0
+    s = np.where(valid, s, np.nan)
 
     obj = earth + s[..., None] * los
     out_ra, out_dec = unit_vector_radec(obj)

@@ -1,0 +1,150 @@
+"""Reprojection tests (modeled on the reference's tests/
+test_reprojection.py): resampling correctness, mosaicking, and the EBD
+frame path."""
+
+import numpy as np
+import pytest
+
+from kbmod_tpu.fake_data.fake_data_creator import FakeDataSet, create_fake_times
+from kbmod_tpu.geom.wcs import WCS
+from kbmod_tpu.ops.reproject import compute_source_coordinates, resample_layer
+from kbmod_tpu.reprojection import reproject_work_unit
+from kbmod_tpu.reprojection_utils import (
+    correct_parallax_geometrically_vectorized,
+    invert_correct_parallax_vectorized,
+    fit_barycentric_wcs,
+)
+from kbmod_tpu.wcs_utils import make_fake_wcs
+
+
+class TestResample:
+    def test_identity_reprojection(self):
+        rng = np.random.default_rng(1)
+        wcs = make_fake_wcs(45.0, 10.0, 32, 40)
+        sci = rng.normal(0, 1, (32, 40)).astype(np.float32)
+        var = np.full((32, 40), 2.0, dtype=np.float32)
+        coords = compute_source_coordinates(wcs, wcs, (32, 40))
+        sci_r, var_r, good = resample_layer(sci, var, coords)
+        assert np.all(good)
+        np.testing.assert_allclose(sci_r, sci, atol=1e-4)
+        np.testing.assert_allclose(var_r, var, atol=1e-4)
+
+    def test_shifted_reprojection(self):
+        """A WCS shifted by exactly 3 pixels shifts the image by 3 pixels."""
+        rng = np.random.default_rng(2)
+        deg_pp = 0.5 / 3600.0
+        wcs_a = make_fake_wcs(45.0, 10.0, 32, 40, deg_pp)
+        wcs_b = wcs_a.copy()
+        wcs_b.crpix = wcs_b.crpix + np.array([3.0, 0.0])  # shift x by 3 px
+        sci = rng.normal(0, 1, (32, 40)).astype(np.float32)
+        var = np.full((32, 40), 2.0, dtype=np.float32)
+        coords = compute_source_coordinates(wcs_a, wcs_b, (32, 40))
+        sci_r, var_r, good = resample_layer(sci, var, coords)
+        # Output pixel (y, x) samples source pixel (y, x - 3).
+        np.testing.assert_allclose(sci_r[:, 3:], sci[:, :-3], atol=1e-3)
+        assert not np.any(good[:, :3])
+
+    def test_mask_propagation(self):
+        rng = np.random.default_rng(3)
+        wcs = make_fake_wcs(45.0, 10.0, 20, 20)
+        sci = rng.normal(0, 1, (20, 20)).astype(np.float32)
+        sci[10, 10] = np.nan
+        var = np.full((20, 20), 2.0, dtype=np.float32)
+        coords = compute_source_coordinates(wcs, wcs, (20, 20))
+        sci_r, _, good = resample_layer(sci, var, coords)
+        assert not good[10, 10]
+        assert np.isnan(sci_r[10, 10])
+
+
+class TestReprojectWorkUnit:
+    def _make_work(self, n=6, shared_wcs=True):
+        times = create_fake_times(n, t0=57130.2, obs_per_day=2)
+        ds = FakeDataSet(48, 64, times, use_seed=31)
+        work = ds.get_work_unit()
+        deg_pp = 0.5 / 3600.0
+        for i in range(n):
+            # Slightly shifted per-image WCSes.
+            wcs = make_fake_wcs(45.0, 10.0, 48, 64, deg_pp)
+            wcs.crpix = wcs.crpix + np.array([0.5 * i, 0.25 * i])
+            work.org_img_meta["per_image_wcs"][i] = wcs
+        return work
+
+    def test_reproject_original_frame(self):
+        work = self._make_work()
+        common = make_fake_wcs(45.0, 10.0, 48, 64, 0.5 / 3600.0)
+        result = reproject_work_unit(work, common, frame="original")
+        assert result.reprojected
+        assert result.reprojection_frame == "original"
+        # Two images share each obstime (obs_per_day=2 with the same t?) --
+        # in this cadence each time is unique, so layers == images.
+        assert result.im_stack.num_times == work.im_stack.num_times
+        assert result.im_stack.width == 64
+        # Data preserved where the footprint is valid.
+        assert np.isfinite(result.im_stack.sci[0]).sum() > 0.5 * 48 * 64
+
+    def test_reproject_mosaic(self):
+        """Images with identical obstimes are mosaicked into one layer."""
+        times = [57130.2, 57130.2, 57130.5]
+        ds = FakeDataSet(32, 32, times, use_seed=13)
+        work = ds.get_work_unit()
+        deg_pp = 0.5 / 3600.0
+        # Two disjoint chips at the same time + one later image.
+        w0 = make_fake_wcs(45.0, 10.0, 32, 32, deg_pp)
+        w1 = make_fake_wcs(45.0, 10.0, 32, 32, deg_pp)
+        w1.crpix = w1.crpix + np.array([32.0, 0.0])
+        w2 = make_fake_wcs(45.0, 10.0, 32, 32, deg_pp)
+        work.org_img_meta["per_image_wcs"][0] = w0
+        work.org_img_meta["per_image_wcs"][1] = w1
+        work.org_img_meta["per_image_wcs"][2] = w2
+
+        common = make_fake_wcs(45.0, 10.0, 32, 64, deg_pp)
+        common.crpix = common.crpix + np.array([16.0, 0.0])
+        result = reproject_work_unit(work, common, frame="original")
+        assert result.im_stack.num_times == 2
+        assert result._per_image_indices[0] == [0, 1]
+        # Both chips contribute valid pixels to the first mosaic layer.
+        assert np.isfinite(result.im_stack.sci[0]).sum() > 1000
+
+    def test_reproject_twice_raises(self):
+        work = self._make_work()
+        common = make_fake_wcs(45.0, 10.0, 48, 64, 0.5 / 3600.0)
+        result = reproject_work_unit(work, common)
+        with pytest.raises(ValueError):
+            reproject_work_unit(result, common)
+
+    def test_reproject_ebd_frame(self):
+        work = self._make_work()
+        work.barycentric_distance = 40.0
+        common = make_fake_wcs(45.0, 10.0, 48, 64, 0.5 / 3600.0)
+        result = reproject_work_unit(work, common, frame="ebd")
+        assert result.reprojection_frame == "ebd"
+        assert result.barycentric_distance == 40.0
+        assert result.org_img_meta["ebd_wcs"][0] is not None
+
+
+class TestParallaxCorrection:
+    def test_roundtrip(self):
+        ra = np.array([200.0, 201.0, 44.0])
+        dec = np.array([-7.0, -6.5, 12.0])
+        mjds = np.array([57130.2, 57131.2, 57132.2])
+        corrected, dists = correct_parallax_geometrically_vectorized(ra, dec, mjds, 40.0)
+        assert np.all(np.isfinite(corrected.ra_deg))
+        assert np.all(dists > 38.0)
+        back = invert_correct_parallax_vectorized(corrected, mjds)
+        np.testing.assert_allclose(back.ra_deg, ra, atol=1e-8)
+        np.testing.assert_allclose(back.dec_deg, dec, atol=1e-8)
+
+    def test_no_solution_inside_earth_orbit(self):
+        corrected, dists = correct_parallax_geometrically_vectorized([200.0], [-7.0], [57130.2], 0.5)
+        assert np.isnan(corrected.ra_deg[0]) or np.isfinite(dists[0]) is False
+
+    def test_fit_barycentric_wcs(self):
+        wcs = make_fake_wcs(200.0, -7.0, 200, 200, 0.5 / 3600.0)
+        ebd_wcs, geo_dist = fit_barycentric_wcs(wcs, 200, 200, 40.0, 57130.2)
+        assert 38.5 < geo_dist < 41.5
+        # The fitted WCS maps the same pixels to the corrected positions.
+        ra, dec = wcs.pixel_to_world_values(100.0, 100.0)
+        corrected, _ = correct_parallax_geometrically_vectorized([ra], [dec], [57130.2], 40.0)
+        x, y = ebd_wcs.world_to_pixel_values(corrected.ra_deg[0], corrected.dec_deg[0])
+        assert abs(x - 100.0) < 0.2
+        assert abs(y - 100.0) < 0.2
