@@ -47,7 +47,7 @@ def main():
     def run():
         top_lh, top_idx = search_topk_shift(
             psi, phi, valid, dxs, dys, jnp.float32(0), jnp.float32(0),
-            x_min=0, x_max=W, y_min=0, y_max=H, k_results=K, has_masked=False,
+            x_min=0, x_max=W, y_min=0, y_max=H, k_results=K,
         )
         # Force full completion: fetch a value to host (block_until_ready
         # does not block through the axon tunnel).
