@@ -169,44 +169,63 @@ def clipped_sigmag_scores(psi_v, phi_v, ok, sgl_L, sgl_H, coeff, width=2.0):
     (N, T) bool validity. The light curve is psi/phi over the *valid* samples
     only, compacted in time order; clipping keeps the sorted values within
     [median - width*sigma_g, median + width*sigma_g] using the reference's
-    scan-from-median rules.
+    scan-from-median rules: from index 0 up to (exclusive) the median keep
+    values >= min_value once reached; from median+1 keep the contiguous run
+    of values <= max_value.
 
     Returns (new_lh, new_flux, new_psi_sum, new_phi_sum) as numpy arrays.
     The caller is responsible for only applying these where the unclipped
     result passed the min_obs / min_lh gates (kernels.cu:201-203).
     """
-    psi_v = np.asarray(psi_v, dtype=np.float64)
-    phi_v = np.asarray(phi_v, dtype=np.float64)
+    psi_v = np.asarray(psi_v, dtype=np.float32)
+    phi_v = np.asarray(phi_v, dtype=np.float32)
     ok = np.asarray(ok, dtype=bool)
     N, T = psi_v.shape
 
-    new_psi = np.zeros(N)
-    new_phi = np.zeros(N)
-    for i in range(N):
-        sel = ok[i]
-        psi_i = psi_v[i][sel].astype(np.float32)
-        phi_i = phi_v[i][sel].astype(np.float32)
-        n = len(psi_i)
-        if n == 0:
-            continue
-        lc = np.where(phi_i != 0, psi_i / phi_i, 0.0)
-        order = np.argsort(lc, kind="stable")
-        vals = lc[order]
-        iL, iM, iH = sigmag_bounds_indices(n, sgl_L, sgl_H)
-        sigma_g = coeff * (vals[iH] - vals[iL])
-        min_value = vals[iM] - width * sigma_g
-        max_value = vals[iM] + width * sigma_g
-        # Scan from the start (stop at the median) for the first value >= min.
-        start = 0
-        while start < iM and vals[start] < min_value:
-            start += 1
-        # Scan from just past the median for the last value <= max.
-        end = iM + 1
-        while end < n and vals[end] <= max_value:
-            end += 1
-        keep = order[start:end]
-        new_psi[i] = np.sum(psi_i[keep], dtype=np.float32)
-        new_phi[i] = np.sum(phi_i[keep], dtype=np.float32)
+    # Compact the valid samples in time order, padded with +inf so they sort
+    # to the tail; `n` counts valid samples per row.
+    n = ok.sum(axis=1)
+    lc = np.where(ok & (phi_v != 0), psi_v / np.where(phi_v != 0, phi_v, 1.0), np.where(ok, 0.0, np.inf))
+    order = np.argsort(lc, axis=1, kind="stable")  # valid entries first (inf last)
+    vals = np.take_along_axis(lc, order, axis=1)
+    psi_sorted = np.take_along_axis(np.where(ok, psi_v, 0.0), order, axis=1)
+    phi_sorted = np.take_along_axis(np.where(ok, phi_v, 0.0), order, axis=1)
+
+    # The reference's percentile indexing: clamp(ceil(n*q + eps) - 1, 0, n-1).
+    sgl_L_c = max(sgl_L, 0.0001)
+    sgl_H_c = min(sgl_H, 0.9999)
+
+    def pct_idx(q):
+        # Reference indexing: int(ceil(n*q) + 0.001) - 1 — the epsilon sits
+        # OUTSIDE the ceil (guards float-to-int truncation only).
+        idx = np.floor(np.ceil(n * q) + 0.001).astype(int) - 1
+        return np.clip(idx, 0, np.maximum(n - 1, 0))
+
+    iL = pct_idx(sgl_L_c)
+    iM = pct_idx(0.5)
+    iH = pct_idx(sgl_H_c)
+    rows = np.arange(N)
+    safe = n > 0
+    vL = vals[rows, iL]
+    vM = vals[rows, iM]
+    vH = vals[rows, iH]
+    sigma_g = coeff * (vH - vL)
+    min_value = vM - width * sigma_g
+    max_value = vM + width * sigma_g
+
+    # start = first index in [0, iM) with vals >= min_value (else iM);
+    # since vals is sorted, that's count of vals < min_value clamped at iM.
+    cols = np.arange(T)[None, :]
+    start = np.minimum((vals < min_value[:, None]).sum(axis=1), iM)
+    # end-1 = last index >= iM with the contiguous run vals <= max_value:
+    # first index > iM with vals > max_value, minus one.
+    gt_max = (vals > max_value[:, None]) & (cols > iM[:, None])
+    end = np.where(gt_max.any(axis=1), gt_max.argmax(axis=1), np.minimum(n, T))
+    end = np.minimum(end, n)
+
+    keep = (cols >= start[:, None]) & (cols < end[:, None])
+    new_psi = np.where(safe, (psi_sorted * keep).sum(axis=1, dtype=np.float32), 0.0)
+    new_phi = np.where(safe, (phi_sorted * keep).sum(axis=1, dtype=np.float32), 0.0)
 
     good = new_phi > 0
     new_lh = np.where(good, new_psi / np.sqrt(np.where(good, new_phi, 1.0)), -1.0).astype(np.float32)

@@ -1,0 +1,309 @@
+"""Pallas TPU kernel for the shift-and-accumulate trajectory search.
+
+The XLA formulation (ops/search.py) materializes the psi/phi/obs
+accumulators in HBM every time step — 3x more HBM traffic than the
+inputs themselves. This kernel keeps the accumulators, and the per-pixel
+top-K lists, resident in VMEM across the whole time loop and candidate
+scan; HBM traffic drops to just the shifted psi/phi/valid reads
+(double-buffered DMAs).
+
+Work decomposition
+------------------
+grid = (row_tiles, candidates); the candidate axis iterates innermost so
+the output top-K block for a row tile stays in VMEM while every candidate
+streams through. Per (tile, candidate, time): one DMA per plane of the
+contiguous flattened slice [start, start + TH*W2) — the same single-slice
+encoding of a 2D shift as the XLA path (see ops/search.py docstring) —
+followed by a masked accumulate on the VPU.
+
+The kernel reproduces the semantics of the reference CUDA searchFilterImages
+(kernels.cu:252-332): insertion gated on min_obs (and min_lh when the
+sigma-G prefilter is on), lh = -1 for phi_sum <= 0, empty top-K slots at
+-FLT_MAX, per-pixel sorted insertion.
+"""
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+FLT_MAX = float(np.finfo(np.float32).max)
+
+
+def _round_up(x, m):
+    return ((x + m - 1) // m) * m
+
+
+def _search_kernel(
+    # Scalar-prefetch arrays (SMEM, full arrays indexed by the grid)
+    starts_ref,  # (C, T) int32: flat slice start per candidate at tile row 0
+    oy_ref,  # (C, T) int32: row offset (y_min + dy_t)
+    ox_ref,  # (C, T) int32: col offset (x_min + dx_t)
+    cok_ref,  # (C,) int32: candidate validity (padding = 0)
+    scalars_ref,  # (4,) float32: [min_obs, min_lh, cand_offset, total_len]
+    # HBM inputs
+    psi_hbm,
+    phi_hbm,
+    val_hbm,
+    # outputs (VMEM blocks, revisited across the candidate axis)
+    top_lh_ref,  # (K, TH, SW)
+    top_idx_ref,  # (K, TH, SW)
+    # scratch
+    psi_buf,  # (2, L) f32
+    phi_buf,  # (2, L) f32
+    val_buf,  # (2, L) u8
+    sems,  # DMA sems (2, 3)
+    *,
+    T,
+    H,
+    W,
+    W2,
+    TH,
+    SW,
+    K,
+    gate_min_obs,
+    gate_min_lh,
+    has_masked,
+):
+    ty = pl.program_id(0)
+    c = pl.program_id(1)
+
+    L = TH * W2
+    tile_row0 = ty * TH  # offset of this tile within the search region
+
+    @pl.when(c == 0)
+    def _init_topk():
+        top_lh_ref[...] = jnp.full((K, TH, SW), -FLT_MAX, dtype=jnp.float32)
+        top_idx_ref[...] = jnp.full((K, TH, SW), -1, dtype=jnp.int32)
+
+    min_obs = scalars_ref[0]
+    min_lh = scalars_ref[1]
+    cand_offset = scalars_ref[2].astype(jnp.int32)
+    total = scalars_ref[3].astype(jnp.int32)
+
+    def start_for(t):
+        raw = starts_ref[c, t] + tile_row0 * W2
+        return jnp.clip(raw, 0, total - L)
+
+    def dma(slot, t):
+        s = start_for(t)
+        copies = [
+            pltpu.make_async_copy(psi_hbm.at[pl.ds(s, L)], psi_buf.at[slot], sems.at[slot, 0]),
+            pltpu.make_async_copy(phi_hbm.at[pl.ds(s, L)], phi_buf.at[slot], sems.at[slot, 1]),
+        ]
+        if has_masked:
+            copies.append(pltpu.make_async_copy(val_hbm.at[pl.ds(s, L)], val_buf.at[slot], sems.at[slot, 2]))
+        return copies
+
+    def dma_start(slot, t):
+        for cp in dma(slot, t):
+            cp.start()
+
+    def dma_wait(slot, t):
+        for cp in dma(slot, t):
+            cp.wait()
+
+    ii = lax.broadcasted_iota(jnp.int32, (TH, SW), 0)
+    jj = lax.broadcasted_iota(jnp.int32, (TH, SW), 1)
+
+    def run(acc_psi, acc_phi, acc_obs):
+        acc_psi[...] = jnp.zeros((TH, SW), dtype=jnp.float32)
+        acc_phi[...] = jnp.zeros((TH, SW), dtype=jnp.float32)
+        acc_obs[...] = jnp.zeros((TH, SW), dtype=jnp.float32)
+
+        dma_start(0, 0)
+
+        def tbody(t, _):
+            slot = t % 2
+
+            @pl.when(t + 1 < T)
+            def _prefetch():
+                dma_start((t + 1) % 2, t + 1)
+
+            dma_wait(slot, t)
+
+            ps = psi_buf[slot].reshape(TH, W2)[:, :SW]
+            fs = phi_buf[slot].reshape(TH, W2)[:, :SW]
+            oy = oy_ref[c, t] + tile_row0
+            ox = ox_ref[c, t]
+            m = (ii >= -oy) & (ii < H - oy) & (jj >= -ox) & (jj < W - ox)
+            if has_masked:
+                vs = val_buf[slot].reshape(TH, W2)[:, :SW]
+                mf = jnp.where(m, vs.astype(jnp.float32), 0.0)
+            else:
+                mf = m.astype(jnp.float32)
+            acc_psi[...] = acc_psi[...] + ps * mf
+            acc_phi[...] = acc_phi[...] + fs * mf
+            acc_obs[...] = acc_obs[...] + mf
+            return 0
+
+        lax.fori_loop(0, T, tbody, 0)
+
+        # Score and insert into the sorted per-pixel top-K.
+        phi_sum = acc_phi[...]
+        psi_sum = acc_psi[...]
+        obs = acc_obs[...]
+        lh = jnp.where(phi_sum > 0, psi_sum * lax.rsqrt(jnp.maximum(phi_sum, 1e-30)), -1.0)
+
+        ok = jnp.full((TH, SW), cok_ref[c] != 0)
+        if gate_min_obs:
+            ok &= obs >= min_obs
+        if gate_min_lh:
+            ok &= lh >= min_lh
+        new = jnp.where(ok, lh, -jnp.inf)
+        newi = jnp.full((TH, SW), cand_offset + c, dtype=jnp.int32)
+        for k in range(K):
+            cur = top_lh_ref[k]
+            curi = top_idx_ref[k]
+            better = new > cur
+            top_lh_ref[k] = jnp.where(better, new, cur)
+            top_idx_ref[k] = jnp.where(better, newi, curi)
+            new = jnp.where(better, cur, new)
+            newi = jnp.where(better, curi, newi)
+
+    pl.run_scoped(
+        run,
+        acc_psi=pltpu.VMEM((TH, SW), jnp.float32),
+        acc_phi=pltpu.VMEM((TH, SW), jnp.float32),
+        acc_obs=pltpu.VMEM((TH, SW), jnp.float32),
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "x_min", "x_max", "y_min", "y_max", "k_results",
+        "gate_min_obs", "gate_min_lh", "has_masked", "row_tile", "interpret",
+    ),
+)
+def search_topk_pallas(
+    psi,
+    phi,
+    valid,
+    dxs,
+    dys,
+    min_obs,
+    min_lh,
+    *,
+    x_min,
+    x_max,
+    y_min,
+    y_max,
+    k_results,
+    gate_min_obs=True,
+    gate_min_lh=False,
+    has_masked=True,
+    row_tile=None,
+    interpret=False,
+    cand_offset=0,
+    cand_valid=None,
+):
+    """Pallas version of ops.search.search_topk_shift — identical outputs.
+
+    psi, phi: (T, H, W) float32 zero-filled; valid: (T, H, W) uint8.
+    dxs, dys: (C, T) int32. Returns (top_lh, top_idx) as (K, SH, SW).
+    """
+    T, H, W = psi.shape
+    C = dxs.shape[0]
+    SH = y_max - y_min
+    SW = x_max - x_min
+    K = int(k_results)
+
+    W2 = max(W, SW)
+    if row_tile is None:
+        # Aim for ~1-2 MB per DMA buffer; multiples of 8 sublanes.
+        row_tile = max(8, min(_round_up(SH, 8), 256))
+    TH = int(row_tile)
+    n_ty = pl.cdiv(SH, TH)
+    SH_pad = n_ty * TH
+
+    L = TH * W2
+    pad = (SH_pad + H + 2) * W2
+    total = T * H * W2 + 2 * pad
+
+    def flat(a, dtype):
+        a = a.astype(dtype)
+        if W2 > W:
+            a = jnp.pad(a, ((0, 0), (0, 0), (0, W2 - W)))
+        z = jnp.zeros((pad,), dtype=dtype)
+        return jnp.concatenate([z, a.reshape(-1), z])
+
+    psi_f = flat(psi, jnp.float32)
+    phi_f = flat(phi, jnp.float32)
+    val_f = flat(valid, jnp.uint8) if has_masked else jnp.zeros((1,), jnp.uint8)
+
+    # Per-candidate per-time scalars (host-free: computed in jnp from dxs/dys).
+    t_idx = jnp.arange(T, dtype=jnp.int32)[None, :]
+    oy = jnp.int32(y_min) + dys.astype(jnp.int32)  # (C, T)
+    ox = jnp.int32(x_min) + dxs.astype(jnp.int32)
+    starts = pad + t_idx * (H * W2) + oy * W2 + ox  # tile row 0 start
+
+    cok = (
+        jnp.ones((C,), dtype=jnp.int32)
+        if cand_valid is None
+        else cand_valid.astype(jnp.int32).reshape(C)
+    )
+    scalars = jnp.stack(
+        [
+            jnp.float32(min_obs),
+            jnp.float32(min_lh),
+            jnp.float32(cand_offset),
+            jnp.float32(total),
+        ]
+    )
+
+    kernel = functools.partial(
+        _search_kernel,
+        T=T, H=H, W=W, W2=W2, TH=TH, SW=SW, K=K,
+        gate_min_obs=gate_min_obs, gate_min_lh=gate_min_lh, has_masked=has_masked,
+    )
+
+    # The per-candidate index arrays ride in SMEM via scalar prefetch; the
+    # image planes stay in HBM (manually DMA'd).
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(n_ty, C),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # psi flat (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),  # phi flat (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),  # valid flat (HBM)
+        ],
+        out_specs=(
+            pl.BlockSpec((K, TH, SW), lambda ty, c, *prefetch: (0, ty, 0)),
+            pl.BlockSpec((K, TH, SW), lambda ty, c, *prefetch: (0, ty, 0)),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, TH * W2), jnp.float32),
+            pltpu.VMEM((2, TH * W2), jnp.float32),
+            pltpu.VMEM((2, TH * W2), jnp.uint8),
+            pltpu.SemaphoreType.DMA((2, 3)),
+        ],
+    )
+
+    n_planes = 3 if has_masked else 2
+    bytes_per_step = L * (9 if has_masked else 8)
+    cost = pl.CostEstimate(
+        flops=2 * C * T * SH_pad * SW,
+        bytes_accessed=C * T * bytes_per_step * n_ty,
+        transcendentals=C * SH_pad * SW,
+    )
+
+    top_lh, top_idx = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((K, SH_pad, SW), jnp.float32),
+            jax.ShapeDtypeStruct((K, SH_pad, SW), jnp.int32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        cost_estimate=cost,
+        interpret=interpret,
+    )(starts, oy, ox, cok, scalars, psi_f, phi_f, val_f)
+
+    return top_lh[:, :SH, :], top_idx[:, :SH, :]

@@ -1,0 +1,98 @@
+"""Pallas search kernel exactness tests (interpret mode on CPU) against
+the XLA reference kernel."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from kbmod_tpu.ops.psi_phi import PsiPhiArray, fill_psi_phi_array
+from kbmod_tpu.ops.search import search_topk_shift, trajectory_offsets
+from kbmod_tpu.ops.search_pallas import search_topk_pallas
+
+
+@pytest.fixture(scope="module")
+def data():
+    rng = np.random.default_rng(99)
+    T, H, W = 5, 40, 48
+    times = np.arange(T) * 0.35
+    psi = [rng.normal(0, 1, (H, W)).astype(np.float32) for _ in range(T)]
+    phi = [rng.uniform(0.5, 2.0, (H, W)).astype(np.float32) for _ in range(T)]
+    for t in range(T):
+        bad = rng.uniform(size=(H, W)) < 0.07
+        psi[t][bad] = np.nan
+        phi[t][bad] = np.nan
+    arr = PsiPhiArray()
+    fill_psi_phi_array(arr, -1, psi, phi, times)
+    psi_z, phi_z, valid = arr.decoded_psi_phi()
+    vxs = np.array([0.0, 2.5, -3.0, 5.3, 1.7, -0.8], dtype=np.float32)
+    vys = np.array([0.0, -2.0, 3.5, 1.4, -4.1, 2.2], dtype=np.float32)
+    return psi_z, phi_z, valid, times, vxs, vys, (T, H, W)
+
+
+def _run_both(data, k, bounds=None, min_obs=0.0, gate_min_obs=True, row_tile=16):
+    psi_z, phi_z, valid, times, vxs, vys, (T, H, W) = data
+    if bounds is None:
+        bounds = (0, W, 0, H)
+    x_min, x_max, y_min, y_max = bounds
+    dxs, dys = trajectory_offsets(vxs, vys, times)
+    common = dict(
+        x_min=x_min, x_max=x_max, y_min=y_min, y_max=y_max,
+        k_results=k, gate_min_obs=gate_min_obs,
+    )
+    ref_lh, ref_idx = search_topk_shift(
+        jnp.asarray(psi_z), jnp.asarray(phi_z), jnp.asarray(valid),
+        jnp.asarray(dxs), jnp.asarray(dys), jnp.float32(min_obs), jnp.float32(0.0),
+        **common,
+    )
+    pal_lh, pal_idx = search_topk_pallas(
+        jnp.asarray(psi_z), jnp.asarray(phi_z), jnp.asarray(valid),
+        jnp.asarray(dxs), jnp.asarray(dys), jnp.float32(min_obs), jnp.float32(0.0),
+        interpret=True, row_tile=row_tile, **common,
+    )
+    return (np.asarray(ref_lh), np.asarray(ref_idx)), (np.asarray(pal_lh), np.asarray(pal_idx))
+
+
+class TestPallasMatchesXLA:
+    def test_full_image(self, data):
+        (ref_lh, ref_idx), (pal_lh, pal_idx) = _run_both(data, k=3)
+        np.testing.assert_allclose(pal_lh, ref_lh, rtol=1e-5, atol=1e-5)
+        np.testing.assert_array_equal(pal_idx, ref_idx)
+
+    def test_uneven_tile(self, data):
+        # SH=40 with row_tile=16 -> padded rows exercised.
+        (ref_lh, ref_idx), (pal_lh, pal_idx) = _run_both(data, k=2, row_tile=16)
+        np.testing.assert_allclose(pal_lh, ref_lh, rtol=1e-5, atol=1e-5)
+
+    def test_reduced_bounds(self, data):
+        (ref_lh, _), (pal_lh, _) = _run_both(data, k=2, bounds=(5, 30, 4, 25), row_tile=8)
+        np.testing.assert_allclose(pal_lh, ref_lh, rtol=1e-5, atol=1e-5)
+
+    def test_extended_bounds(self, data):
+        _, _, _, _, _, _, (T, H, W) = data
+        (ref_lh, _), (pal_lh, _) = _run_both(data, k=2, bounds=(-4, W + 4, -6, H + 2), row_tile=16)
+        np.testing.assert_allclose(pal_lh, ref_lh, rtol=1e-5, atol=1e-5)
+
+    def test_min_obs_gate(self, data):
+        (ref_lh, _), (pal_lh, _) = _run_both(data, k=2, min_obs=5.0)
+        np.testing.assert_allclose(pal_lh, ref_lh, rtol=1e-5, atol=1e-5)
+
+    def test_candidate_padding(self, data):
+        psi_z, phi_z, valid, times, vxs, vys, (T, H, W) = data
+        dxs, dys = trajectory_offsets(vxs, vys, times)
+        # Pad with junk candidates marked invalid; results must be unchanged.
+        dxs_p = np.concatenate([dxs, dxs[:2]])
+        dys_p = np.concatenate([dys, dys[:2]])
+        cand_valid = np.array([True] * len(vxs) + [False, False])
+        ref_lh, ref_idx = search_topk_shift(
+            jnp.asarray(psi_z), jnp.asarray(phi_z), jnp.asarray(valid),
+            jnp.asarray(dxs), jnp.asarray(dys), jnp.float32(0), jnp.float32(0),
+            x_min=0, x_max=W, y_min=0, y_max=H, k_results=3,
+        )
+        pal_lh, pal_idx = search_topk_pallas(
+            jnp.asarray(psi_z), jnp.asarray(phi_z), jnp.asarray(valid),
+            jnp.asarray(dxs_p), jnp.asarray(dys_p), jnp.float32(0), jnp.float32(0),
+            x_min=0, x_max=W, y_min=0, y_max=H, k_results=3,
+            interpret=True, row_tile=16, cand_valid=jnp.asarray(cand_valid),
+        )
+        np.testing.assert_allclose(np.asarray(pal_lh), np.asarray(ref_lh), rtol=1e-5, atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(pal_idx), np.asarray(ref_idx))
