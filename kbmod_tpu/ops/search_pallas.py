@@ -11,12 +11,13 @@ Work decomposition
 ------------------
 grid = (row_tiles, candidates); the candidate axis iterates innermost so
 the output top-K block for a row tile stays in VMEM while every candidate
-streams through. Per (tile, candidate, time): one DMA per plane of the
-contiguous flattened slice [start, start + TH*W2) — the same single-slice
-encoding of a 2D shift as the XLA path (see ops/search.py docstring) —
-followed by a masked accumulate on the VPU.
+streams through. Per (tile, candidate, time): the row shift (t, dy) is a
+row-aligned 2D DMA from the (rows, W2) zero-padded stack; the column
+shift dx is applied in-register with a dynamic lane rotate
+(pltpu.roll). Out-of-bounds and masked contributions are removed with
+iota masks plus the validity plane — identical semantics to the XLA path.
 
-The kernel reproduces the semantics of the reference CUDA searchFilterImages
+The kernel reproduces the reference CUDA searchFilterImages
 (kernels.cu:252-332): insertion gated on min_obs (and min_lh when the
 sigma-G prefilter is on), lh = -1 for phi_sum <= 0, empty top-K slots at
 -FLT_MAX, per-pixel sorted insertion.
@@ -40,12 +41,12 @@ def _round_up(x, m):
 
 def _search_kernel(
     # Scalar-prefetch arrays (SMEM, full arrays indexed by the grid)
-    starts_ref,  # (C, T) int32: flat slice start per candidate at tile row 0
-    oy_ref,  # (C, T) int32: row offset (y_min + dy_t)
-    ox_ref,  # (C, T) int32: col offset (x_min + dx_t)
+    rows_ref,  # (C, T) int32: source row (within the padded stack) at tile row 0
+    ox_ref,  # (C, T) int32: column offset (x_min + dx_t)
+    oy_ref,  # (C, T) int32: row offset (y_min + dy_t) for masks
     cok_ref,  # (C,) int32: candidate validity (padding = 0)
-    scalars_ref,  # (4,) float32: [min_obs, min_lh, cand_offset, total_len]
-    # HBM inputs
+    scalars_ref,  # (4,) float32: [min_obs, min_lh, cand_offset, total_rows]
+    # HBM inputs: zero-padded stacks shaped (rows, W2)
     psi_hbm,
     phi_hbm,
     val_hbm,
@@ -53,9 +54,9 @@ def _search_kernel(
     top_lh_ref,  # (K, TH, SW)
     top_idx_ref,  # (K, TH, SW)
     # scratch
-    psi_buf,  # (2, L) f32
-    phi_buf,  # (2, L) f32
-    val_buf,  # (2, L) u8
+    psi_buf,  # (2, TH, W2) f32
+    phi_buf,  # (2, TH, W2) f32
+    val_buf,  # (2, TH, W2) u8
     sems,  # DMA sems (2, 3)
     *,
     T,
@@ -71,9 +72,7 @@ def _search_kernel(
 ):
     ty = pl.program_id(0)
     c = pl.program_id(1)
-
-    L = TH * W2
-    tile_row0 = ty * TH  # offset of this tile within the search region
+    tile_row0 = ty * TH
 
     @pl.when(c == 0)
     def _init_topk():
@@ -83,20 +82,26 @@ def _search_kernel(
     min_obs = scalars_ref[0]
     min_lh = scalars_ref[1]
     cand_offset = scalars_ref[2].astype(jnp.int32)
-    total = scalars_ref[3].astype(jnp.int32)
+    total_rows = scalars_ref[3].astype(jnp.int32)
 
-    def start_for(t):
-        raw = starts_ref[c, t] + tile_row0 * W2
-        return jnp.clip(raw, 0, total - L)
+    TB = TH + 8  # DMA block: TH rows + sublane-alignment slack
+
+    def row_for(t):
+        """Sublane-aligned DMA start and the residual shift."""
+        r = jnp.clip(rows_ref[c, t] + tile_row0, 0, total_rows - TB)
+        r8 = pl.multiple_of((r // 8) * 8, 8)
+        return r8, r - r8
 
     def dma(slot, t):
-        s = start_for(t)
+        r8, _ = row_for(t)
         copies = [
-            pltpu.make_async_copy(psi_hbm.at[pl.ds(s, L)], psi_buf.at[slot], sems.at[slot, 0]),
-            pltpu.make_async_copy(phi_hbm.at[pl.ds(s, L)], phi_buf.at[slot], sems.at[slot, 1]),
+            pltpu.make_async_copy(psi_hbm.at[pl.ds(r8, TB), :], psi_buf.at[slot], sems.at[slot, 0]),
+            pltpu.make_async_copy(phi_hbm.at[pl.ds(r8, TB), :], phi_buf.at[slot], sems.at[slot, 1]),
         ]
         if has_masked:
-            copies.append(pltpu.make_async_copy(val_hbm.at[pl.ds(s, L)], val_buf.at[slot], sems.at[slot, 2]))
+            copies.append(
+                pltpu.make_async_copy(val_hbm.at[pl.ds(r8, TB), :], val_buf.at[slot], sems.at[slot, 2])
+            )
         return copies
 
     def dma_start(slot, t):
@@ -109,6 +114,13 @@ def _search_kernel(
 
     ii = lax.broadcasted_iota(jnp.int32, (TH, SW), 0)
     jj = lax.broadcasted_iota(jnp.int32, (TH, SW), 1)
+
+    def shift_tile(tile, rshift, ox):
+        """Rows [rshift, rshift+TH) and columns [ox, ox+SW) of the
+        (TB, W2) tile via dynamic sublane/lane rotates (wrapped positions
+        are masked by the caller)."""
+        tile = pltpu.roll(tile, -rshift, 0)[:TH]
+        return pltpu.roll(tile, -ox, 1)[:, :SW]
 
     def run(acc_psi, acc_phi, acc_obs):
         acc_psi[...] = jnp.zeros((TH, SW), dtype=jnp.float32)
@@ -126,16 +138,20 @@ def _search_kernel(
 
             dma_wait(slot, t)
 
-            ps = psi_buf[slot].reshape(TH, W2)[:, :SW]
-            fs = phi_buf[slot].reshape(TH, W2)[:, :SW]
             oy = oy_ref[c, t] + tile_row0
             ox = ox_ref[c, t]
+            _, rshift = row_for(t)
+            ps = shift_tile(psi_buf[slot], rshift, ox)
+            fs = shift_tile(phi_buf[slot], rshift, ox)
+            # In-bounds masks: row i valid iff 0 <= oy + i < H; col j valid
+            # iff 0 <= ox + j < W. (These also kill lane-rotate wrap-around:
+            # wrapped positions have intended source cols outside [0, W).)
             m = (ii >= -oy) & (ii < H - oy) & (jj >= -ox) & (jj < W - ox)
             if has_masked:
-                vs = val_buf[slot].reshape(TH, W2)[:, :SW]
-                mf = jnp.where(m, vs.astype(jnp.float32), 0.0)
-            else:
-                mf = m.astype(jnp.float32)
+                # Widen before the rotate: Mosaic's dynamic_rotate has no
+                # 8-bit support.
+                m = m & (shift_tile(val_buf[slot].astype(jnp.int32), rshift, ox) != 0)
+            mf = jnp.where(m, jnp.float32(1.0), jnp.float32(0.0))
             acc_psi[...] = acc_psi[...] + ps * mf
             acc_phi[...] = acc_phi[...] + fs * mf
             acc_obs[...] = acc_obs[...] + mf
@@ -143,7 +159,6 @@ def _search_kernel(
 
         lax.fori_loop(0, T, tbody, 0)
 
-        # Score and insert into the sorted per-pixel top-K.
         phi_sum = acc_phi[...]
         psi_sum = acc_psi[...]
         obs = acc_obs[...]
@@ -156,6 +171,7 @@ def _search_kernel(
             ok &= lh >= min_lh
         new = jnp.where(ok, lh, -jnp.inf)
         newi = jnp.full((TH, SW), cand_offset + c, dtype=jnp.int32)
+        # Sorted K-slot insertion (vectorized bubble; kernels.cu:322-330).
         for k in range(K):
             cur = top_lh_ref[k]
             curi = top_idx_ref[k]
@@ -213,34 +229,35 @@ def search_topk_pallas(
     SW = x_max - x_min
     K = int(k_results)
 
-    W2 = max(W, SW)
+    W2 = _round_up(max(W, SW), 128)
     if row_tile is None:
-        # Aim for ~1-2 MB per DMA buffer; multiples of 8 sublanes.
+        # Aim for ~1 MB per DMA buffer; multiples of 8 sublanes.
         row_tile = max(8, min(_round_up(SH, 8), 256))
     TH = int(row_tile)
     n_ty = pl.cdiv(SH, TH)
     SH_pad = n_ty * TH
 
-    L = TH * W2
-    pad = (SH_pad + H + 2) * W2
-    total = T * H * W2 + 2 * pad
+    # Row padding: any (t, dy, tile) combination with a partially-valid
+    # window must land inside the padded stack (plus sublane slack).
+    pad_rows = _round_up(SH_pad + H + 16, 8)
+    total_rows = T * H + 2 * pad_rows
 
-    def flat(a, dtype):
+    def to_rows(a, dtype):
         a = a.astype(dtype)
         if W2 > W:
             a = jnp.pad(a, ((0, 0), (0, 0), (0, W2 - W)))
-        z = jnp.zeros((pad,), dtype=dtype)
-        return jnp.concatenate([z, a.reshape(-1), z])
+        z = jnp.zeros((pad_rows, W2), dtype=dtype)
+        return jnp.concatenate([z, a.reshape(T * H, W2), z], axis=0)
 
-    psi_f = flat(psi, jnp.float32)
-    phi_f = flat(phi, jnp.float32)
-    val_f = flat(valid, jnp.uint8) if has_masked else jnp.zeros((1,), jnp.uint8)
+    psi_r = to_rows(psi, jnp.float32)
+    phi_r = to_rows(phi, jnp.float32)
+    val_r = to_rows(valid, jnp.uint8) if has_masked else jnp.zeros((8, W2), jnp.uint8)
 
-    # Per-candidate per-time scalars (host-free: computed in jnp from dxs/dys).
+    # Per-candidate per-time scalars.
     t_idx = jnp.arange(T, dtype=jnp.int32)[None, :]
     oy = jnp.int32(y_min) + dys.astype(jnp.int32)  # (C, T)
     ox = jnp.int32(x_min) + dxs.astype(jnp.int32)
-    starts = pad + t_idx * (H * W2) + oy * W2 + ox  # tile row 0 start
+    rows = pad_rows + t_idx * H + oy  # source row at tile row 0
 
     cok = (
         jnp.ones((C,), dtype=jnp.int32)
@@ -252,7 +269,7 @@ def search_topk_pallas(
             jnp.float32(min_obs),
             jnp.float32(min_lh),
             jnp.float32(cand_offset),
-            jnp.float32(total),
+            jnp.float32(total_rows),
         ]
     )
 
@@ -262,30 +279,30 @@ def search_topk_pallas(
         gate_min_obs=gate_min_obs, gate_min_lh=gate_min_lh, has_masked=has_masked,
     )
 
-    # The per-candidate index arrays ride in SMEM via scalar prefetch; the
-    # image planes stay in HBM (manually DMA'd).
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
         grid=(n_ty, C),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),  # psi flat (HBM)
-            pl.BlockSpec(memory_space=pl.ANY),  # phi flat (HBM)
-            pl.BlockSpec(memory_space=pl.ANY),  # valid flat (HBM)
+            # Force HBM: under ANY the compiler may pick VMEM for small
+            # stacks, where dynamic row slices need sublane alignment.
+            pl.BlockSpec(memory_space=pltpu.HBM),  # psi rows
+            pl.BlockSpec(memory_space=pltpu.HBM),  # phi rows
+            pl.BlockSpec(memory_space=pltpu.HBM),  # valid rows
         ],
         out_specs=(
             pl.BlockSpec((K, TH, SW), lambda ty, c, *prefetch: (0, ty, 0)),
             pl.BlockSpec((K, TH, SW), lambda ty, c, *prefetch: (0, ty, 0)),
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, TH * W2), jnp.float32),
-            pltpu.VMEM((2, TH * W2), jnp.float32),
-            pltpu.VMEM((2, TH * W2), jnp.uint8),
+            pltpu.VMEM((2, TH + 8, W2), jnp.float32),
+            pltpu.VMEM((2, TH + 8, W2), jnp.float32),
+            pltpu.VMEM((2, TH + 8, W2), jnp.uint8),
             pltpu.SemaphoreType.DMA((2, 3)),
         ],
     )
 
     n_planes = 3 if has_masked else 2
-    bytes_per_step = L * (9 if has_masked else 8)
+    bytes_per_step = TH * W2 * (9 if has_masked else 8)
     cost = pl.CostEstimate(
         flops=2 * C * T * SH_pad * SW,
         bytes_accessed=C * T * bytes_per_step * n_ty,
@@ -304,6 +321,6 @@ def search_topk_pallas(
         ),
         cost_estimate=cost,
         interpret=interpret,
-    )(starts, oy, ox, cok, scalars, psi_f, phi_f, val_f)
+    )(rows, ox, oy, cok, scalars, psi_r, phi_r, val_r)
 
     return top_lh[:, :SH, :], top_idx[:, :SH, :]

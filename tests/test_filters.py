@@ -1,0 +1,175 @@
+"""Filter-family tests: clustering, grid, SNS, brightness, stamp/CNN
+(modeled on the reference's per-filter test files)."""
+
+import numpy as np
+import pytest
+
+from kbmod_tpu.fake_data.fake_data_creator import FakeDataSet, create_fake_times
+from kbmod_tpu.fake_data.fake_result_creator import make_fake_results, add_fake_coadds_to_results
+from kbmod_tpu.filters.brightness_filters import (
+    extract_sci_var_curves,
+    local_search_brightness,
+    apply_brightness_search_filter,
+)
+from kbmod_tpu.filters.clustering_filters import apply_clustering, ClusterGridFilter, NNSweepFilter
+from kbmod_tpu.filters.clustering_grid import TrajectoryClusterGrid, apply_trajectory_grid_filter, grid_keep_indices
+from kbmod_tpu.filters.sns_filters import peak_offset_filter, predictive_line_cluster
+from kbmod_tpu.filters.stamp_filters import append_coadds, append_all_stamps, filter_stamps_by_cnn
+from kbmod_tpu.results import Results
+from kbmod_tpu.search import Trajectory
+
+
+def make_cluster_results():
+    """Three near-duplicate trajectories plus one distant one."""
+    trjs = [
+        Trajectory(x=100, y=100, vx=10.0, vy=5.0, lh=90.0, obs_count=10),
+        Trajectory(x=101, y=100, vx=10.1, vy=5.0, lh=80.0, obs_count=10),
+        Trajectory(x=100, y=101, vx=10.0, vy=5.1, lh=70.0, obs_count=10),
+        Trajectory(x=400, y=400, vx=-20.0, vy=0.0, lh=60.0, obs_count=10),
+    ]
+    return Results.from_trajectories(trjs)
+
+
+class TestClustering:
+    @pytest.mark.parametrize(
+        "cluster_type",
+        ["all", "position", "mid_position", "start_end_position", "nn_start", "nn_start_end",
+         "grid_start", "grid_start_end"],
+    )
+    def test_dedup_keeps_best(self, cluster_type):
+        results = make_cluster_results()
+        apply_clustering(
+            results,
+            {
+                "cluster_type": cluster_type,
+                "cluster_eps": 10.0,
+                "cluster_v_scale": 1.0,
+                "times": np.array([57130.0, 57130.5, 57131.0]),
+            },
+        )
+        assert len(results) == 2
+        assert 90.0 in results["likelihood"]
+        assert 60.0 in results["likelihood"]
+
+    def test_unknown_type_raises(self):
+        results = make_cluster_results()
+        with pytest.raises(ValueError):
+            apply_clustering(results, {"cluster_type": "bogus", "cluster_eps": 5.0, "times": [0.0, 1.0]})
+
+
+class TestClusterGrid:
+    def test_incremental_matches_vectorized(self):
+        rng = np.random.default_rng(3)
+        n = 200
+        x = rng.integers(0, 500, n)
+        y = rng.integers(0, 500, n)
+        vx = rng.uniform(-50, 50, n)
+        vy = rng.uniform(-50, 50, n)
+        lh = rng.uniform(5, 100, n)
+        grid = TrajectoryClusterGrid(bin_width=20, max_time=2.0)
+        for i in range(n):
+            grid.add_trajectory(
+                Trajectory(x=int(x[i]), y=int(y[i]), vx=float(vx[i]), vy=float(vy[i]), lh=float(lh[i])), idx=i
+            )
+        vec = grid_keep_indices(x, y, vx, vy, lh, 20, 2.0)
+        assert sorted(grid.get_indices()) == list(vec)
+
+    def test_apply_filter_soa(self):
+        arrays = {
+            "x": np.array([10, 11, 300]),
+            "y": np.array([10, 10, 300]),
+            "vx": np.array([1.0, 1.0, -5.0]),
+            "vy": np.array([0.0, 0.0, 2.0]),
+            "lh": np.array([50.0, 60.0, 40.0]),
+            "flux": np.zeros(3),
+            "obs_count": np.array([5, 5, 5]),
+        }
+        kept, idx = apply_trajectory_grid_filter(arrays, 20, 1.0)
+        assert list(idx) == [1, 2]
+        assert list(kept["lh"]) == [60.0, 40.0]
+
+
+class TestSNSFilters:
+    def test_peak_offset(self):
+        results = make_fake_results(8, 200, 200, 6, rng=np.random.default_rng(2))
+        add_fake_coadds_to_results(results, 10, ["mean"], rng=np.random.default_rng(2))
+        # Centered blobs: everything passes.
+        peak_offset_filter(results, peak_offset_max=6)
+        assert len(results) == 6
+        # Move one stamp's peak off-center.
+        stamps = np.asarray(results["coadd_mean"])
+        stamps[0] = 0.0
+        stamps[0][0, 0] = 10.0
+        results.table["coadd_mean"] = stamps
+        peak_offset_filter(results, peak_offset_max=6)
+        assert len(results) == 5
+
+    def test_predictive_line_cluster(self):
+        results = make_fake_results(8, 200, 200, 10, rng=np.random.default_rng(4))
+        n_before = len(results)
+        predictive_line_cluster(results, 57130.0 + np.arange(8) * 0.05, 4.0, 1, 60)
+        assert 0 < len(results) <= n_before
+
+
+class TestBrightnessFilters:
+    def test_curve_extraction_and_search(self):
+        rng = np.random.default_rng(11)
+        ds = FakeDataSet(64, 64, create_fake_times(6, 57130.0), use_seed=12)
+        trj = Trajectory(x=30, y=30, vx=5.0, vy=0.0, flux=200.0)
+        ds.insert_object(trj)
+        results = Results.from_trajectories([trj])
+        sci, var = extract_sci_var_curves(results, ds.stack_py)
+        assert sci.shape == (1, 6)
+        assert np.nanmean(sci) > 10.0  # bright object present
+        assert "sci_curve" in results.colnames
+
+        best, idx = local_search_brightness(sci, var)
+        assert best.shape == (1,)
+
+    def test_apply_filter_keeps_consistent(self):
+        ds = FakeDataSet(64, 64, create_fake_times(6, 57130.0), use_seed=13)
+        trj = Trajectory(x=30, y=30, vx=5.0, vy=0.0, flux=200.0)
+        ds.insert_object(trj)
+        # flux estimate close to the pixel brightness -> kept.
+        trj.flux = 150.0
+        results = Results.from_trajectories([trj])
+        apply_brightness_search_filter(results, ds.stack_py)
+        assert len(results) == 1
+
+
+class TestStampFilters:
+    def test_append_coadds_and_all_stamps(self):
+        ds = FakeDataSet(64, 64, create_fake_times(5, 57130.0), use_seed=14)
+        trj = Trajectory(x=32, y=32, vx=2.0, vy=1.0, flux=300.0)
+        ds.insert_object(trj)
+        results = Results.from_trajectories([trj])
+        append_coadds(results, ds.stack_py, ["sum", "mean", "median"], 7)
+        for col in ("coadd_sum", "coadd_mean", "coadd_median"):
+            assert col in results.colnames
+            assert results[col].shape == (1, 15, 15)
+        # The object is at the stamp center.
+        assert np.argmax(results["coadd_mean"][0]) == (15 * 15) // 2
+
+        append_all_stamps(results, ds.stack_py, 5)
+        assert results["all_stamps"].shape == (1, 5, 11, 11)
+
+    def test_nightly_coadds(self):
+        times = create_fake_times(6, 57130.0, obs_per_day=3, inter_night_gap=2)
+        ds = FakeDataSet(48, 48, times, use_seed=15)
+        trj = Trajectory(x=24, y=24, vx=0.0, vy=0.0, flux=100.0)
+        ds.insert_object(trj)
+        results = Results.from_trajectories([trj])
+        append_coadds(results, ds.stack_py, ["mean"], 5, nightly=True)
+        nightly_cols = [c for c in results.colnames if c.startswith("coadd_mean_")]
+        assert len(nightly_cols) == 2  # two nights
+
+    def test_cnn_filter_untrained(self):
+        """An untrained flax CNN still classifies (smoke test of the model
+        plumbing)."""
+        results = make_fake_results(5, 100, 100, 4, rng=np.random.default_rng(5))
+        add_fake_coadds_to_results(results, 10, ["mean"], rng=np.random.default_rng(5))
+        filter_stamps_by_cnn(results, model_path=None, coadd_type="mean", stamp_radius=10, coadd_radius=10)
+        assert "prob_real" in results.colnames
+        assert "prob_bogus" in results.colnames
+        assert "cnn_class" in results.colnames
+        assert results["prob_real"].shape == (4,)

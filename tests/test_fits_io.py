@@ -1,0 +1,84 @@
+"""FITS reader/writer tests for kbmod_tpu.io.fits_io."""
+
+import os
+import tempfile
+
+import numpy as np
+import pytest
+
+from kbmod_tpu.io import fits_io
+from kbmod_tpu.table import Table
+
+
+class TestFitsRoundtrip:
+    def test_image_hdus(self):
+        rng = np.random.default_rng(3)
+        primary = fits_io.ImageHDU(name="PRIMARY")
+        primary.header["OBSID"] = "test_123"
+        primary.header["MJD"] = 57130.25
+        primary.header["FLAG"] = True
+        sci = fits_io.ImageHDU(rng.normal(0, 1, (16, 20)).astype(np.float32), name="SCI_0")
+        mask = fits_io.ImageHDU(np.arange(320, dtype=np.int32).reshape(16, 20), name="MASK_0")
+        small = fits_io.ImageHDU(np.arange(256, dtype=np.uint8).reshape(16, 16), name="U8")
+        dbl = fits_io.ImageHDU(rng.normal(size=(4, 4)), name="DBL")
+
+        with tempfile.TemporaryDirectory() as tmp:
+            path = os.path.join(tmp, "test.fits")
+            fits_io.write_fits(path, [primary, sci, mask, small, dbl])
+            hdus = fits_io.read_fits(path)
+            assert len(hdus) == 5
+            assert hdus[0].header["OBSID"] == "test_123"
+            assert hdus[0].header["MJD"] == 57130.25
+            assert hdus[0].header["FLAG"] is True
+            np.testing.assert_allclose(hdus["SCI_0"].data, sci.data, rtol=1e-7)
+            np.testing.assert_array_equal(hdus["MASK_0"].data, mask.data)
+            np.testing.assert_array_equal(hdus["U8"].data, small.data)
+            np.testing.assert_allclose(hdus["DBL"].data, dbl.data)
+
+    def test_file_is_standard_blocks(self):
+        """The file must be a multiple of 2880 bytes and start with SIMPLE."""
+        with tempfile.TemporaryDirectory() as tmp:
+            path = os.path.join(tmp, "test.fits")
+            fits_io.write_fits(path, [fits_io.ImageHDU(np.ones((3, 5), dtype=np.float32), name="X")])
+            raw = open(path, "rb").read()
+            assert len(raw) % 2880 == 0
+            assert raw[:6] == b"SIMPLE"
+
+    def test_long_string(self):
+        hdu = fits_io.ImageHDU(name="CFG")
+        text = "line1\nline2: [1, 2, 3]\n" * 40 + "tail with 'quotes' & symbols #/="
+        hdu.set_long_string("YAMLCFG", text)
+        with tempfile.TemporaryDirectory() as tmp:
+            path = os.path.join(tmp, "t.fits")
+            fits_io.write_fits(path, [fits_io.ImageHDU(name="PRIMARY"), hdu])
+            hdus = fits_io.read_fits(path)
+            assert hdus["CFG"].get_long_string("YAMLCFG") == text
+
+    def test_table_hdu(self):
+        table = Table({"a": np.arange(5), "b": np.array(["x", "y", "z", "w", "v"], dtype=object)})
+        table.meta["note"] = "hello"
+        hdu = fits_io.TableHDU(table, name="META")
+        with tempfile.TemporaryDirectory() as tmp:
+            path = os.path.join(tmp, "t.fits")
+            fits_io.write_fits(path, [fits_io.ImageHDU(name="PRIMARY"), hdu])
+            hdus = fits_io.read_fits(path)
+            out = hdus["META"].to_table()
+            np.testing.assert_array_equal(out["a"], table["a"])
+            assert list(out["b"]) == ["x", "y", "z", "w", "v"]
+            assert out.meta["note"] == "hello"
+
+    def test_header_string_escaping(self):
+        hdu = fits_io.ImageHDU(name="PRIMARY")
+        hdu.header["NAME"] = "it's quoted"
+        with tempfile.TemporaryDirectory() as tmp:
+            path = os.path.join(tmp, "t.fits")
+            fits_io.write_fits(path, [hdu])
+            hdus = fits_io.read_fits(path)
+            assert hdus[0].header["NAME"] == "it's quoted"
+
+    def test_missing_hdu_lookup(self):
+        hdus = fits_io.HDUList([fits_io.ImageHDU(name="PRIMARY")])
+        with pytest.raises(KeyError):
+            hdus["NOPE"]
+        assert "PRIMARY" in hdus
+        assert "NOPE" not in hdus
