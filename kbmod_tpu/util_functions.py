@@ -2,7 +2,16 @@
 
 import numpy as np
 
-__all__ = ["get_matched_obstimes", "mjd_to_day", "unique_obstimes_and_indices", "unravel_results"]
+__all__ = [
+    "get_matched_obstimes",
+    "mjd_to_day",
+    "load_deccam_layered_image",
+    "get_unique_obstimes",
+    "unique_obstimes_and_indices",
+    "get_magnitude",
+    "unravel_results",
+    "make_manual_tracklets",
+]
 
 
 def get_matched_obstimes(obstimes, query_times, threshold=0.0007):
@@ -42,13 +51,56 @@ def mjd_to_day(mjd):
     return mjd_to_datetime(mjd).strftime("%Y-%m-%d")
 
 
+def load_deccam_layered_image(filename, psf):
+    """Load a legacy DECam FITS file (HDUs: header, science, mask,
+    variance) into a LayeredImagePy."""
+    from kbmod_tpu.core.image_stack_py import LayeredImagePy
+    from kbmod_tpu.io import fits_io
+
+    hdul = fits_io.read_fits(filename)
+    if len(hdul) < 4:
+        raise ValueError(f"Unsupported number of extensions ({len(hdul)}) in {filename}.")
+
+    obstime = -1.0
+    for ext in (0, 1):
+        header = hdul[ext].header
+        for key in ("MJD", "DATE-AVG", "MJD-OBS"):
+            if key in header:
+                value = header[key]
+                if isinstance(value, (int, float)):
+                    obstime = float(value)
+                    break
+                if isinstance(value, str):
+                    import datetime as dt
+
+                    from kbmod_tpu.geom.time_utils import datetime_to_mjd
+
+                    obstime = datetime_to_mjd(dt.datetime.fromisoformat(value))
+                    break
+        if obstime > 0:
+            break
+
+    return LayeredImagePy(
+        np.asarray(hdul[1].data, dtype=np.float32),
+        np.asarray(hdul[3].data, dtype=np.float32),
+        mask=np.asarray(hdul[2].data, dtype=np.float32),
+        time=obstime,
+        psf=getattr(psf, "kernel", psf),
+    )
+
+
+def get_unique_obstimes(all_obstimes):
+    """Unique observation times and the index groups sharing each time."""
+    all_obstimes = np.asarray(all_obstimes)
+    unique_obstimes = np.unique(all_obstimes)
+    unique_indices = [list(np.where(all_obstimes == t)[0]) for t in unique_obstimes]
+    return unique_obstimes, unique_indices
+
+
 def unique_obstimes_and_indices(obstimes, threshold=0.0007):
     """Group observation times that fall within ``threshold`` days.
 
-    Returns
-    -------
-    (unique_times, per_time_indices) : (list of float, list of list of int)
-    """
+    Returns (unique_times, per_time_index_groups)."""
     obstimes = np.asarray(obstimes, dtype=float)
     order = np.argsort(obstimes)
     unique_times = []
@@ -63,28 +115,88 @@ def unique_obstimes_and_indices(obstimes, threshold=0.0007):
     return unique_times, groups
 
 
-def unravel_results(results, obstimes=None):
-    """Flatten a Results table into per-observation rows (one row per valid
-    observation of each trajectory), for tracklet-style output."""
+def get_magnitude(flux, zero_point):
+    """flux -> magnitude with the given zero point."""
+    return -2.5 * np.log10(flux) + zero_point
+
+
+def unravel_results(results, image_collection=None, obscode="X05", batch_id=None, first_and_last=False):
+    """Flatten a Results table into one row per (result, valid observation)
+    with sky positions and magnitudes — tracklet-style output.
+
+    Requires img_ra/img_dec columns (from append_positions_to_results) and
+    mjd_mid metadata; the zero point comes from the image collection's
+    zeroPoint column when available (default 31.0).
+
+    Returns a pandas DataFrame with columns id, ra, dec, magnitude, mjd,
+    band, obscode.
+    """
+    import pandas as pd
+
+    if "img_ra" not in results.colnames or "img_dec" not in results.colnames:
+        raise ValueError("Results must have img_ra/img_dec columns (run append_positions_to_results).")
+    if results.mjd_mid is None:
+        raise ValueError("Results must carry mjd_mid metadata.")
+
+    zp = 31.0
+    bands = None
+    if image_collection is not None:
+        if "zeroPoint" in image_collection.columns:
+            zp = float(np.mean(np.asarray(image_collection["zeroPoint"], dtype=float)))
+        if "filter" in image_collection.columns:
+            bands = [str(b) for b in image_collection["filter"]]
+
+    mjds = np.asarray(results.mjd_mid)
+    num_times = len(mjds)
     rows = []
-    for i in range(len(results)):
-        x = results["x"][i]
-        y = results["y"][i]
-        vx = results["vx"][i]
-        vy = results["vy"][i]
-        valid = results["obs_valid"][i] if "obs_valid" in results.colnames else None
-        if obstimes is None:
-            continue
-        for t_idx, t in enumerate(obstimes):
-            if valid is not None and not valid[t_idx]:
-                continue
-            dt = t - obstimes[0]
+    for res_idx in range(len(results)):
+        valid = (
+            np.asarray(results["obs_valid"][res_idx], dtype=bool)
+            if "obs_valid" in results.colnames
+            else np.ones(num_times, dtype=bool)
+        )
+        obs_inds = np.nonzero(valid)[0]
+        if first_and_last and len(obs_inds) > 2:
+            obs_inds = [obs_inds[0], obs_inds[-1]]
+        mag = get_magnitude(max(float(results["flux"][res_idx]), 1e-12), zp)
+        for obs_idx in obs_inds:
+            prefix = f"{batch_id}-" if batch_id is not None else ""
             rows.append(
                 {
-                    "result_idx": i,
-                    "time": t,
-                    "x": int(np.floor(x + vx * dt + 0.5)),
-                    "y": int(np.floor(y + vy * dt + 0.5)),
+                    "id": f"{prefix}{res_idx}-{obs_idx}",
+                    "ra": float(results["img_ra"][res_idx][obs_idx]),
+                    "dec": float(results["img_dec"][res_idx][obs_idx]),
+                    "magnitude": mag,
+                    "mjd": float(mjds[obs_idx]),
+                    "band": bands[obs_idx] if bands is not None and obs_idx < len(bands) else "r",
+                    "obscode": obscode,
                 }
             )
-    return rows
+    return pd.DataFrame(rows)
+
+
+def make_manual_tracklets(df):
+    """Build tracklet pairing rows (first/last observation per object) from
+    an unravelled observation DataFrame."""
+    import pandas as pd
+
+    groups = {}
+    for _, row in df.iterrows():
+        obj = str(row["id"]).rsplit("-", 1)[0]
+        groups.setdefault(obj, []).append(row)
+    out = []
+    for obj, rows in groups.items():
+        rows = sorted(rows, key=lambda r: r["mjd"])
+        out.append(
+            {
+                "object": obj,
+                "mjd_start": rows[0]["mjd"],
+                "mjd_end": rows[-1]["mjd"],
+                "ra_start": rows[0]["ra"],
+                "dec_start": rows[0]["dec"],
+                "ra_end": rows[-1]["ra"],
+                "dec_end": rows[-1]["dec"],
+                "num_obs": len(rows),
+            }
+        )
+    return pd.DataFrame(out)
