@@ -33,6 +33,7 @@ the candidate scan carry, mirroring the reference's per-thread insertion sort
 (kernels.cu:322-330) but vectorized over all pixels at once.
 """
 
+import os
 from functools import partial
 
 import numpy as np
@@ -467,6 +468,7 @@ def core_search(
     sgl_H=0.75,
     sigmag_coeff=-1.0,
     gate_min_obs=True,
+    kernel=None,
 ):
     """Run the full top-K search and assemble per-result statistics.
 
@@ -493,14 +495,12 @@ def core_search(
 
     dxs, dys = trajectory_offsets(vxs, vys, times)
     has_masked = bool(np.asarray(jnp.min(jnp.asarray(valid))) == 0)
-    top_lh, top_idx = search_topk_shift(
-        jnp.asarray(psi),
-        jnp.asarray(phi),
-        jnp.asarray(valid),
-        jnp.asarray(dxs),
-        jnp.asarray(dys),
-        jnp.float32(min_obs),
-        jnp.float32(min_lh),
+
+    # Kernel selection: 'xla' (default) or 'pallas' (the fused VMEM-resident
+    # kernel); overridable via KB_SEARCH_KERNEL.
+    if kernel is None:
+        kernel = os.environ.get("KB_SEARCH_KERNEL", "xla")
+    kernel_kwargs = dict(
         x_min=int(x_min),
         x_max=int(x_max),
         y_min=int(y_min),
@@ -510,6 +510,22 @@ def core_search(
         gate_min_lh=bool(do_sigmag),
         has_masked=has_masked,
     )
+    args = (
+        jnp.asarray(psi),
+        jnp.asarray(phi),
+        jnp.asarray(valid),
+        jnp.asarray(dxs),
+        jnp.asarray(dys),
+        jnp.float32(min_obs),
+        jnp.float32(min_lh),
+    )
+    if kernel == "pallas":
+        from kbmod_tpu.ops.search_pallas import search_topk_pallas
+
+        interpret = jax.default_backend() != "tpu"
+        top_lh, top_idx = search_topk_pallas(*args, interpret=interpret, **kernel_kwargs)
+    else:
+        top_lh, top_idx = search_topk_shift(*args, **kernel_kwargs)
     top_lh = np.asarray(top_lh)  # (K', SH, SW)
     top_idx = np.asarray(top_idx)
 

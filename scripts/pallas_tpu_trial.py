@@ -25,8 +25,15 @@ def main():
     vys = rng.uniform(-20, 20, C).astype(np.float32)
     dxs, dys = (jnp.asarray(a) for a in trajectory_offsets(vxs, vys, times))
     kw = dict(x_min=0, x_max=W, y_min=0, y_max=H, k_results=K)
+    t0 = time.time()
     r_lh, r_idx = search_topk_shift(psi, phi, valid, dxs, dys, jnp.float32(0), jnp.float32(0), **kw)
+    r_lh.block_until_ready()
+    _ = np.asarray(r_lh[0, 0, 0])
+    print("xla small done", time.time() - t0, flush=True)
+    t0 = time.time()
     p_lh, p_idx = search_topk_pallas(psi, phi, valid, dxs, dys, jnp.float32(0), jnp.float32(0), **kw)
+    _ = np.asarray(p_lh[0, 0, 0])
+    print("pallas small done", time.time() - t0, flush=True)
     r_lh, p_lh, r_idx, p_idx = (np.asarray(a) for a in (r_lh, p_lh, r_idx, p_idx))
     print("small correctness: lh maxdiff", np.abs(r_lh - p_lh).max(), "idx mismatches", (r_idx != p_idx).sum(), flush=True)
 
