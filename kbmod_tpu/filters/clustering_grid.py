@@ -28,10 +28,22 @@ def grid_keep_indices(x0, y0, vx, vy, lh, bin_width, max_time):
 
     Returns the indices (ascending) of the best-likelihood trajectory per
     occupied bin; ties keep the earliest index (the reference's '>' update
-    rule keeps the first-seen on ties, clustering_grid.py:87)."""
+    rule keeps the first-seen on ties, clustering_grid.py:87).
+
+    Uses the native C++ hash-map path (kbmod_tpu.native.grid_dedup) when the
+    bin coordinates fit its packed-key range; falls back to a numpy lexsort.
+    """
     n = len(x0)
     if n == 0:
         return np.array([], dtype=int)
+
+    from kbmod_tpu import native
+
+    bins_preview = _bin_indices(x0, y0, vx, vy, bin_width, max_time)
+    if native.available() and all(np.abs(b).max(initial=0) < 32000 for b in bins_preview):
+        kept = native.grid_dedup(x0, y0, vx, vy, lh, bin_width, max_time)
+        if kept is not None:
+            return kept
     bins = np.stack(_bin_indices(x0, y0, vx, vy, bin_width, max_time), axis=1)
     # Sort by bin then by descending lh then ascending index (stable).
     order = np.lexsort((np.arange(n), -np.asarray(lh, dtype=np.float64), bins[:, 3], bins[:, 2], bins[:, 1], bins[:, 0]))
