@@ -280,6 +280,7 @@ def search_topk_core(
     unroll=1,
     cand_valid=None,
     has_masked=True,
+    encode_meta=None,
 ):
     """The shift-and-accumulate top-K kernel body (trace-time bounds are
     dynamic so it composes with shard_map pixel/candidate sharding).
@@ -287,6 +288,13 @@ def search_topk_core(
     ``has_masked=False`` (static) skips the validity-plane reads entirely —
     valid for stacks with no masked pixels, saving a third of the HBM
     traffic in the hot loop.
+
+    ``encode_meta`` (traced 4-vector [psi_min, psi_scale, phi_min,
+    phi_scale]) switches to the quantized path: psi/phi are uint8/uint16
+    code arrays (code 0 = masked, exactly the reference's encoding,
+    psi_phi_array_ds.h:40-47) decoded in-register after each slice —
+    halving (uint16) or quartering (uint8) the hot-loop HBM traffic, with
+    validity derived from the codes (no separate plane).
 
     Parameters
     ----------
@@ -327,9 +335,19 @@ def search_topk_core(
         z = jnp.zeros((pad,), dtype=dtype)
         return jnp.concatenate([z, a.reshape(-1), z])
 
-    psi_f = flat(psi, jnp.float32)
-    phi_f = flat(phi, jnp.float32)
-    val_f = flat(valid, jnp.uint8) if has_masked else None
+    encoded = encode_meta is not None
+    if encoded:
+        code_dtype = psi.dtype
+        psi_f = flat(psi, code_dtype)
+        phi_f = flat(phi, code_dtype)
+        val_f = None
+        psi_min, psi_scale, phi_min, phi_scale = (
+            encode_meta[0], encode_meta[1], encode_meta[2], encode_meta[3]
+        )
+    else:
+        psi_f = flat(psi, jnp.float32)
+        phi_f = flat(phi, jnp.float32)
+        val_f = flat(valid, jnp.uint8) if has_masked else None
 
     ii = lax.broadcasted_iota(jnp.int32, (SH, 1), 0)
     jj = lax.broadcasted_iota(jnp.int32, (1, SW), 1)
@@ -346,6 +364,13 @@ def search_topk_core(
             fs = lax.dynamic_slice(phi_f, (start,), (L,)).reshape(SH, W2)[:, :SW]
             # In-bounds masks: row i valid iff 0 <= y_min + i + dy < H.
             m = (ii >= -oy) & (ii < H - oy) & (jj >= -ox) & (jj < W - ox)
+            if encoded:
+                # Decode codes in-register ((v - 1) * scale + min; 0=masked).
+                m = m & (ps != 0) & (fs != 0)
+                mf = jnp.where(m, 1.0, 0.0)
+                ps = jnp.where(m, (ps.astype(jnp.float32) - 1.0) * psi_scale + psi_min, 0.0)
+                fs = jnp.where(m, (fs.astype(jnp.float32) - 1.0) * phi_scale + phi_min, 0.0)
+                return (psi_s + ps, phi_s + fs, obs + mf)
             if has_masked:
                 vs = lax.dynamic_slice(val_f, (start,), (L,)).reshape(SH, W2)[:, :SW]
                 mf = jnp.where(m, vs.astype(jnp.float32), 0.0)
@@ -412,6 +437,7 @@ def search_topk_shift(
     gate_min_lh=False,
     unroll=1,
     has_masked=True,
+    encode_meta=None,
 ):
     """Single-device entry for the top-K search (see search_topk_core)."""
     return search_topk_core(
@@ -432,6 +458,7 @@ def search_topk_shift(
         gate_min_lh=gate_min_lh,
         unroll=unroll,
         has_masked=has_masked,
+        encode_meta=encode_meta,
     )
 
 
@@ -469,6 +496,9 @@ def core_search(
     sigmag_coeff=-1.0,
     gate_min_obs=True,
     kernel=None,
+    psi_codes=None,
+    phi_codes=None,
+    encode_meta=None,
 ):
     """Run the full top-K search and assemble per-result statistics.
 
@@ -494,7 +524,8 @@ def core_search(
     k_search = max(k_search, k)
 
     dxs, dys = trajectory_offsets(vxs, vys, times)
-    has_masked = bool(np.asarray(jnp.min(jnp.asarray(valid))) == 0)
+    encoded = encode_meta is not None and psi_codes is not None
+    has_masked = (not encoded) and bool(np.asarray(jnp.min(jnp.asarray(valid))) == 0)
 
     # Kernel selection: 'xla' (default) or 'pallas' (the fused VMEM-resident
     # kernel); overridable via KB_SEARCH_KERNEL.
@@ -510,22 +541,36 @@ def core_search(
         gate_min_lh=bool(do_sigmag),
         has_masked=has_masked,
     )
-    args = (
-        jnp.asarray(psi),
-        jnp.asarray(phi),
-        jnp.asarray(valid),
-        jnp.asarray(dxs),
-        jnp.asarray(dys),
-        jnp.float32(min_obs),
-        jnp.float32(min_lh),
-    )
-    if kernel == "pallas":
-        from kbmod_tpu.ops.search_pallas import search_topk_pallas
-
-        interpret = jax.default_backend() != "tpu"
-        top_lh, top_idx = search_topk_pallas(*args, interpret=interpret, **kernel_kwargs)
-    else:
+    if encoded:
+        # Quantized hot path: stream the uint8/uint16 codes directly.
+        args = (
+            jnp.asarray(psi_codes),
+            jnp.asarray(phi_codes),
+            jnp.zeros((1, 1, 1), jnp.uint8),
+            jnp.asarray(dxs),
+            jnp.asarray(dys),
+            jnp.float32(min_obs),
+            jnp.float32(min_lh),
+        )
+        kernel_kwargs["encode_meta"] = jnp.asarray(np.asarray(encode_meta, dtype=np.float32))
         top_lh, top_idx = search_topk_shift(*args, **kernel_kwargs)
+    else:
+        args = (
+            jnp.asarray(psi),
+            jnp.asarray(phi),
+            jnp.asarray(valid),
+            jnp.asarray(dxs),
+            jnp.asarray(dys),
+            jnp.float32(min_obs),
+            jnp.float32(min_lh),
+        )
+        if kernel == "pallas":
+            from kbmod_tpu.ops.search_pallas import search_topk_pallas
+
+            interpret = jax.default_backend() != "tpu"
+            top_lh, top_idx = search_topk_pallas(*args, interpret=interpret, **kernel_kwargs)
+        else:
+            top_lh, top_idx = search_topk_shift(*args, **kernel_kwargs)
     top_lh = np.asarray(top_lh)  # (K', SH, SW)
     top_idx = np.asarray(top_idx)
 

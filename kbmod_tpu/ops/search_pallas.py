@@ -118,8 +118,10 @@ def _search_kernel(
     def shift_tile(tile, rshift, ox):
         """Rows [rshift, rshift+TH) and columns [ox, ox+SW) of the
         (TB, W2) tile via dynamic sublane/lane rotates (wrapped positions
-        are masked by the caller)."""
-        tile = pltpu.roll(tile, -rshift, 0)[:TH]
+        are masked by the caller). Rotate amounts are kept non-negative:
+        hardware dynamic rotates mishandle negative shifts on the sublane
+        dimension."""
+        tile = pltpu.roll(tile, TB - rshift, 0)[:TH]
         return pltpu.roll(tile, -ox, 1)[:, :SW]
 
     def run(acc_psi, acc_phi, acc_obs):

@@ -250,7 +250,6 @@ class StackSearch:
         if len(vxs) == 0:
             raise RuntimeError("No candidate trajectories to search.")
 
-        psi, phi, valid = self._decoded()
         if on_gpu:
             rpp = p.results_per_pixel
             gate_min_obs = True
@@ -259,6 +258,21 @@ class StackSearch:
             rpp = min(p.results_per_pixel, len(vxs))
             gate_min_obs = False
             do_sigmag = False
+
+        # Quantized stacks stream their codes straight through the kernel
+        # (decode in-register); the float path passes decoded planes.
+        meta = self.psi_phi_array.meta
+        if meta.num_bytes in (1, 2):
+            encode_kwargs = dict(
+                psi_codes=self.psi_phi_array.psi,
+                phi_codes=self.psi_phi_array.phi,
+                encode_meta=(meta.psi_min_val, meta.psi_scale, meta.phi_min_val, meta.phi_scale),
+            )
+            # The winner re-scoring paths still use decoded planes.
+            psi, phi, valid = self._decoded()
+        else:
+            encode_kwargs = {}
+            psi, phi, valid = self._decoded()
 
         raw = search_ops.core_search(
             psi,
@@ -279,6 +293,7 @@ class StackSearch:
             sgl_H=p.sgl_H,
             sigmag_coeff=p.sigmag_coeff,
             gate_min_obs=gate_min_obs,
+            **encode_kwargs,
         )
         num_results = len(raw["x"])
         logger.debug(f"Core search returned {num_results} results.")

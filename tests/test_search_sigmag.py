@@ -1,0 +1,78 @@
+"""GPU-path in-kernel sigma-G search semantics: core_search(do_sigmag)
+against a brute-force clipped evaluation of every (pixel, candidate)."""
+
+import numpy as np
+
+from kbmod_tpu.ops.psi_phi import PsiPhiArray, fill_psi_phi_array
+from kbmod_tpu.ops.search import core_search, extract_psi_phi_curves, trajectory_offsets, _gather_curves, clipped_sigmag_scores
+from kbmod_tpu.filters.sigma_g_filter import SigmaGClipping
+
+import jax.numpy as jnp
+
+FLT_MIN = -float(np.finfo(np.float32).max)
+
+
+class TestSigmaGSearch:
+    def setup_method(self):
+        rng = np.random.default_rng(31)
+        self.T, self.H, self.W = 8, 12, 14
+        self.times = np.arange(self.T) * 0.3
+        psi = [rng.normal(1.0, 0.4, (self.H, self.W)).astype(np.float32) for _ in range(self.T)]
+        phi = [rng.uniform(0.5, 2.0, (self.H, self.W)).astype(np.float32) for _ in range(self.T)]
+        # A few outliers that sigma-G should clip.
+        for t in range(0, self.T, 3):
+            psi[t][rng.integers(0, self.H), rng.integers(0, self.W)] = 60.0
+        arr = PsiPhiArray()
+        fill_psi_phi_array(arr, -1, psi, phi, self.times)
+        self.psi_z, self.phi_z, self.valid = arr.decoded_psi_phi()
+        self.vxs = np.array([0.0, 1.5, -2.0], dtype=np.float32)
+        self.vys = np.array([0.5, -1.0, 2.0], dtype=np.float32)
+        self.coeff = SigmaGClipping.find_sigma_g_coeff(25, 75)
+
+    def _brute_clipped_lh(self, min_obs, min_lh):
+        """Clipped lh for every (pixel, candidate), with the reference's
+        gating: clipping only applies when the unclipped result passes
+        min_obs/min_lh; insertion requires clipped lh >= min_lh."""
+        C = len(self.vxs)
+        lh_all = np.full((self.H, self.W, C), FLT_MIN, dtype=np.float32)
+        xs = np.tile(np.arange(self.W), self.H)
+        ys = np.repeat(np.arange(self.H), self.W)
+        for c in range(C):
+            vx = np.full(len(xs), self.vxs[c])
+            vy = np.full(len(xs), self.vys[c])
+            psi_v, phi_v = extract_psi_phi_curves(
+                self.psi_z, self.phi_z, self.valid, self.times, xs, ys, vx, vy
+            )
+            dxs, dys = trajectory_offsets(vx, vy, self.times)
+            _, _, ok = _gather_curves(
+                jnp.asarray(self.psi_z), jnp.asarray(self.phi_z), jnp.asarray(self.valid),
+                jnp.asarray(xs.astype(np.int32)), jnp.asarray(ys.astype(np.int32)),
+                jnp.asarray(dxs), jnp.asarray(dys),
+            )
+            ok = np.asarray(ok)
+            psi_sum = psi_v.sum(axis=1)
+            phi_sum = phi_v.sum(axis=1)
+            obs = ok.sum(axis=1)
+            raw_lh = np.where(phi_sum > 0, psi_sum / np.sqrt(np.where(phi_sum > 0, phi_sum, 1.0)), -1.0)
+            new_lh, _, _, _ = clipped_sigmag_scores(psi_v, phi_v, ok, 0.25, 0.75, self.coeff)
+            passed = (obs >= min_obs) & (raw_lh >= min_lh)
+            final = np.where(passed, new_lh, raw_lh)
+            # Insertion gates (kernels.cu:318-320): obs AND final lh.
+            insertable = (obs >= min_obs) & (final >= min_lh)
+            lh_all[:, :, c] = np.where(insertable, final, FLT_MIN).reshape(self.H, self.W)
+        return lh_all
+
+    def test_matches_brute_force(self):
+        min_obs, min_lh = 4, 0.5
+        res = core_search(
+            self.psi_z, self.phi_z, self.valid, self.times, self.vxs, self.vys,
+            0, self.W, 0, self.H, 2,
+            min_obs=min_obs, min_lh=min_lh,
+            do_sigmag=True, sgl_L=0.25, sgl_H=0.75, sigmag_coeff=self.coeff,
+        )
+        lh_all = self._brute_clipped_lh(min_obs, min_lh)
+        expected = -np.sort(-lh_all, axis=2)[:, :, :2].reshape(-1)
+        got = res["lh"].reshape(self.H * self.W, 2).reshape(-1)
+        got = np.where(got <= FLT_MIN / 2, FLT_MIN, got)
+        expected = np.where(expected <= FLT_MIN / 2, FLT_MIN, expected)
+        np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-4)
