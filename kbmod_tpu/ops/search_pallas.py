@@ -236,7 +236,9 @@ def search_topk_pallas(
         # Pick the largest row tile fitting the VMEM budget: top-K output
         # blocks (2 * K * TH * SW * 4B) + double-buffered DMA slabs
         # (2 * (TH+8) * W2 * 9B) + accumulators (3 * TH * SW * 4B).
-        budget = 11 * 1024 * 1024
+        # Mosaic double-buffers the revisited output blocks, so stay well
+        # under the 16MB scoped-vmem limit.
+        budget = 7 * 1024 * 1024
         per_row = 2 * K * SW * 4 + 2 * W2 * 9 + 3 * SW * 4
         row_tile = max(8, min(_round_up(SH, 8), (budget // per_row) // 8 * 8, 256))
     TH = int(row_tile)

@@ -136,6 +136,24 @@ class SearchRunner:
             return 0
         return psutil.Process().memory_info().rss
 
+    def _maybe_start_profiler(self):
+        """Optional device tracing: set KB_PROFILE_DIR to capture a
+        jax.profiler trace of the whole run (the TPU-native analog of the
+        reference's DebugTimer-only observability; SURVEY.md §5.1)."""
+        profile_dir = os.environ.get("KB_PROFILE_DIR")
+        if profile_dir and not getattr(self, "_profiling", False):
+            import jax
+
+            jax.profiler.start_trace(profile_dir)
+            self._profiling = True
+
+    def _maybe_stop_profiler(self):
+        if getattr(self, "_profiling", False):
+            import jax
+
+            jax.profiler.stop_trace()
+            self._profiling = False
+
     def _start_phase(self, phase_name):
         self._check_timeout()
         logger.debug(f"Starting {phase_name}.")
@@ -303,6 +321,7 @@ class SearchRunner:
             config.set("num_obs", int(img_count))
 
         self._start_phase("KBMOD")
+        self._maybe_start_profiler()
 
         if trj_generator is None:
             trj_generator = create_trajectory_generator(config, work_unit=None)
@@ -412,6 +431,7 @@ class SearchRunner:
         self._end_phase("write results")
 
         self._end_phase("KBMOD")
+        self._maybe_stop_profiler()
         if config["debug"]:
             self.display_phase_stats()
         return keep

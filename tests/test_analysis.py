@@ -1,0 +1,81 @@
+"""Analysis/plotting smoke tests (Agg backend)."""
+
+import matplotlib
+
+matplotlib.use("Agg")
+
+import numpy as np
+
+from kbmod_tpu.analysis.analyze_fakes import compute_recovery_rates, recovery_report
+from kbmod_tpu.analysis.plotting import (
+    plot_image,
+    plot_multiple_images,
+    plot_time_series,
+    plot_result_row,
+    plot_image_bounds,
+)
+from kbmod_tpu.analysis.visualizer import Visualizer
+from kbmod_tpu.fake_data.fake_data_creator import FakeDataSet, create_fake_times
+from kbmod_tpu.fake_data.fake_result_creator import make_fake_results, add_fake_coadds_to_results
+from kbmod_tpu.results import Results
+from kbmod_tpu.search import Trajectory
+from kbmod_tpu.wcs_utils import make_fake_wcs
+
+
+class TestPlotting:
+    def test_plot_image_and_grid(self):
+        rng = np.random.default_rng(1)
+        img = rng.normal(size=(20, 20))
+        ax = plot_image(img, title="test")
+        assert ax.get_title() == "test"
+        fig = plot_multiple_images([img, img, img], labels=["a", "b", "c"], columns=2)
+        assert len(fig.axes) == 3
+
+    def test_plot_time_series(self):
+        values = np.array([1.0, 2.0, np.nan, 3.0])
+        ax = plot_time_series(values, times=[0, 1, 2, 3], indices=[True, True, False, True])
+        assert ax is not None
+
+    def test_plot_result_row(self):
+        results = make_fake_results(6, 100, 100, 2, rng=np.random.default_rng(3))
+        add_fake_coadds_to_results(results, 5, ["mean"], rng=np.random.default_rng(3))
+        results.table["stamp"] = results.table["coadd_mean"]
+        fig = plot_result_row(results.table[0], times=np.arange(6) * 0.1)
+        assert fig is not None
+
+    def test_plot_image_bounds(self):
+        wcs_list = [make_fake_wcs(200.0 + 0.01 * i, -7.0, 64, 64) for i in range(3)]
+        ax = plot_image_bounds(wcs_list, [(64, 64)] * 3, labels=["a", "b", "c"])
+        assert ax is not None
+
+
+class TestVisualizer:
+    def test_stamps_and_summary(self):
+        ds = FakeDataSet(64, 64, create_fake_times(4, 57130.0), use_seed=5)
+        trj = Trajectory(x=30, y=30, vx=5.0, vy=0.0, flux=300.0)
+        ds.insert_object(trj)
+        results = Results.from_trajectories([trj])
+        vis = Visualizer(ds.stack_py, results)
+        vis.generate_all_stamps(radius=5)
+        assert "all_stamps" in results.colnames
+        assert vis.count_num_days() >= 1
+        fig = vis.plot_stamps(0, columns=2)
+        assert fig is not None
+
+
+class TestAnalyzeFakes:
+    def test_recovery_rates(self):
+        fakes = [
+            Trajectory(x=10, y=10, vx=1.0, vy=0.0, flux=100.0),
+            Trajectory(x=50, y=50, vx=-2.0, vy=1.0, flux=100.0),
+        ]
+        found = Results.from_trajectories([Trajectory(x=10, y=10, vx=1.0, vy=0.0, lh=20.0)])
+        rate = compute_recovery_rates(fakes, found, times=np.array([0.0, 1.0]), threshold=3.0)
+        assert rate == 0.5
+        by_group = compute_recovery_rates(
+            fakes, found, times=np.array([0.0, 1.0]), threshold=3.0, by=np.array(["a", "b"])
+        )
+        assert by_group["a"] == 1.0
+        assert by_group["b"] == 0.0
+        mask = recovery_report(fakes, found, times=np.array([0.0, 1.0]), threshold=3.0)
+        assert mask.tolist() == [True, False]
