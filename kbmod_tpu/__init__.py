@@ -80,5 +80,27 @@ __all__ = [
     "StackSearch",
     "Trajectory",
     "SearchConfiguration",
+    "Standardizer",
+    "ImageCollection",
+    "WorkUnit",
     "is_interactive",
 ]
+
+
+def __getattr__(name):
+    """Lazy top-level re-exports (mirroring the reference's
+    src/kbmod/__init__.py:96-98) without importing the heavy ingestion
+    stack at package import."""
+    if name == "Standardizer":
+        from kbmod_tpu.standardizers import Standardizer
+
+        return Standardizer
+    if name == "ImageCollection":
+        from kbmod_tpu.image_collection import ImageCollection
+
+        return ImageCollection
+    if name == "WorkUnit":
+        from kbmod_tpu.work_unit import WorkUnit
+
+        return WorkUnit
+    raise AttributeError(f"module 'kbmod_tpu' has no attribute {name}")
