@@ -259,6 +259,39 @@ class StackSearch:
             gate_min_obs = False
             do_sigmag = False
 
+        # Multi-chip path: when several devices are visible (and the search
+        # has no in-kernel sigma-G), run the candidate-sharded mesh search.
+        # KB_SHARDED=0 disables; KB_SHARD_MODE picks candidates|pixels.
+        import os
+
+        import jax
+
+        use_sharded = (
+            os.environ.get("KB_SHARDED", "auto") != "0"
+            and jax.device_count() > 1
+            and not (on_gpu and p.do_sigmag_filter)
+            and (os.environ.get("KB_SHARDED") == "1" or jax.default_backend() == "tpu")
+        )
+        if use_sharded:
+            from kbmod_tpu.parallel import build_mesh, sharded_core_search
+
+            psi, phi, valid = self._decoded()
+            raw = sharded_core_search(
+                psi, phi, valid, self._zeroed_times, vxs, vys, build_mesh(),
+                x_min=p.x_start_min, x_max=p.x_start_max,
+                y_min=p.y_start_min, y_max=p.y_start_max,
+                results_per_pixel=rpp,
+                min_obs=p.min_observations, min_lh=p.min_lh,
+                gate_min_obs=gate_min_obs,
+                shard_mode=os.environ.get("KB_SHARD_MODE", "candidates"),
+            )
+            self.results = TrajectoryList(raw)
+            self.results.filter_by_likelihood(p.min_lh)
+            self.results.filter_by_obs_count(p.min_observations)
+            self.results.sort_by_likelihood()
+            self.results.assert_valid()
+            return
+
         # Quantized stacks stream their codes straight through the kernel
         # (decode in-register); the float path passes decoded planes.
         meta = self.psi_phi_array.meta
