@@ -173,15 +173,22 @@ def _search_kernel(
             ok &= lh >= min_lh
         new = jnp.where(ok, lh, -jnp.inf)
         newi = jnp.full((TH, SW), cand_offset + c, dtype=jnp.int32)
-        # Sorted K-slot insertion (vectorized bubble; kernels.cu:322-330).
-        for k in range(K):
-            cur = top_lh_ref[k]
-            curi = top_idx_ref[k]
-            better = new > cur
-            top_lh_ref[k] = jnp.where(better, new, cur)
-            top_idx_ref[k] = jnp.where(better, newi, curi)
-            new = jnp.where(better, cur, new)
-            newi = jnp.where(better, curi, newi)
+        # Sorted K-slot insertion as a vectorized rank-insert: the new entry
+        # lands at rank p = #(existing >= new); entries below shift down one
+        # slot. Likelihoods match the reference bubble (kernels.cu:322-330)
+        # exactly; the only divergence is the ordering of *exactly equal*
+        # likelihoods (the bubble reverses equal pairs during displacement
+        # cascades; the rank-insert preserves arrival order).
+        top = top_lh_ref[...]
+        topi = top_idx_ref[...]
+        p = jnp.sum((top >= new[None]).astype(jnp.int32), axis=0)  # (TH, SW)
+        kidx = lax.broadcasted_iota(jnp.int32, (K, TH, SW), 0)
+        shifted = jnp.concatenate([top[:1], top[:-1]], axis=0)
+        shiftedi = jnp.concatenate([topi[:1], topi[:-1]], axis=0)
+        at_p = kidx == p[None]
+        below = kidx > p[None]
+        top_lh_ref[...] = jnp.where(at_p, new[None], jnp.where(below, shifted, top))
+        top_idx_ref[...] = jnp.where(at_p, newi[None], jnp.where(below, shiftedi, topi))
 
     pl.run_scoped(
         run,

@@ -52,11 +52,21 @@ def _run_both(data, k, bounds=None, min_obs=0.0, gate_min_obs=True, row_tile=16)
     return (np.asarray(ref_lh), np.asarray(ref_idx)), (np.asarray(pal_lh), np.asarray(pal_idx))
 
 
+def _assert_idx_match_modulo_ties(ref_lh, pal_lh, ref_idx, pal_idx):
+    """Indices must agree except at exact-tie slots: the reference bubble
+    and the rank-insert order exactly-equal likelihoods differently, so a
+    differing index is acceptable only when both kernels report the
+    identical likelihood there."""
+    mism = ref_idx != pal_idx
+    for k, i, j in np.argwhere(mism):
+        assert ref_lh[k, i, j] == pal_lh[k, i, j], f"non-tie idx mismatch at {(k, i, j)}"
+
+
 class TestPallasMatchesXLA:
     def test_full_image(self, data):
         (ref_lh, ref_idx), (pal_lh, pal_idx) = _run_both(data, k=3)
         np.testing.assert_allclose(pal_lh, ref_lh, rtol=1e-5, atol=1e-5)
-        np.testing.assert_array_equal(pal_idx, ref_idx)
+        _assert_idx_match_modulo_ties(ref_lh, pal_lh, ref_idx, pal_idx)
 
     def test_uneven_tile(self, data):
         # SH=40 with row_tile=16 -> padded rows exercised.
@@ -95,4 +105,4 @@ class TestPallasMatchesXLA:
             interpret=True, row_tile=16, cand_valid=jnp.asarray(cand_valid),
         )
         np.testing.assert_allclose(np.asarray(pal_lh), np.asarray(ref_lh), rtol=1e-5, atol=1e-5)
-        np.testing.assert_array_equal(np.asarray(pal_idx), np.asarray(ref_idx))
+        _assert_idx_match_modulo_ties(np.asarray(ref_lh), np.asarray(pal_lh), np.asarray(ref_idx), np.asarray(pal_idx))
