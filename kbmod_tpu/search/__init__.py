@@ -24,6 +24,7 @@ from kbmod_tpu.search.trajectory_list import (
     extract_all_trajectory_flux,
     extract_all_trajectory_obs_count,
 )
+from kbmod_tpu.search.checkpoint import checkpointed_core_search
 from kbmod_tpu.search.stack_search import StackSearch
 from kbmod_tpu.ops.psi_phi import (
     PsiPhiArray,

@@ -122,6 +122,14 @@ class StackSearch:
     def set_min_lh(self, new_value):
         self.params.min_lh = new_value
 
+    def enable_search_checkpointing(self, directory, tile_rows=256):
+        """Checkpoint the search per starting-pixel row tile (TPU-build
+        extension; the reference has no mid-search resume, SURVEY.md §5.4).
+        A killed search_all resumes from the finished tiles in ``directory``.
+        Pass ``directory=None`` to disable."""
+        self._checkpoint_dir = directory
+        self._checkpoint_tile_rows = int(tile_rows)
+
     def set_results_per_pixel(self, new_value):
         if new_value <= 0:
             raise RuntimeError(f"Invalid results per pixel. Got {new_value}")
@@ -307,18 +315,7 @@ class StackSearch:
             encode_kwargs = {}
             psi, phi, valid = self._decoded()
 
-        raw = search_ops.core_search(
-            psi,
-            phi,
-            valid,
-            self._zeroed_times,
-            vxs,
-            vys,
-            p.x_start_min,
-            p.x_start_max,
-            p.y_start_min,
-            p.y_start_max,
-            rpp,
+        common = dict(
             min_obs=p.min_observations,
             min_lh=p.min_lh,
             do_sigmag=do_sigmag,
@@ -328,6 +325,23 @@ class StackSearch:
             gate_min_obs=gate_min_obs,
             **encode_kwargs,
         )
+        ckpt_dir = getattr(self, "_checkpoint_dir", None)
+        if ckpt_dir:
+            from kbmod_tpu.search.checkpoint import checkpointed_core_search
+
+            raw = checkpointed_core_search(
+                psi, phi, valid, self._zeroed_times, vxs, vys,
+                p.x_start_min, p.x_start_max, p.y_start_min, p.y_start_max,
+                rpp, ckpt_dir,
+                tile_rows=getattr(self, "_checkpoint_tile_rows", 256),
+                **common,
+            )
+        else:
+            raw = search_ops.core_search(
+                psi, phi, valid, self._zeroed_times, vxs, vys,
+                p.x_start_min, p.x_start_max, p.y_start_min, p.y_start_max,
+                rpp, **common,
+            )
         num_results = len(raw["x"])
         logger.debug(f"Core search returned {num_results} results.")
 
