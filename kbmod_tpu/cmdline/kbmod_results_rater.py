@@ -30,9 +30,21 @@ def main():
     parser.add_argument("--outfile", required=True)
     parser.add_argument("--stamp_col", default="coadd_mean")
     parser.add_argument("--start", type=int, default=0)
+    parser.add_argument(
+        "--gui", action="store_true",
+        help="Launch the matplotlib ResultsRater instead of the console flow.",
+    )
     args = parser.parse_args()
 
     from kbmod_tpu.results import Results
+
+    if args.gui:
+        from kbmod_tpu.analysis.results_rater import ResultsRater
+
+        rater = ResultsRater(args.input, outfile=args.outfile)
+        rater.goto_index(args.start)
+        rater.show()
+        return
 
     results = Results.read_table(args.input)
     ratings = np.array(

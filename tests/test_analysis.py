@@ -79,3 +79,67 @@ class TestAnalyzeFakes:
         assert by_group["b"] == 0.0
         mask = recovery_report(fakes, found, times=np.array([0.0, 1.0]), threshold=3.0)
         assert mask.tolist() == [True, False]
+
+
+class TestResultsRater:
+    def _make(self, tmp_path=None, n=3):
+        from kbmod_tpu.analysis.results_rater import ResultsRater
+
+        rng = np.random.default_rng(11)
+        results = make_fake_results(6, 100, 100, n, rng=rng)
+        add_fake_coadds_to_results(results, 5, ["mean", "sum"], rng=rng)
+        return ResultsRater(results, outfile=str(tmp_path / "rated.ecsv") if tmp_path else None)
+
+    def test_navigation_and_labels(self, tmp_path):
+        rater = self._make(tmp_path)
+        assert rater.idx == 0
+        rater.next_result()
+        assert rater.idx == 1
+        rater.set_class(1)
+        assert rater.results["user_class"][1] == "Valid (1)"
+        rater.previous_result()
+        assert rater.idx == 0
+        rater.goto_index(2)
+        assert rater.idx == 2
+        rater.set_notes("maybe")
+        assert rater.results["notes"][2] == "maybe"
+
+    def test_key_events(self, tmp_path):
+        rater = self._make(tmp_path)
+
+        class Ev:
+            def __init__(self, key):
+                self.key = key
+
+        rater._on_key_press(Ev("right"))
+        assert rater.idx == 1
+        rater._on_key_press(Ev("2"))
+        assert rater.results["user_class"][1] == "Noise (2)"
+        rater._on_key_press(Ev("left"))
+        assert rater.idx == 0
+        rater._on_key_press(Ev("escape"))
+        assert not rater.is_running
+
+    def test_save_and_reload(self, tmp_path):
+        rater = self._make(tmp_path)
+        rater.set_class(3)
+        out = str(tmp_path / "rated.ecsv")
+        rater.save_to_file(out)
+        from kbmod_tpu.analysis.results_rater import ResultsRater
+
+        again = ResultsRater.from_file(out)
+        assert again.results["user_class"][0] == "Unknown (3)"
+        assert again.outfile == out
+
+    def test_scalar_extraction(self, tmp_path):
+        from kbmod_tpu.analysis.results_rater import extract_results_row_scalars
+
+        rater = self._make(tmp_path)
+        vals = extract_results_row_scalars(rater.results, 0)
+        assert "likelihood" in vals and "x" in vals
+        # Array-valued columns are excluded.
+        assert "coadd_mean" not in vals
+        import pytest as _pytest
+
+        with _pytest.raises(IndexError):
+            extract_results_row_scalars(rater.results, 99)
