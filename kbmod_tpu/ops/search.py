@@ -552,8 +552,21 @@ def core_search(
             jnp.float32(min_obs),
             jnp.float32(min_lh),
         )
-        kernel_kwargs["encode_meta"] = jnp.asarray(np.asarray(encode_meta, dtype=np.float32))
-        top_lh, top_idx = search_topk_shift(*args, **kernel_kwargs)
+        if kernel == "pallas":
+            from kbmod_tpu.ops.search_pallas import search_topk_pallas_encoded
+
+            interpret = jax.default_backend() != "tpu"
+            top_lh, top_idx = search_topk_pallas_encoded(
+                jnp.asarray(psi_codes), jnp.asarray(phi_codes),
+                jnp.asarray(dxs), jnp.asarray(dys),
+                jnp.float32(min_obs), jnp.float32(min_lh),
+                jnp.asarray(np.asarray(encode_meta, dtype=np.float32)),
+                interpret=interpret,
+                **{k: v for k, v in kernel_kwargs.items() if k != "has_masked"},
+            )
+        else:
+            kernel_kwargs["encode_meta"] = jnp.asarray(np.asarray(encode_meta, dtype=np.float32))
+            top_lh, top_idx = search_topk_shift(*args, **kernel_kwargs)
     else:
         args = (
             jnp.asarray(psi),

@@ -339,3 +339,312 @@ def search_topk_pallas(
     )(rows, ox, oy, cok, scalars, psi_r, phi_r, val_r)
 
     return top_lh[:, :SH, :], top_idx[:, :SH, :]
+
+
+def _search_kernel_encoded(
+    rows_ref,  # (C, T) int32: source word-row at tile row 0
+    ox_ref,  # (C, T) int32: column offset (x_min + dx_t), in image columns
+    oy_ref,  # (C, T) int32: row offset for the bounds mask
+    cok_ref,  # (C,) int32 candidate validity
+    scalars_ref,  # (8,) f32: [min_obs, min_lh, cand_offset, total_rows,
+    #              psi_min, psi_scale, phi_min, phi_scale]
+    psi_hbm,  # (rows, W4) int32 packed codes
+    phi_hbm,
+    *refs,  # PACK lh outputs, PACK idx outputs, then scratch
+    T,
+    H,
+    W,
+    W4,
+    PACK,
+    BITS,
+    TH,
+    SW4,
+    K,
+    gate_min_obs,
+    gate_min_lh,
+):
+    """Quantized-codes variant of _search_kernel.
+
+    The uint8/uint16 psi/phi codes (0 = masked; value = (code-1)*scale+min,
+    the reference encoding, psi_phi_array_ds.h:40-47) are packed PACK-per-
+    int32-word along the column axis, so the hot-loop DMAs move 1-2 bytes
+    per sample instead of 9 (psi+phi+valid float path) — the kernel is HBM-
+    bandwidth-bound, so this is a direct throughput multiplier and is also
+    the only layout that fits survey-scale stacks in HBM.
+
+    Columns are processed in PACK interleaved classes (output column
+    j = PACK*w + k lives in class k at word w). For a column shift ox the
+    source of class k is class (k+ox) mod PACK rolled by (k+ox)//PACK
+    words — uniform over the tile, so each class needs one dynamic lane
+    roll + one scalar shift/mask extract per time step. Outputs stay in
+    class-packed layout; the host wrapper interleaves them back.
+    """
+    out_lh = refs[:PACK]
+    out_idx = refs[PACK : 2 * PACK]
+    psi_buf, phi_buf, sems = refs[2 * PACK :]
+
+    ty = pl.program_id(0)
+    c = pl.program_id(1)
+    tile_row0 = ty * TH
+    CODE_MASK = (1 << BITS) - 1
+
+    @pl.when(c == 0)
+    def _init_topk():
+        for k in range(PACK):
+            out_lh[k][...] = jnp.full((K, TH, SW4), -FLT_MAX, dtype=jnp.float32)
+            out_idx[k][...] = jnp.full((K, TH, SW4), -1, dtype=jnp.int32)
+
+    min_obs = scalars_ref[0]
+    min_lh = scalars_ref[1]
+    cand_offset = scalars_ref[2].astype(jnp.int32)
+    total_rows = scalars_ref[3].astype(jnp.int32)
+    psi_min = scalars_ref[4]
+    psi_scale = scalars_ref[5]
+    phi_min = scalars_ref[6]
+    phi_scale = scalars_ref[7]
+
+    TB = TH + 8
+
+    def row_for(t):
+        r = jnp.clip(rows_ref[c, t] + tile_row0, 0, total_rows - TB)
+        r8 = pl.multiple_of((r // 8) * 8, 8)
+        return r8, r - r8
+
+    def dma(slot, t):
+        r8, _ = row_for(t)
+        return [
+            pltpu.make_async_copy(psi_hbm.at[pl.ds(r8, TB), :], psi_buf.at[slot], sems.at[slot, 0]),
+            pltpu.make_async_copy(phi_hbm.at[pl.ds(r8, TB), :], phi_buf.at[slot], sems.at[slot, 1]),
+        ]
+
+    ii = lax.broadcasted_iota(jnp.int32, (TH, SW4), 0)
+    jw = lax.broadcasted_iota(jnp.int32, (TH, SW4), 1)
+
+    def run(acc_psi, acc_phi, acc_obs):
+        acc_psi[...] = jnp.zeros((PACK, TH, SW4), dtype=jnp.float32)
+        acc_phi[...] = jnp.zeros((PACK, TH, SW4), dtype=jnp.float32)
+        acc_obs[...] = jnp.zeros((PACK, TH, SW4), dtype=jnp.float32)
+
+        for cp in dma(0, 0):
+            cp.start()
+
+        def tbody(t, _):
+            slot = t % 2
+
+            @pl.when(t + 1 < T)
+            def _prefetch():
+                for cp in dma((t + 1) % 2, t + 1):
+                    cp.start()
+
+            for cp in dma(slot, t):
+                cp.wait()
+
+            oy = oy_ref[c, t] + tile_row0
+            ox = ox_ref[c, t]
+            _, rshift = row_for(t)
+            # Row shift once per step (non-negative sublane rotate).
+            pw = pltpu.roll(psi_buf[slot], TB - rshift, 0)[:TH]
+            fw = pltpu.roll(phi_buf[slot], TB - rshift, 0)[:TH]
+            row_ok = (ii >= -oy) & (ii < H - oy)
+            for k in range(PACK):
+                # Source class/word-shift for output class k (floor-mod for
+                # negative ox; the difference is an exact PACK multiple so
+                # truncating division equals floor).
+                sk = lax.rem(lax.rem(k + ox, PACK) + PACK, PACK)
+                dw = (k + ox - sk) // PACK
+                pk = pltpu.roll(pw, -dw, 1)[:, :SW4]
+                fk = pltpu.roll(fw, -dw, 1)[:, :SW4]
+                shift = sk * BITS
+                pc = lax.shift_right_logical(pk, shift) & CODE_MASK
+                fc = lax.shift_right_logical(fk, shift) & CODE_MASK
+                j = PACK * jw + k  # output column in search space
+                m = row_ok & (j >= -ox) & (j < W - ox) & (pc > 0) & (fc > 0)
+                mf = jnp.where(m, jnp.float32(1.0), jnp.float32(0.0))
+                ps = jnp.where(m, (pc.astype(jnp.float32) - 1.0) * psi_scale + psi_min, 0.0)
+                fs = jnp.where(m, (fc.astype(jnp.float32) - 1.0) * phi_scale + phi_min, 0.0)
+                acc_psi[k] = acc_psi[k] + ps
+                acc_phi[k] = acc_phi[k] + fs
+                acc_obs[k] = acc_obs[k] + mf
+            return 0
+
+        lax.fori_loop(0, T, tbody, 0)
+
+        for k in range(PACK):
+            phi_sum = acc_phi[k]
+            psi_sum = acc_psi[k]
+            obs = acc_obs[k]
+            lh = jnp.where(phi_sum > 0, psi_sum * lax.rsqrt(jnp.maximum(phi_sum, 1e-30)), -1.0)
+            ok = jnp.full((TH, SW4), cok_ref[c] != 0)
+            if gate_min_obs:
+                ok &= obs >= min_obs
+            if gate_min_lh:
+                ok &= lh >= min_lh
+            new = jnp.where(ok, lh, -jnp.inf)
+            newi = jnp.full((TH, SW4), cand_offset + c, dtype=jnp.int32)
+            top = out_lh[k][...]
+            topi = out_idx[k][...]
+            p = jnp.sum((top >= new[None]).astype(jnp.int32), axis=0)
+            kidx = lax.broadcasted_iota(jnp.int32, (K, TH, SW4), 0)
+            shifted = jnp.concatenate([top[:1], top[:-1]], axis=0)
+            shiftedi = jnp.concatenate([topi[:1], topi[:-1]], axis=0)
+            at_p = kidx == p[None]
+            below = kidx > p[None]
+            out_lh[k][...] = jnp.where(at_p, new[None], jnp.where(below, shifted, top))
+            out_idx[k][...] = jnp.where(at_p, newi[None], jnp.where(below, shiftedi, topi))
+
+    pl.run_scoped(
+        run,
+        acc_psi=pltpu.VMEM((PACK, TH, SW4), jnp.float32),
+        acc_phi=pltpu.VMEM((PACK, TH, SW4), jnp.float32),
+        acc_obs=pltpu.VMEM((PACK, TH, SW4), jnp.float32),
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "x_min", "x_max", "y_min", "y_max", "k_results",
+        "gate_min_obs", "gate_min_lh", "row_tile", "interpret",
+    ),
+)
+def search_topk_pallas_encoded(
+    psi_codes,
+    phi_codes,
+    dxs,
+    dys,
+    min_obs,
+    min_lh,
+    encode_meta,
+    *,
+    x_min,
+    x_max,
+    y_min,
+    y_max,
+    k_results,
+    gate_min_obs=True,
+    gate_min_lh=False,
+    row_tile=None,
+    interpret=False,
+    cand_offset=0,
+    cand_valid=None,
+):
+    """Pallas search over quantized psi/phi code stacks — identical outputs
+    to search_topk_shift with encode_meta (the XLA encoded path).
+
+    psi_codes, phi_codes: (T, H, W) uint8 or uint16 (0 = masked);
+    encode_meta: (4,) f32 [psi_min, psi_scale, phi_min, phi_scale].
+    """
+    T, H, W = psi_codes.shape
+    C = dxs.shape[0]
+    SH = y_max - y_min
+    SW = x_max - x_min
+    K = int(k_results)
+
+    if psi_codes.dtype == jnp.uint8:
+        PACK, BITS = 4, 8
+    elif psi_codes.dtype == jnp.uint16:
+        PACK, BITS = 2, 16
+    else:
+        raise ValueError(f"encoded search needs uint8/uint16 codes, got {psi_codes.dtype}")
+
+    SW4 = pl.cdiv(SW, PACK)
+    W4 = _round_up(max(pl.cdiv(W, PACK), SW4), 128)
+    Wp = W4 * PACK
+
+    if row_tile is None:
+        # VMEM budget: class-packed top-K blocks + double-buffered word
+        # slabs + 3 class-packed accumulators (see search_topk_pallas).
+        budget = 7 * 1024 * 1024
+        per_row = 2 * K * SW4 * PACK * 4 + 16 * W4 + 3 * SW4 * PACK * 4
+        row_tile = max(8, min(_round_up(SH, 8), (budget // per_row) // 8 * 8, 256))
+    TH = int(row_tile)
+    n_ty = pl.cdiv(SH, TH)
+    SH_pad = n_ty * TH
+
+    pad_rows = _round_up(SH_pad + H + 16, 8)
+    total_rows = T * H + 2 * pad_rows
+
+    def to_word_rows(codes):
+        if Wp > W:
+            codes = jnp.pad(codes, ((0, 0), (0, 0), (0, Wp - W)))
+        words = lax.bitcast_convert_type(codes.reshape(T, H, W4, PACK), jnp.int32)
+        z = jnp.zeros((pad_rows, W4), dtype=jnp.int32)
+        return jnp.concatenate([z, words.reshape(T * H, W4), z], axis=0)
+
+    psi_r = to_word_rows(psi_codes)
+    phi_r = to_word_rows(phi_codes)
+
+    t_idx = jnp.arange(T, dtype=jnp.int32)[None, :]
+    oy = jnp.int32(y_min) + dys.astype(jnp.int32)
+    ox = jnp.int32(x_min) + dxs.astype(jnp.int32)
+    rows = pad_rows + t_idx * H + oy
+
+    cok = (
+        jnp.ones((C,), dtype=jnp.int32)
+        if cand_valid is None
+        else cand_valid.astype(jnp.int32).reshape(C)
+    )
+    em = jnp.asarray(encode_meta, dtype=jnp.float32).reshape(4)
+    scalars = jnp.concatenate(
+        [
+            jnp.stack(
+                [
+                    jnp.float32(min_obs),
+                    jnp.float32(min_lh),
+                    jnp.float32(cand_offset),
+                    jnp.float32(total_rows),
+                ]
+            ),
+            em,
+        ]
+    )
+
+    kernel = functools.partial(
+        _search_kernel_encoded,
+        T=T, H=H, W=W, W4=W4, PACK=PACK, BITS=BITS, TH=TH, SW4=SW4, K=K,
+        gate_min_obs=gate_min_obs, gate_min_lh=gate_min_lh,
+    )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(n_ty, C),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),  # psi words
+            pl.BlockSpec(memory_space=pltpu.HBM),  # phi words
+        ],
+        out_specs=tuple(
+            pl.BlockSpec((K, TH, SW4), lambda ty, c, *prefetch: (0, ty, 0))
+            for _ in range(2 * PACK)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, TH + 8, W4), jnp.int32),
+            pltpu.VMEM((2, TH + 8, W4), jnp.int32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+    )
+
+    cost = pl.CostEstimate(
+        flops=2 * C * T * SH_pad * SW,
+        bytes_accessed=C * T * TH * W4 * 8 * n_ty,
+        transcendentals=C * SH_pad * SW,
+    )
+
+    out_shapes = tuple(
+        jax.ShapeDtypeStruct((K, SH_pad, SW4), jnp.float32) for _ in range(PACK)
+    ) + tuple(jax.ShapeDtypeStruct((K, SH_pad, SW4), jnp.int32) for _ in range(PACK))
+
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shapes,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        cost_estimate=cost,
+        interpret=interpret,
+    )(rows, ox, oy, cok, scalars, psi_r, phi_r)
+
+    # Interleave class-packed outputs: output column j = PACK*w + k.
+    top_lh = jnp.stack(outs[:PACK], axis=-1).reshape(K, SH_pad, SW4 * PACK)
+    top_idx = jnp.stack(outs[PACK:], axis=-1).reshape(K, SH_pad, SW4 * PACK)
+    return top_lh[:, :SH, :SW], top_idx[:, :SH, :SW]

@@ -106,3 +106,68 @@ class TestPallasMatchesXLA:
         )
         np.testing.assert_allclose(np.asarray(pal_lh), np.asarray(ref_lh), rtol=1e-5, atol=1e-5)
         _assert_idx_match_modulo_ties(np.asarray(ref_lh), np.asarray(pal_lh), np.asarray(ref_idx), np.asarray(pal_idx))
+
+
+class TestPallasEncoded:
+    def _encoded_data(self, num_bytes):
+        rng = np.random.default_rng(123)
+        T, H, W = 5, 40, 48
+        times = np.arange(T) * 0.35
+        psi = [rng.normal(0, 1, (H, W)).astype(np.float32) for _ in range(T)]
+        phi = [rng.uniform(0.5, 2.0, (H, W)).astype(np.float32) for _ in range(T)]
+        for t in range(T):
+            bad = rng.uniform(size=(H, W)) < 0.07
+            psi[t][bad] = np.nan
+            phi[t][bad] = np.nan
+        arr = PsiPhiArray()
+        fill_psi_phi_array(arr, num_bytes, psi, phi, times)
+        meta = arr.meta
+        em = np.array(
+            [meta.psi_min_val, meta.psi_scale, meta.phi_min_val, meta.phi_scale],
+            dtype=np.float32,
+        )
+        vxs = np.array([0.0, 2.5, -3.0, 5.3, 1.7, -0.8], dtype=np.float32)
+        vys = np.array([0.0, -2.0, 3.5, 1.4, -4.1, 2.2], dtype=np.float32)
+        dxs, dys = trajectory_offsets(vxs, vys, times)
+        return arr, em, dxs, dys, (T, H, W)
+
+    @pytest.mark.parametrize("num_bytes", [1, 2])
+    @pytest.mark.parametrize("bounds", [None, (5, 30, 4, 25), (-4, 52, -6, 42)])
+    def test_matches_xla_encoded(self, num_bytes, bounds):
+        from kbmod_tpu.ops.search_pallas import search_topk_pallas_encoded
+
+        arr, em, dxs, dys, (T, H, W) = self._encoded_data(num_bytes)
+        if bounds is None:
+            bounds = (0, W, 0, H)
+        x_min, x_max, y_min, y_max = bounds
+        common = dict(x_min=x_min, x_max=x_max, y_min=y_min, y_max=y_max, k_results=3)
+        ref_lh, ref_idx = search_topk_shift(
+            jnp.asarray(arr.psi), jnp.asarray(arr.phi), jnp.zeros((1, 1, 1), jnp.uint8),
+            jnp.asarray(dxs), jnp.asarray(dys), jnp.float32(2.0), jnp.float32(0.0),
+            encode_meta=jnp.asarray(em), **common,
+        )
+        pal_lh, pal_idx = search_topk_pallas_encoded(
+            jnp.asarray(arr.psi), jnp.asarray(arr.phi),
+            jnp.asarray(dxs), jnp.asarray(dys), jnp.float32(2.0), jnp.float32(0.0),
+            jnp.asarray(em), interpret=True, row_tile=16, **common,
+        )
+        ref_lh, pal_lh = np.asarray(ref_lh), np.asarray(pal_lh)
+        np.testing.assert_allclose(pal_lh, ref_lh, rtol=1e-5, atol=1e-5)
+        _assert_idx_match_modulo_ties(ref_lh, pal_lh, np.asarray(ref_idx), np.asarray(pal_idx))
+
+    def test_core_search_pallas_encoded(self):
+        from kbmod_tpu.ops.search import core_search
+
+        arr, em, dxs, dys, (T, H, W) = self._encoded_data(1)
+        vxs = np.array([0.0, 2.5, -3.0, 5.3, 1.7, -0.8], dtype=np.float32)
+        vys = np.array([0.0, -2.0, 3.5, 1.4, -4.1, 2.2], dtype=np.float32)
+        psi_z, phi_z, valid = arr.decoded_psi_phi()
+        times = np.arange(T) * 0.35
+        common = dict(min_obs=2, min_lh=0.0, psi_codes=arr.psi, phi_codes=arr.phi, encode_meta=em)
+        ref = core_search(psi_z, phi_z, valid, times, vxs, vys, 0, W, 0, H, 3,
+                          kernel="xla", **common)
+        out = core_search(psi_z, phi_z, valid, times, vxs, vys, 0, W, 0, H, 3,
+                          kernel="pallas", **common)
+        np.testing.assert_allclose(out["lh"], ref["lh"], rtol=1e-5, atol=1e-5)
+        np.testing.assert_array_equal(out["x"], ref["x"])
+        np.testing.assert_array_equal(out["obs_count"], ref["obs_count"])
