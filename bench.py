@@ -28,6 +28,12 @@ def main():
     W = int(os.environ.get("KB_BENCH_W", 1024))
     C = int(os.environ.get("KB_BENCH_C", 512))
     K = int(os.environ.get("KB_BENCH_K", 8))
+    # Kernel: the fused Pallas kernel on TPU (the XLA kernel elsewhere, and
+    # via KB_BENCH_KERNEL=xla). The Pallas executable is served from the
+    # persistent compile cache after the first run.
+    kernel = os.environ.get(
+        "KB_BENCH_KERNEL", "pallas" if jax.default_backend() == "tpu" else "xla"
+    )
 
     rng = np.random.default_rng(42)
     psi = jnp.asarray(rng.normal(0, 1, (T, H, W)).astype(np.float32))
@@ -44,11 +50,21 @@ def main():
     dxs = jnp.asarray(dxs)
     dys = jnp.asarray(dys)
 
+    if kernel == "pallas":
+        from kbmod_tpu.ops.search_pallas import search_topk_pallas
+
+        def search(**kw):
+            return search_topk_pallas(
+                psi, phi, valid, dxs, dys, jnp.float32(0), jnp.float32(0), **kw
+            )
+    else:
+        def search(**kw):
+            return search_topk_shift(
+                psi, phi, valid, dxs, dys, jnp.float32(0), jnp.float32(0), **kw
+            )
+
     def run():
-        top_lh, top_idx = search_topk_shift(
-            psi, phi, valid, dxs, dys, jnp.float32(0), jnp.float32(0),
-            x_min=0, x_max=W, y_min=0, y_max=H, k_results=K,
-        )
+        top_lh, top_idx = search(x_min=0, x_max=W, y_min=0, y_max=H, k_results=K)
         # Force full completion: fetch a value to host (block_until_ready
         # does not block through the axon tunnel).
         return float(np.asarray(top_lh[0, 0, 0]))
@@ -67,7 +83,7 @@ def main():
             {
                 "metric": "candidate_trajectory_evals_per_sec",
                 "value": evals_per_sec,
-                "unit": f"evals/s (T={T}, {H}x{W}, C={C}, K={K}, f32)",
+                "unit": f"evals/s (T={T}, {H}x{W}, C={C}, K={K}, f32, {kernel})",
                 "vs_baseline": evals_per_sec / 1e9,
             }
         )
