@@ -6,6 +6,11 @@ manual per-patch runs merged by kbmod-merge-results — SURVEY.md §2.1).
 This package is the TPU-native replacement.
 """
 
+from kbmod_tpu.parallel.distributed import (
+    initialize_distributed,
+    is_distributed,
+    assign_patches_to_hosts,
+)
 from kbmod_tpu.parallel.sharded import (
     build_mesh,
     sharded_search_topk,
@@ -14,6 +19,9 @@ from kbmod_tpu.parallel.sharded import (
 )
 
 __all__ = [
+    "initialize_distributed",
+    "is_distributed",
+    "assign_patches_to_hosts",
     "build_mesh",
     "sharded_search_topk",
     "sharded_core_search",

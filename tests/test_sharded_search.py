@@ -92,3 +92,26 @@ class TestShardedSearch:
         ok = np.isfinite(np.asarray(psi_ref))
         np.testing.assert_allclose(np.asarray(psi)[ok], np.asarray(psi_ref)[ok], rtol=1e-5, atol=1e-6)
         assert np.asarray(valid)[0, 3, 3] == 0
+
+
+class TestDistributedHelpers:
+    def test_assign_patches_round_robin(self):
+        from kbmod_tpu.parallel import assign_patches_to_hosts
+
+        a0 = assign_patches_to_hosts(10, num_hosts=3, host_id=0)
+        a1 = assign_patches_to_hosts(10, num_hosts=3, host_id=1)
+        a2 = assign_patches_to_hosts(10, num_hosts=3, host_id=2)
+        assert a0 == [0, 3, 6, 9]
+        assert a1 == [1, 4, 7]
+        assert a2 == [2, 5, 8]
+        assert sorted(a0 + a1 + a2) == list(range(10))
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            assign_patches_to_hosts(4, num_hosts=2, host_id=5)
+
+    def test_single_process_defaults(self):
+        from kbmod_tpu.parallel import assign_patches_to_hosts, is_distributed
+
+        assert not is_distributed()
+        assert assign_patches_to_hosts(3) == [0, 1, 2]
