@@ -28,11 +28,13 @@ def main():
     W = int(os.environ.get("KB_BENCH_W", 1024))
     C = int(os.environ.get("KB_BENCH_C", 512))
     K = int(os.environ.get("KB_BENCH_K", 8))
-    # Kernel: the fused Pallas kernel on TPU (the XLA kernel elsewhere, and
-    # via KB_BENCH_KERNEL=xla). The Pallas executable is served from the
+    # Kernel: the encoded (uint8 psi/phi codes) Pallas kernel on TPU — the
+    # BASELINE.md north-star config is int8 psi/phi on-chip, mirroring the
+    # reference's encode_num_bytes survey mode. KB_BENCH_KERNEL selects
+    # pallas_encoded | pallas | xla. Pallas executables are served from the
     # persistent compile cache after the first run.
     kernel = os.environ.get(
-        "KB_BENCH_KERNEL", "pallas" if jax.default_backend() == "tpu" else "xla"
+        "KB_BENCH_KERNEL", "pallas_encoded" if jax.default_backend() == "tpu" else "xla"
     )
 
     rng = np.random.default_rng(42)
@@ -50,7 +52,19 @@ def main():
     dxs = jnp.asarray(dxs)
     dys = jnp.asarray(dys)
 
-    if kernel == "pallas":
+    if kernel == "pallas_encoded":
+        from kbmod_tpu.ops.search_pallas import search_topk_pallas_encoded
+
+        # uint8 psi/phi codes (0 = masked) with a representative scale.
+        psi_c = jnp.asarray(rng.integers(1, 256, (T, H, W), dtype=np.uint8))
+        phi_c = jnp.asarray(rng.integers(1, 256, (T, H, W), dtype=np.uint8))
+        em = jnp.asarray(np.array([-6.0, 12.0 / 254, 0.1, 4.0 / 254], dtype=np.float32))
+
+        def search(**kw):
+            return search_topk_pallas_encoded(
+                psi_c, phi_c, dxs, dys, jnp.float32(0), jnp.float32(0), em, **kw
+            )
+    elif kernel == "pallas":
         from kbmod_tpu.ops.search_pallas import search_topk_pallas
 
         def search(**kw):
@@ -83,7 +97,10 @@ def main():
             {
                 "metric": "candidate_trajectory_evals_per_sec",
                 "value": evals_per_sec,
-                "unit": f"evals/s (T={T}, {H}x{W}, C={C}, K={K}, f32, {kernel})",
+                "unit": (
+                    f"evals/s (T={T}, {H}x{W}, C={C}, K={K}, "
+                    f"{'u8' if kernel == 'pallas_encoded' else 'f32'}, {kernel})"
+                ),
                 "vs_baseline": evals_per_sec / 1e9,
             }
         )
