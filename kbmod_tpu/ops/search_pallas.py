@@ -348,14 +348,13 @@ def _search_kernel_encoded(
     cok_ref,  # (C,) int32 candidate validity
     scalars_ref,  # (8,) f32: [min_obs, min_lh, cand_offset, total_rows,
     #              psi_min, psi_scale, phi_min, phi_scale]
-    psi_hbm,  # (rows, W4) int32 packed codes
-    phi_hbm,
-    *refs,  # PACK lh outputs, PACK idx outputs, then scratch
+    words_hbm,  # (rows, W4) int32: interleaved psi/phi codes
+    *refs,  # COLS lh outputs, COLS idx outputs, then scratch
     T,
     H,
     W,
     W4,
-    PACK,
+    COLS,
     BITS,
     TH,
     SW4,
@@ -366,22 +365,26 @@ def _search_kernel_encoded(
     """Quantized-codes variant of _search_kernel.
 
     The uint8/uint16 psi/phi codes (0 = masked; value = (code-1)*scale+min,
-    the reference encoding, psi_phi_array_ds.h:40-47) are packed PACK-per-
-    int32-word along the column axis, so the hot-loop DMAs move 1-2 bytes
-    per sample instead of 9 (psi+phi+valid float path) — the kernel is HBM-
-    bandwidth-bound, so this is a direct throughput multiplier and is also
-    the only layout that fits survey-scale stacks in HBM.
+    the reference encoding, psi_phi_array_ds.h:40-47) ride in ONE stream of
+    int32 words, each word interleaving psi and phi for COLS adjacent image
+    columns (u8: [psi_j, phi_j, psi_j1, phi_j1]; u16: [psi_j, phi_j]). The
+    hot-loop DMAs move 2-4 bytes per (psi, phi) sample instead of 9 (the
+    float path with its validity plane) — a direct throughput multiplier
+    for this HBM-bound kernel, and the layout that fits survey-scale
+    stacks in HBM. The single interleaved stream also needs one dynamic
+    lane roll per (time, column-class) instead of two per stream, which
+    matters because at u8 traffic the kernel becomes VPU-issue-bound.
 
-    Columns are processed in PACK interleaved classes (output column
-    j = PACK*w + k lives in class k at word w). For a column shift ox the
-    source of class k is class (k+ox) mod PACK rolled by (k+ox)//PACK
-    words — uniform over the tile, so each class needs one dynamic lane
-    roll + one scalar shift/mask extract per time step. Outputs stay in
-    class-packed layout; the host wrapper interleaves them back.
+    Columns are processed in COLS interleaved classes (output column
+    j = COLS*w + k lives in class k at word w). For a column shift ox the
+    source of class k is class (k+ox) mod COLS rolled by (k+ox)//COLS
+    words — uniform over the tile, so each class costs one roll + two
+    scalar shift/mask extracts per time step. Outputs stay class-packed;
+    the host wrapper interleaves them back.
     """
-    out_lh = refs[:PACK]
-    out_idx = refs[PACK : 2 * PACK]
-    psi_buf, phi_buf, sems = refs[2 * PACK :]
+    out_lh = refs[:COLS]
+    out_idx = refs[COLS : 2 * COLS]
+    word_buf, sems = refs[2 * COLS :]
 
     ty = pl.program_id(0)
     c = pl.program_id(1)
@@ -390,7 +393,7 @@ def _search_kernel_encoded(
 
     @pl.when(c == 0)
     def _init_topk():
-        for k in range(PACK):
+        for k in range(COLS):
             out_lh[k][...] = jnp.full((K, TH, SW4), -FLT_MAX, dtype=jnp.float32)
             out_idx[k][...] = jnp.full((K, TH, SW4), -1, dtype=jnp.int32)
 
@@ -412,52 +415,50 @@ def _search_kernel_encoded(
 
     def dma(slot, t):
         r8, _ = row_for(t)
-        return [
-            pltpu.make_async_copy(psi_hbm.at[pl.ds(r8, TB), :], psi_buf.at[slot], sems.at[slot, 0]),
-            pltpu.make_async_copy(phi_hbm.at[pl.ds(r8, TB), :], phi_buf.at[slot], sems.at[slot, 1]),
-        ]
+        return pltpu.make_async_copy(
+            words_hbm.at[pl.ds(r8, TB), :], word_buf.at[slot], sems.at[slot]
+        )
 
     ii = lax.broadcasted_iota(jnp.int32, (TH, SW4), 0)
     jw = lax.broadcasted_iota(jnp.int32, (TH, SW4), 1)
 
     def run(acc_psi, acc_phi, acc_obs):
-        acc_psi[...] = jnp.zeros((PACK, TH, SW4), dtype=jnp.float32)
-        acc_phi[...] = jnp.zeros((PACK, TH, SW4), dtype=jnp.float32)
-        acc_obs[...] = jnp.zeros((PACK, TH, SW4), dtype=jnp.float32)
+        acc_psi[...] = jnp.zeros((COLS, TH, SW4), dtype=jnp.float32)
+        acc_phi[...] = jnp.zeros((COLS, TH, SW4), dtype=jnp.float32)
+        acc_obs[...] = jnp.zeros((COLS, TH, SW4), dtype=jnp.float32)
 
-        for cp in dma(0, 0):
-            cp.start()
+        dma(0, 0).start()
 
         def tbody(t, _):
             slot = t % 2
 
             @pl.when(t + 1 < T)
             def _prefetch():
-                for cp in dma((t + 1) % 2, t + 1):
-                    cp.start()
+                dma((t + 1) % 2, t + 1).start()
 
-            for cp in dma(slot, t):
-                cp.wait()
+            dma(slot, t).wait()
 
             oy = oy_ref[c, t] + tile_row0
             ox = ox_ref[c, t]
             _, rshift = row_for(t)
             # Row shift once per step (non-negative sublane rotate).
-            pw = pltpu.roll(psi_buf[slot], TB - rshift, 0)[:TH]
-            fw = pltpu.roll(phi_buf[slot], TB - rshift, 0)[:TH]
+            pw = pltpu.roll(word_buf[slot], TB - rshift, 0)[:TH]
             row_ok = (ii >= -oy) & (ii < H - oy)
-            for k in range(PACK):
+            for k in range(COLS):
                 # Source class/word-shift for output class k (floor-mod for
-                # negative ox; the difference is an exact PACK multiple so
+                # negative ox; the difference is an exact COLS multiple so
                 # truncating division equals floor).
-                sk = lax.rem(lax.rem(k + ox, PACK) + PACK, PACK)
-                dw = (k + ox - sk) // PACK
-                pk = pltpu.roll(pw, -dw, 1)[:, :SW4]
-                fk = pltpu.roll(fw, -dw, 1)[:, :SW4]
-                shift = sk * BITS
-                pc = lax.shift_right_logical(pk, shift) & CODE_MASK
-                fc = lax.shift_right_logical(fk, shift) & CODE_MASK
-                j = PACK * jw + k  # output column in search space
+                if COLS == 1:
+                    wk = pltpu.roll(pw, -ox, 1)[:, :SW4]
+                    shift = 0
+                else:
+                    sk = lax.rem(lax.rem(k + ox, COLS) + COLS, COLS)
+                    dw = (k + ox - sk) // COLS
+                    wk = pltpu.roll(pw, -dw, 1)[:, :SW4]
+                    shift = sk * (2 * BITS)
+                pc = lax.shift_right_logical(wk, shift) & CODE_MASK
+                fc = lax.shift_right_logical(wk, shift + BITS) & CODE_MASK
+                j = COLS * jw + k  # output column in search space
                 m = row_ok & (j >= -ox) & (j < W - ox) & (pc > 0) & (fc > 0)
                 mf = jnp.where(m, jnp.float32(1.0), jnp.float32(0.0))
                 ps = jnp.where(m, (pc.astype(jnp.float32) - 1.0) * psi_scale + psi_min, 0.0)
@@ -469,7 +470,7 @@ def _search_kernel_encoded(
 
         lax.fori_loop(0, T, tbody, 0)
 
-        for k in range(PACK):
+        for k in range(COLS):
             phi_sum = acc_phi[k]
             psi_sum = acc_psi[k]
             obs = acc_obs[k]
@@ -494,9 +495,9 @@ def _search_kernel_encoded(
 
     pl.run_scoped(
         run,
-        acc_psi=pltpu.VMEM((PACK, TH, SW4), jnp.float32),
-        acc_phi=pltpu.VMEM((PACK, TH, SW4), jnp.float32),
-        acc_obs=pltpu.VMEM((PACK, TH, SW4), jnp.float32),
+        acc_psi=pltpu.VMEM((COLS, TH, SW4), jnp.float32),
+        acc_phi=pltpu.VMEM((COLS, TH, SW4), jnp.float32),
+        acc_obs=pltpu.VMEM((COLS, TH, SW4), jnp.float32),
     )
 
 
@@ -541,21 +542,21 @@ def search_topk_pallas_encoded(
     K = int(k_results)
 
     if psi_codes.dtype == jnp.uint8:
-        PACK, BITS = 4, 8
+        COLS, BITS = 2, 8
     elif psi_codes.dtype == jnp.uint16:
-        PACK, BITS = 2, 16
+        COLS, BITS = 1, 16
     else:
         raise ValueError(f"encoded search needs uint8/uint16 codes, got {psi_codes.dtype}")
 
-    SW4 = pl.cdiv(SW, PACK)
-    W4 = _round_up(max(pl.cdiv(W, PACK), SW4), 128)
-    Wp = W4 * PACK
+    SW4 = pl.cdiv(SW, COLS)
+    W4 = _round_up(max(pl.cdiv(W, COLS), SW4), 128)
+    Wp = W4 * COLS
 
     if row_tile is None:
         # VMEM budget: class-packed top-K blocks + double-buffered word
         # slabs + 3 class-packed accumulators (see search_topk_pallas).
         budget = 7 * 1024 * 1024
-        per_row = 2 * K * SW4 * PACK * 4 + 16 * W4 + 3 * SW4 * PACK * 4
+        per_row = 2 * K * SW4 * COLS * 4 + 8 * W4 + 3 * SW4 * COLS * 4
         row_tile = max(8, min(_round_up(SH, 8), (budget // per_row) // 8 * 8, 256))
     TH = int(row_tile)
     n_ty = pl.cdiv(SH, TH)
@@ -564,15 +565,16 @@ def search_topk_pallas_encoded(
     pad_rows = _round_up(SH_pad + H + 16, 8)
     total_rows = T * H + 2 * pad_rows
 
-    def to_word_rows(codes):
-        if Wp > W:
-            codes = jnp.pad(codes, ((0, 0), (0, 0), (0, Wp - W)))
-        words = lax.bitcast_convert_type(codes.reshape(T, H, W4, PACK), jnp.int32)
-        z = jnp.zeros((pad_rows, W4), dtype=jnp.int32)
-        return jnp.concatenate([z, words.reshape(T * H, W4), z], axis=0)
-
-    psi_r = to_word_rows(psi_codes)
-    phi_r = to_word_rows(phi_codes)
+    # One interleaved stream: each int32 word carries [psi, phi] for COLS
+    # adjacent columns (u8: psi_j, phi_j, psi_j+1, phi_j+1 little-endian).
+    inter = jnp.stack([psi_codes, phi_codes], axis=-1).reshape(T, H, 2 * W)
+    if Wp > W:
+        inter = jnp.pad(inter, ((0, 0), (0, 0), (0, 2 * (Wp - W))))
+    words = lax.bitcast_convert_type(
+        inter.reshape(T, H, W4, 2 * COLS), jnp.int32
+    )
+    z = jnp.zeros((pad_rows, W4), dtype=jnp.int32)
+    words_r = jnp.concatenate([z, words.reshape(T * H, W4), z], axis=0)
 
     t_idx = jnp.arange(T, dtype=jnp.int32)[None, :]
     oy = jnp.int32(y_min) + dys.astype(jnp.int32)
@@ -601,7 +603,7 @@ def search_topk_pallas_encoded(
 
     kernel = functools.partial(
         _search_kernel_encoded,
-        T=T, H=H, W=W, W4=W4, PACK=PACK, BITS=BITS, TH=TH, SW4=SW4, K=K,
+        T=T, H=H, W=W, W4=W4, COLS=COLS, BITS=BITS, TH=TH, SW4=SW4, K=K,
         gate_min_obs=gate_min_obs, gate_min_lh=gate_min_lh,
     )
 
@@ -609,29 +611,27 @@ def search_topk_pallas_encoded(
         num_scalar_prefetch=5,
         grid=(n_ty, C),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.HBM),  # psi words
-            pl.BlockSpec(memory_space=pltpu.HBM),  # phi words
+            pl.BlockSpec(memory_space=pltpu.HBM),  # interleaved code words
         ],
         out_specs=tuple(
             pl.BlockSpec((K, TH, SW4), lambda ty, c, *prefetch: (0, ty, 0))
-            for _ in range(2 * PACK)
+            for _ in range(2 * COLS)
         ),
         scratch_shapes=[
             pltpu.VMEM((2, TH + 8, W4), jnp.int32),
-            pltpu.VMEM((2, TH + 8, W4), jnp.int32),
-            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
 
     cost = pl.CostEstimate(
         flops=2 * C * T * SH_pad * SW,
-        bytes_accessed=C * T * TH * W4 * 8 * n_ty,
+        bytes_accessed=C * T * TH * W4 * 4 * n_ty,
         transcendentals=C * SH_pad * SW,
     )
 
     out_shapes = tuple(
-        jax.ShapeDtypeStruct((K, SH_pad, SW4), jnp.float32) for _ in range(PACK)
-    ) + tuple(jax.ShapeDtypeStruct((K, SH_pad, SW4), jnp.int32) for _ in range(PACK))
+        jax.ShapeDtypeStruct((K, SH_pad, SW4), jnp.float32) for _ in range(COLS)
+    ) + tuple(jax.ShapeDtypeStruct((K, SH_pad, SW4), jnp.int32) for _ in range(COLS))
 
     outs = pl.pallas_call(
         kernel,
@@ -642,9 +642,11 @@ def search_topk_pallas_encoded(
         ),
         cost_estimate=cost,
         interpret=interpret,
-    )(rows, ox, oy, cok, scalars, psi_r, phi_r)
+    )(rows, ox, oy, cok, scalars, words_r)
 
-    # Interleave class-packed outputs: output column j = PACK*w + k.
-    top_lh = jnp.stack(outs[:PACK], axis=-1).reshape(K, SH_pad, SW4 * PACK)
-    top_idx = jnp.stack(outs[PACK:], axis=-1).reshape(K, SH_pad, SW4 * PACK)
+    # Interleave class-packed outputs: output column j = COLS*w + k.
+    if COLS == 1:
+        return outs[0][:, :SH, :SW], outs[1][:, :SH, :SW]
+    top_lh = jnp.stack(outs[:COLS], axis=-1).reshape(K, SH_pad, SW4 * COLS)
+    top_idx = jnp.stack(outs[COLS:], axis=-1).reshape(K, SH_pad, SW4 * COLS)
     return top_lh[:, :SH, :SW], top_idx[:, :SH, :SW]
