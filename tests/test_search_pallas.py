@@ -171,3 +171,36 @@ class TestPallasEncoded:
         np.testing.assert_allclose(out["lh"], ref["lh"], rtol=1e-5, atol=1e-5)
         np.testing.assert_array_equal(out["x"], ref["x"])
         np.testing.assert_array_equal(out["obs_count"], ref["obs_count"])
+
+    @pytest.mark.parametrize("num_bytes", [1, 2])
+    def test_odd_width(self, num_bytes):
+        """W not a multiple of the words-per-column packing."""
+        from kbmod_tpu.ops.search_pallas import search_topk_pallas_encoded
+
+        rng = np.random.default_rng(7)
+        T, H, W = 4, 24, 47
+        times = np.arange(T) * 0.5
+        psi = [rng.normal(0, 1, (H, W)).astype(np.float32) for _ in range(T)]
+        phi = [rng.uniform(0.5, 2.0, (H, W)).astype(np.float32) for _ in range(T)]
+        arr = PsiPhiArray()
+        fill_psi_phi_array(arr, num_bytes, psi, phi, times)
+        meta = arr.meta
+        em = np.array(
+            [meta.psi_min_val, meta.psi_scale, meta.phi_min_val, meta.phi_scale],
+            dtype=np.float32,
+        )
+        vxs = np.array([1.3, -2.1, 0.0], dtype=np.float32)
+        vys = np.array([-0.7, 1.9, 0.0], dtype=np.float32)
+        dxs, dys = trajectory_offsets(vxs, vys, times)
+        common = dict(x_min=-2, x_max=W + 1, y_min=0, y_max=H, k_results=2)
+        ref_lh, _ = search_topk_shift(
+            jnp.asarray(arr.psi), jnp.asarray(arr.phi), jnp.zeros((1, 1, 1), jnp.uint8),
+            jnp.asarray(dxs), jnp.asarray(dys), jnp.float32(0), jnp.float32(0),
+            encode_meta=jnp.asarray(em), **common,
+        )
+        pal_lh, _ = search_topk_pallas_encoded(
+            jnp.asarray(arr.psi), jnp.asarray(arr.phi),
+            jnp.asarray(dxs), jnp.asarray(dys), jnp.float32(0), jnp.float32(0),
+            jnp.asarray(em), interpret=True, row_tile=8, **common,
+        )
+        np.testing.assert_allclose(np.asarray(pal_lh), np.asarray(ref_lh), rtol=1e-5, atol=1e-5)
