@@ -39,6 +39,30 @@ def _round_up(x, m):
     return ((x + m - 1) // m) * m
 
 
+# SMEM budget for the scalar-prefetched (C, T) offset tables (rows/ox/oy,
+# 12 bytes per entry; SMEM is ~1MB total). Candidate sets whose tables
+# exceed this are processed in chunks with a stable top-K merge between
+# chunks — semantics identical to one pass, since within-chunk rank-insert
+# and the chunk-ordered stable sort both keep arrival order on exact ties.
+_SMEM_TABLE_ENTRIES = 20480
+
+
+def _cand_chunk(C, T):
+    return max(8, min(int(C), _SMEM_TABLE_ENTRIES // max(int(T), 1)))
+
+
+def _merge_pair(lh_a, idx_a, lh_b, idx_b, K):
+    """Stable per-pixel merge of two sorted top-K maps (a's candidates
+    arrived first)."""
+    lh = jnp.concatenate([lh_a, lh_b], axis=0)
+    idx = jnp.concatenate([idx_a, idx_b], axis=0)
+    order = jnp.argsort(-lh, axis=0, stable=True)
+    return (
+        jnp.take_along_axis(lh, order, axis=0)[:K],
+        jnp.take_along_axis(idx, order, axis=0)[:K],
+    )
+
+
 def _search_kernel(
     # Scalar-prefetch arrays (SMEM, full arrays indexed by the grid)
     rows_ref,  # (C, T) int32: source row (within the padded stack) at tile row 0
@@ -279,14 +303,6 @@ def search_topk_pallas(
         if cand_valid is None
         else cand_valid.astype(jnp.int32).reshape(C)
     )
-    scalars = jnp.stack(
-        [
-            jnp.float32(min_obs),
-            jnp.float32(min_lh),
-            jnp.float32(cand_offset),
-            jnp.float32(total_rows),
-        ]
-    )
 
     kernel = functools.partial(
         _search_kernel,
@@ -294,49 +310,83 @@ def search_topk_pallas(
         gate_min_obs=gate_min_obs, gate_min_lh=gate_min_lh, has_masked=has_masked,
     )
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
-        grid=(n_ty, C),
-        in_specs=[
-            # Force HBM: under ANY the compiler may pick VMEM for small
-            # stacks, where dynamic row slices need sublane alignment.
-            pl.BlockSpec(memory_space=pltpu.HBM),  # psi rows
-            pl.BlockSpec(memory_space=pltpu.HBM),  # phi rows
-            pl.BlockSpec(memory_space=pltpu.HBM),  # valid rows
-        ],
-        out_specs=(
-            pl.BlockSpec((K, TH, SW), lambda ty, c, *prefetch: (0, ty, 0)),
-            pl.BlockSpec((K, TH, SW), lambda ty, c, *prefetch: (0, ty, 0)),
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((2, TH + 8, W2), jnp.float32),
-            pltpu.VMEM((2, TH + 8, W2), jnp.float32),
-            pltpu.VMEM((2, TH + 8, W2), jnp.uint8),
-            pltpu.SemaphoreType.DMA((2, 3)),
-        ],
-    )
+    CC = _cand_chunk(C, T)
 
-    n_planes = 3 if has_masked else 2
-    bytes_per_step = TH * W2 * (9 if has_masked else 8)
-    cost = pl.CostEstimate(
-        flops=2 * C * T * SH_pad * SW,
-        bytes_accessed=C * T * bytes_per_step * n_ty,
-        transcendentals=C * SH_pad * SW,
-    )
+    def call_chunk(rows_c, ox_c, oy_c, cok_c, chunk_offset):
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=5,
+            grid=(n_ty, rows_c.shape[0]),
+            in_specs=[
+                # Force HBM: under ANY the compiler may pick VMEM for small
+                # stacks, where dynamic row slices need sublane alignment.
+                pl.BlockSpec(memory_space=pltpu.HBM),  # psi rows
+                pl.BlockSpec(memory_space=pltpu.HBM),  # phi rows
+                pl.BlockSpec(memory_space=pltpu.HBM),  # valid rows
+            ],
+            out_specs=(
+                pl.BlockSpec((K, TH, SW), lambda ty, c, *prefetch: (0, ty, 0)),
+                pl.BlockSpec((K, TH, SW), lambda ty, c, *prefetch: (0, ty, 0)),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((2, TH + 8, W2), jnp.float32),
+                pltpu.VMEM((2, TH + 8, W2), jnp.float32),
+                pltpu.VMEM((2, TH + 8, W2), jnp.uint8),
+                pltpu.SemaphoreType.DMA((2, 3)),
+            ],
+        )
+        bytes_per_step = TH * W2 * (9 if has_masked else 8)
+        cost = pl.CostEstimate(
+            flops=2 * rows_c.shape[0] * T * SH_pad * SW,
+            bytes_accessed=rows_c.shape[0] * T * bytes_per_step * n_ty,
+            transcendentals=rows_c.shape[0] * SH_pad * SW,
+        )
+        # chunk_offset is a Python int: keep the single-chunk jaxpr
+        # identical to the unchunked form (compile-cache stability).
+        co = jnp.float32(cand_offset)
+        if chunk_offset:
+            co = co + jnp.float32(chunk_offset)
+        scalars = jnp.stack(
+            [
+                jnp.float32(min_obs),
+                jnp.float32(min_lh),
+                co,
+                jnp.float32(total_rows),
+            ]
+        )
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=(
+                jax.ShapeDtypeStruct((K, SH_pad, SW), jnp.float32),
+                jax.ShapeDtypeStruct((K, SH_pad, SW), jnp.int32),
+            ),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary", "arbitrary"),
+            ),
+            cost_estimate=cost,
+            interpret=interpret,
+        )(rows_c, ox_c, oy_c, cok_c, scalars, psi_r, phi_r, val_r)
 
-    top_lh, top_idx = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=(
-            jax.ShapeDtypeStruct((K, SH_pad, SW), jnp.float32),
-            jax.ShapeDtypeStruct((K, SH_pad, SW), jnp.int32),
-        ),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary"),
-        ),
-        cost_estimate=cost,
-        interpret=interpret,
-    )(rows, ox, oy, cok, scalars, psi_r, phi_r, val_r)
+    if C <= CC:
+        top_lh, top_idx = call_chunk(rows, ox, oy, cok, 0)
+    else:
+        # Candidate tables exceed the SMEM budget: pad to a whole number of
+        # chunks (padding marked invalid) and merge per-pixel top-K maps
+        # chunk by chunk.
+        n_chunks = pl.cdiv(C, CC)
+        pad = n_chunks * CC - C
+        rows_p = jnp.pad(rows, ((0, pad), (0, 0)))
+        ox_p = jnp.pad(ox, ((0, pad), (0, 0)))
+        oy_p = jnp.pad(oy, ((0, pad), (0, 0)))
+        cok_p = jnp.pad(cok, (0, pad))
+        top_lh = top_idx = None
+        for ci in range(n_chunks):
+            sl = slice(ci * CC, (ci + 1) * CC)
+            lh_c, idx_c = call_chunk(rows_p[sl], ox_p[sl], oy_p[sl], cok_p[sl], ci * CC)
+            if top_lh is None:
+                top_lh, top_idx = lh_c, idx_c
+            else:
+                top_lh, top_idx = _merge_pair(top_lh, top_idx, lh_c, idx_c, K)
 
     return top_lh[:, :SH, :], top_idx[:, :SH, :]
 
@@ -587,19 +637,6 @@ def search_topk_pallas_encoded(
         else cand_valid.astype(jnp.int32).reshape(C)
     )
     em = jnp.asarray(encode_meta, dtype=jnp.float32).reshape(4)
-    scalars = jnp.concatenate(
-        [
-            jnp.stack(
-                [
-                    jnp.float32(min_obs),
-                    jnp.float32(min_lh),
-                    jnp.float32(cand_offset),
-                    jnp.float32(total_rows),
-                ]
-            ),
-            em,
-        ]
-    )
 
     kernel = functools.partial(
         _search_kernel_encoded,
@@ -607,46 +644,81 @@ def search_topk_pallas_encoded(
         gate_min_obs=gate_min_obs, gate_min_lh=gate_min_lh,
     )
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
-        grid=(n_ty, C),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.HBM),  # interleaved code words
-        ],
-        out_specs=tuple(
-            pl.BlockSpec((K, TH, SW4), lambda ty, c, *prefetch: (0, ty, 0))
-            for _ in range(2 * COLS)
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((2, TH + 8, W4), jnp.int32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-    )
+    CC = _cand_chunk(C, T)
 
-    cost = pl.CostEstimate(
-        flops=2 * C * T * SH_pad * SW,
-        bytes_accessed=C * T * TH * W4 * 4 * n_ty,
-        transcendentals=C * SH_pad * SW,
-    )
+    def call_chunk(rows_c, ox_c, oy_c, cok_c, chunk_offset):
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=5,
+            grid=(n_ty, rows_c.shape[0]),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.HBM),  # interleaved code words
+            ],
+            out_specs=tuple(
+                pl.BlockSpec((K, TH, SW4), lambda ty, c, *prefetch: (0, ty, 0))
+                for _ in range(2 * COLS)
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((2, TH + 8, W4), jnp.int32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        )
+        cost = pl.CostEstimate(
+            flops=2 * rows_c.shape[0] * T * SH_pad * SW,
+            bytes_accessed=rows_c.shape[0] * T * TH * W4 * 4 * n_ty,
+            transcendentals=rows_c.shape[0] * SH_pad * SW,
+        )
+        out_shapes = tuple(
+            jax.ShapeDtypeStruct((K, SH_pad, SW4), jnp.float32) for _ in range(COLS)
+        ) + tuple(jax.ShapeDtypeStruct((K, SH_pad, SW4), jnp.int32) for _ in range(COLS))
+        co = jnp.float32(cand_offset)
+        if chunk_offset:
+            co = co + jnp.float32(chunk_offset)
+        scalars = jnp.concatenate(
+            [
+                jnp.stack(
+                    [
+                        jnp.float32(min_obs),
+                        jnp.float32(min_lh),
+                        co,
+                        jnp.float32(total_rows),
+                    ]
+                ),
+                em,
+            ]
+        )
+        outs = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=out_shapes,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary", "arbitrary"),
+            ),
+            cost_estimate=cost,
+            interpret=interpret,
+        )(rows_c, ox_c, oy_c, cok_c, scalars, words_r)
+        # Interleave class-packed outputs: output column j = COLS*w + k.
+        if COLS == 1:
+            return outs[0], outs[1]
+        lh_i = jnp.stack(outs[:COLS], axis=-1).reshape(K, SH_pad, SW4 * COLS)
+        idx_i = jnp.stack(outs[COLS:], axis=-1).reshape(K, SH_pad, SW4 * COLS)
+        return lh_i, idx_i
 
-    out_shapes = tuple(
-        jax.ShapeDtypeStruct((K, SH_pad, SW4), jnp.float32) for _ in range(COLS)
-    ) + tuple(jax.ShapeDtypeStruct((K, SH_pad, SW4), jnp.int32) for _ in range(COLS))
+    if C <= CC:
+        top_lh, top_idx = call_chunk(rows, ox, oy, cok, 0)
+    else:
+        n_chunks = pl.cdiv(C, CC)
+        pad = n_chunks * CC - C
+        rows_p = jnp.pad(rows, ((0, pad), (0, 0)))
+        ox_p = jnp.pad(ox, ((0, pad), (0, 0)))
+        oy_p = jnp.pad(oy, ((0, pad), (0, 0)))
+        cok_p = jnp.pad(cok, (0, pad))
+        top_lh = top_idx = None
+        for ci in range(n_chunks):
+            sl = slice(ci * CC, (ci + 1) * CC)
+            lh_c, idx_c = call_chunk(rows_p[sl], ox_p[sl], oy_p[sl], cok_p[sl], ci * CC)
+            if top_lh is None:
+                top_lh, top_idx = lh_c, idx_c
+            else:
+                top_lh, top_idx = _merge_pair(top_lh, top_idx, lh_c, idx_c, K)
 
-    outs = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=out_shapes,
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary"),
-        ),
-        cost_estimate=cost,
-        interpret=interpret,
-    )(rows, ox, oy, cok, scalars, words_r)
-
-    # Interleave class-packed outputs: output column j = COLS*w + k.
-    if COLS == 1:
-        return outs[0][:, :SH, :SW], outs[1][:, :SH, :SW]
-    top_lh = jnp.stack(outs[:COLS], axis=-1).reshape(K, SH_pad, SW4 * COLS)
-    top_idx = jnp.stack(outs[COLS:], axis=-1).reshape(K, SH_pad, SW4 * COLS)
     return top_lh[:, :SH, :SW], top_idx[:, :SH, :SW]

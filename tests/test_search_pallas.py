@@ -204,3 +204,64 @@ class TestPallasEncoded:
             jnp.asarray(em), interpret=True, row_tile=8, **common,
         )
         np.testing.assert_allclose(np.asarray(pal_lh), np.asarray(ref_lh), rtol=1e-5, atol=1e-5)
+
+
+class TestCandidateChunking:
+    """When the (C, T) offset tables exceed the SMEM budget the wrappers
+    split candidates into chunks and merge top-K maps; results must be
+    unchanged."""
+
+    def test_float_kernel_chunked(self, data, monkeypatch):
+        import kbmod_tpu.ops.search_pallas as sp
+
+        psi_z, phi_z, valid, times, vxs, vys, (T, H, W) = data
+        # 9 candidates, chunks of 4 -> 3 chunks (last one padded).
+        vxs9 = np.concatenate([vxs, vxs[:3] + 0.51]).astype(np.float32)
+        vys9 = np.concatenate([vys, vys[:3] - 0.27]).astype(np.float32)
+        dxs, dys = trajectory_offsets(vxs9, vys9, times)
+        common = dict(x_min=0, x_max=W, y_min=0, y_max=H, k_results=4)
+        ref_lh, ref_idx = search_topk_shift(
+            jnp.asarray(psi_z), jnp.asarray(phi_z), jnp.asarray(valid),
+            jnp.asarray(dxs), jnp.asarray(dys), jnp.float32(0), jnp.float32(0), **common,
+        )
+        monkeypatch.setattr(sp, "_SMEM_TABLE_ENTRIES", 4 * T)
+        pal_lh, pal_idx = sp.search_topk_pallas(
+            jnp.asarray(psi_z), jnp.asarray(phi_z), jnp.asarray(valid),
+            jnp.asarray(dxs), jnp.asarray(dys), jnp.float32(0), jnp.float32(0),
+            interpret=True, row_tile=16, **common,
+        )
+        ref_lh, pal_lh = np.asarray(ref_lh), np.asarray(pal_lh)
+        np.testing.assert_allclose(pal_lh, ref_lh, rtol=1e-5, atol=1e-5)
+        _assert_idx_match_modulo_ties(ref_lh, pal_lh, np.asarray(ref_idx), np.asarray(pal_idx))
+
+    def test_encoded_kernel_chunked(self, monkeypatch):
+        import kbmod_tpu.ops.search_pallas as sp
+
+        rng = np.random.default_rng(5)
+        T, H, W = 4, 24, 32
+        times = np.arange(T) * 0.4
+        psi = [rng.normal(0, 1, (H, W)).astype(np.float32) for _ in range(T)]
+        phi = [rng.uniform(0.5, 2.0, (H, W)).astype(np.float32) for _ in range(T)]
+        arr = PsiPhiArray()
+        fill_psi_phi_array(arr, 1, psi, phi, times)
+        meta = arr.meta
+        em = np.array(
+            [meta.psi_min_val, meta.psi_scale, meta.phi_min_val, meta.phi_scale],
+            dtype=np.float32,
+        )
+        vxs = rng.uniform(-3, 3, 7).astype(np.float32)
+        vys = rng.uniform(-3, 3, 7).astype(np.float32)
+        dxs, dys = trajectory_offsets(vxs, vys, times)
+        common = dict(x_min=0, x_max=W, y_min=0, y_max=H, k_results=3)
+        ref_lh, _ = search_topk_shift(
+            jnp.asarray(arr.psi), jnp.asarray(arr.phi), jnp.zeros((1, 1, 1), jnp.uint8),
+            jnp.asarray(dxs), jnp.asarray(dys), jnp.float32(0), jnp.float32(0),
+            encode_meta=jnp.asarray(em), **common,
+        )
+        monkeypatch.setattr(sp, "_SMEM_TABLE_ENTRIES", 3 * T)
+        pal_lh, _ = sp.search_topk_pallas_encoded(
+            jnp.asarray(arr.psi), jnp.asarray(arr.phi),
+            jnp.asarray(dxs), jnp.asarray(dys), jnp.float32(0), jnp.float32(0),
+            jnp.asarray(em), interpret=True, row_tile=8, **common,
+        )
+        np.testing.assert_allclose(np.asarray(pal_lh), np.asarray(ref_lh), rtol=1e-5, atol=1e-5)
