@@ -85,11 +85,18 @@ def sharded_search_topk(
     gate_min_lh=False,
     shard_mode="candidates",
     unroll=1,
+    kernel="xla",
+    psi_codes=None,
+    phi_codes=None,
+    encode_meta=None,
 ):
     """Run the top-K search sharded over a mesh.
 
-    Returns (top_lh, top_idx) as (K, SH, SW) numpy arrays identical to the
-    single-device kernel's output.
+    ``kernel="pallas"`` runs the fused Pallas kernel per shard (candidates
+    mode only; the float variant, or the encoded one when
+    psi_codes/phi_codes/encode_meta are given). Returns (top_lh, top_idx)
+    as (K, SH, SW) numpy arrays identical to the single-device kernel's
+    output.
     """
     n_dev = mesh.devices.size
     SH = y_max - y_min
@@ -101,6 +108,7 @@ def sharded_search_topk(
 
     min_obs = jnp.float32(min_obs)
     min_lh = jnp.float32(min_lh)
+    encoded = kernel == "pallas" and psi_codes is not None and encode_meta is not None
 
     if shard_mode == "candidates":
         dxs_p, _ = _pad_to_multiple(dxs, n_dev)
@@ -108,6 +116,8 @@ def sharded_search_topk(
         cand_valid = np.zeros(dxs_p.shape[0], dtype=bool)
         cand_valid[:C] = True
         c_local = dxs_p.shape[0] // n_dev
+
+        bounds = dict(x_min=x_min, x_max=x_max, y_min=y_min, y_max=y_max, k_results=k_results)
 
         @partial(
             shard_map,
@@ -118,13 +128,36 @@ def sharded_search_topk(
         )
         def run(psi_r, phi_r, valid_r, dxs_s, dys_s, cval_s):
             offset = jax.lax.axis_index(AXIS) * c_local
-            local_lh, local_idx = search_topk_core(
-                psi_r, phi_r, valid_r, dxs_s, dys_s, min_obs, min_lh,
-                jnp.int32(x_min), jnp.int32(y_min), offset.astype(jnp.int32),
-                sh=SH, sw=SW, k_results=k_results,
-                gate_min_obs=gate_min_obs, gate_min_lh=gate_min_lh,
-                unroll=unroll, cand_valid=cval_s,
-            )
+            if kernel == "pallas":
+                from kbmod_tpu.ops.search_pallas import (
+                    search_topk_pallas,
+                    search_topk_pallas_encoded,
+                )
+
+                interpret = jax.default_backend() != "tpu"
+                if encoded:
+                    local_lh, local_idx = search_topk_pallas_encoded(
+                        psi_r, phi_r, dxs_s, dys_s, min_obs, min_lh,
+                        jnp.asarray(np.asarray(encode_meta, dtype=np.float32)),
+                        gate_min_obs=gate_min_obs, gate_min_lh=gate_min_lh,
+                        cand_offset=offset.astype(jnp.int32), cand_valid=cval_s,
+                        interpret=interpret, **bounds,
+                    )
+                else:
+                    local_lh, local_idx = search_topk_pallas(
+                        psi_r, phi_r, valid_r, dxs_s, dys_s, min_obs, min_lh,
+                        gate_min_obs=gate_min_obs, gate_min_lh=gate_min_lh,
+                        cand_offset=offset.astype(jnp.int32), cand_valid=cval_s,
+                        interpret=interpret, **bounds,
+                    )
+            else:
+                local_lh, local_idx = search_topk_core(
+                    psi_r, phi_r, valid_r, dxs_s, dys_s, min_obs, min_lh,
+                    jnp.int32(x_min), jnp.int32(y_min), offset.astype(jnp.int32),
+                    sh=SH, sw=SW, k_results=k_results,
+                    gate_min_obs=gate_min_obs, gate_min_lh=gate_min_lh,
+                    unroll=unroll, cand_valid=cval_s,
+                )
             # Gather every shard's top-K and merge to the global top-K.
             all_lh = jax.lax.all_gather(local_lh, AXIS, axis=0)  # (n, K, SH, SW)
             all_idx = jax.lax.all_gather(local_idx, AXIS, axis=0)
@@ -132,9 +165,14 @@ def sharded_search_topk(
             all_idx = all_idx.reshape((-1,) + all_idx.shape[2:])
             return merge_topk(all_lh, all_idx, k_results)
 
+        if encoded:
+            in0, in1 = jnp.asarray(psi_codes), jnp.asarray(phi_codes)
+            in2 = jnp.zeros((1, 1, 1), jnp.uint8)
+        else:
+            in0, in1, in2 = jnp.asarray(psi), jnp.asarray(phi), jnp.asarray(valid)
         with mesh:
             top_lh, top_idx = jax.jit(run)(
-                jnp.asarray(psi), jnp.asarray(phi), jnp.asarray(valid),
+                in0, in1, in2,
                 jnp.asarray(dxs_p), jnp.asarray(dys_p), jnp.asarray(cand_valid),
             )
         return np.asarray(top_lh), np.asarray(top_idx)
@@ -221,6 +259,10 @@ def sharded_core_search(
     min_lh=0.0,
     gate_min_obs=True,
     shard_mode="candidates",
+    kernel="xla",
+    psi_codes=None,
+    phi_codes=None,
+    encode_meta=None,
 ):
     """Sharded equivalent of ops.search.core_search (without the sigma-G
     refinement pass): returns the pixel-major struct-of-arrays results."""
@@ -231,7 +273,8 @@ def sharded_core_search(
         psi, phi, valid, dxs, dys, mesh,
         x_min=x_min, x_max=x_max, y_min=y_min, y_max=y_max,
         k_results=int(results_per_pixel), min_obs=float(min_obs), min_lh=float(min_lh),
-        gate_min_obs=gate_min_obs, shard_mode=shard_mode,
+        gate_min_obs=gate_min_obs, shard_mode=shard_mode, kernel=kernel,
+        psi_codes=psi_codes, phi_codes=phi_codes, encode_meta=encode_meta,
     )
 
     SH, SW = y_max - y_min, x_max - x_min

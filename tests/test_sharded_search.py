@@ -115,3 +115,44 @@ class TestDistributedHelpers:
 
         assert not is_distributed()
         assert assign_patches_to_hosts(3) == [0, 1, 2]
+
+
+class TestShardedPallas:
+    def test_candidates_pallas_matches(self, data):
+        psi, phi, valid, times, vxs, vys, (T, H, W) = data
+        dxs, dys = trajectory_offsets(vxs, vys, times)
+        meta = dict(x_min=0, x_max=W, y_min=0, y_max=H, k_results=3)
+        mesh = build_mesh()
+        ref_lh, _ = sharded_search_topk(
+            psi, phi, valid, dxs, dys, mesh, shard_mode="candidates", **meta
+        )
+        pal_lh, _ = sharded_search_topk(
+            psi, phi, valid, dxs, dys, mesh, shard_mode="candidates", kernel="pallas", **meta
+        )
+        np.testing.assert_allclose(pal_lh, ref_lh, rtol=1e-5, atol=1e-5)
+
+    def test_candidates_pallas_encoded(self):
+        from kbmod_tpu.ops.psi_phi import PsiPhiArray, fill_psi_phi_array
+        from kbmod_tpu.ops.search import trajectory_offsets
+
+        rng = np.random.default_rng(17)
+        T, H, W = 4, 24, 32
+        times = np.arange(T) * 0.4
+        psi_l = [rng.normal(0, 1, (H, W)).astype(np.float32) for _ in range(T)]
+        phi_l = [rng.uniform(0.5, 2.0, (H, W)).astype(np.float32) for _ in range(T)]
+        arr = PsiPhiArray()
+        fill_psi_phi_array(arr, 1, psi_l, phi_l, times)
+        m = arr.meta
+        em = np.array([m.psi_min_val, m.psi_scale, m.phi_min_val, m.phi_scale], np.float32)
+        psi_z, phi_z, valid = arr.decoded_psi_phi()
+        vxs = rng.uniform(-3, 3, 5).astype(np.float32)
+        vys = rng.uniform(-3, 3, 5).astype(np.float32)
+        dxs, dys = trajectory_offsets(vxs, vys, times)
+        meta = dict(x_min=0, x_max=W, y_min=0, y_max=H, k_results=3)
+        mesh = build_mesh()
+        ref_lh, _ = sharded_search_topk(psi_z, phi_z, valid, dxs, dys, mesh, **meta)
+        pal_lh, _ = sharded_search_topk(
+            psi_z, phi_z, valid, dxs, dys, mesh, kernel="pallas",
+            psi_codes=arr.psi, phi_codes=arr.phi, encode_meta=em, **meta
+        )
+        np.testing.assert_allclose(pal_lh, ref_lh, rtol=1e-5, atol=1e-5)
