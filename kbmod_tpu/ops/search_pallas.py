@@ -52,15 +52,32 @@ def _cand_chunk(C, T):
 
 
 def _merge_pair(lh_a, idx_a, lh_b, idx_b, K):
-    """Stable per-pixel merge of two sorted top-K maps (a's candidates
-    arrived first)."""
-    lh = jnp.concatenate([lh_a, lh_b], axis=0)
-    idx = jnp.concatenate([idx_a, idx_b], axis=0)
-    order = jnp.argsort(-lh, axis=0, stable=True)
-    return (
-        jnp.take_along_axis(lh, order, axis=0)[:K],
-        jnp.take_along_axis(idx, order, axis=0)[:K],
+    """Stable per-pixel merge of two descending-sorted top-K maps (a's
+    candidates arrived first).
+
+    Sort-free: both inputs are already sorted, so each element's merged
+    rank is its own index plus the count of strictly-dominating elements
+    in the other list (>= when the other list is a, for stability). K^2
+    elementwise compares beat a (2K, H, W) sort by a wide margin on TPU.
+    """
+    ki = jnp.arange(K, dtype=jnp.int32)
+    rank_a = ki[:, None, None] + jnp.sum(
+        lh_b[None] > lh_a[:, None], axis=1, dtype=jnp.int32
     )
+    rank_b = ki[:, None, None] + jnp.sum(
+        lh_a[None] >= lh_b[:, None], axis=1, dtype=jnp.int32
+    )
+    # Scatter-by-onehot: merged ranks are a permutation of 0..2K-1, so each
+    # output slot r < K matches exactly one source element.
+    hit_a = rank_a[None] == ki[:, None, None, None]  # (r, i, SH, SW)
+    hit_b = rank_b[None] == ki[:, None, None, None]
+    out_lh = jnp.sum(jnp.where(hit_a, lh_a[None], 0.0), axis=1) + jnp.sum(
+        jnp.where(hit_b, lh_b[None], 0.0), axis=1
+    )
+    out_idx = jnp.sum(jnp.where(hit_a, idx_a[None], 0), axis=1) + jnp.sum(
+        jnp.where(hit_b, idx_b[None], 0), axis=1
+    )
+    return out_lh, out_idx
 
 
 def _search_kernel(
