@@ -1,0 +1,59 @@
+"""BASELINE.md measurement config 5 (single-chip slice): 100 x 4k x 4k
+uint8-encoded stack, chunked candidate search, full-frame starting pixels.
+
+The multi-chip version of this config shards candidates over the ICI mesh
+(kbmod_tpu.parallel); this script measures the per-chip kernel rate and
+validates a 64x64 pixel window against the XLA encoded kernel.
+"""
+import os, sys, time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import numpy as np
+import jax.numpy as jnp
+
+from kbmod_tpu.ops.search import search_topk_shift, trajectory_offsets
+from kbmod_tpu.ops.search_pallas import search_topk_pallas_encoded
+
+rng = np.random.default_rng(11)
+T = int(os.environ.get("KB_SURVEY_T", 100))
+H = W = int(os.environ.get("KB_SURVEY_HW", 4096))
+C = int(os.environ.get("KB_SURVEY_C", 1024))
+K = 8
+psi_c = rng.integers(0, 256, (T, H, W), dtype=np.uint8)
+phi_c = rng.integers(1, 256, (T, H, W), dtype=np.uint8)
+em = jnp.asarray(np.array([-6.0, 12.0 / 254, 0.1, 4.0 / 254], dtype=np.float32))
+times = np.linspace(0, 12, T)
+vel = rng.uniform(1, 60, C).astype(np.float32)
+ang = rng.uniform(-0.4, 0.4, C).astype(np.float32)
+dxs, dys = (jnp.asarray(a) for a in trajectory_offsets(np.cos(ang) * vel, np.sin(ang) * vel, times))
+psi_j, phi_j = jnp.asarray(psi_c), jnp.asarray(phi_c)
+print(f"stack: T={T} {H}x{W} u8, C={C}", flush=True)
+
+def run_full():
+    return search_topk_pallas_encoded(
+        psi_j, phi_j, dxs, dys, jnp.float32(10), jnp.float32(0), em,
+        x_min=0, x_max=W, y_min=0, y_max=H, k_results=K,
+    )
+
+t0 = time.time()
+lh, idx = run_full()
+_ = float(np.asarray(lh[0, 0, 0]))
+print("pallas compile+first", time.time() - t0, flush=True)
+t0 = time.time()
+lh, idx = run_full()
+_ = float(np.asarray(lh[0, 0, 0]))
+dt = time.time() - t0
+print("pallas run", dt, "evals/s", H * W * C / dt, flush=True)
+
+x0, x1, y0, y1 = 2048, 2112, 2048, 2112
+t0 = time.time()
+ref_lh, _ = search_topk_shift(
+    psi_j, phi_j, jnp.zeros((1, 1, 1), jnp.uint8), dxs, dys,
+    jnp.float32(10), jnp.float32(0), encode_meta=em,
+    x_min=x0, x_max=x1, y_min=y0, y_max=y1, k_results=K,
+)
+ref_lh = np.asarray(ref_lh)
+print("xla window", time.time() - t0, flush=True)
+win_lh = np.asarray(lh[:, y0:y1, x0:x1])
+np.testing.assert_allclose(win_lh, ref_lh, rtol=1e-5, atol=1e-5)
+print("WINDOW EXACT", flush=True)
