@@ -349,7 +349,11 @@ def fill_psi_phi_array(result, num_bytes, psi_imgs, phi_imgs, zeroed_times):
         result.valid = jnp.asarray(valid)
 
     result.times = np.asarray(zeroed_times, dtype=float)
-    result._on_device = True
+    # Matches the reference lifecycle (psi_phi_array.cpp:49-111): building
+    # the array does not put it "on GPU"; an explicit move_to_gpu (or the
+    # search itself) does. The jnp arrays may already be device-backed —
+    # the flag tracks the reference's preload contract, not placement.
+    result._on_device = False
     return result
 
 

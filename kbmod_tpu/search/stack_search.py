@@ -381,6 +381,8 @@ class StackSearch:
         logger.debug(f"Reading results [{start}, {start + count})")
         if start < 0:
             raise RuntimeError("start must be >= 0")
+        if count <= 0:
+            raise RuntimeError("count must be > 0")
         return self.results.get_batch(start, count)
 
     def get_all_results(self):
