@@ -620,26 +620,16 @@ def search_topk_pallas_encoded(
     Wp = W4 * COLS
 
     if row_tile is None:
-        # VMEM budget: class-packed top-K blocks + double-buffered word
-        # slabs + 3 class-packed accumulators (see search_topk_pallas).
-        budget = 7 * 1024 * 1024
-        per_row = 2 * K * SW4 * COLS * 4 + 8 * W4 + 3 * SW4 * COLS * 4
-        row_tile = max(8, min(_round_up(SH, 8), (budget // per_row) // 8 * 8, 256))
+        row_tile = _encoded_row_tile(SH, SW4, COLS, W4, K)
     TH = int(row_tile)
     n_ty = pl.cdiv(SH, TH)
     SH_pad = n_ty * TH
 
     pad_rows = _round_up(SH_pad + H + 16, 8)
-    total_rows = T * H + 2 * pad_rows
 
     # One interleaved stream: each int32 word carries [psi, phi] for COLS
     # adjacent columns (u8: psi_j, phi_j, psi_j+1, phi_j+1 little-endian).
-    inter = jnp.stack([psi_codes, phi_codes], axis=-1).reshape(T, H, 2 * W)
-    if Wp > W:
-        inter = jnp.pad(inter, ((0, 0), (0, 0), (0, 2 * (Wp - W))))
-    words = lax.bitcast_convert_type(
-        inter.reshape(T, H, W4, 2 * COLS), jnp.int32
-    )
+    words = _interleave_words(psi_codes, phi_codes, W4, COLS)
     z = jnp.zeros((pad_rows, W4), dtype=jnp.int32)
     words_r = jnp.concatenate([z, words.reshape(T * H, W4), z], axis=0)
 
@@ -654,6 +644,39 @@ def search_topk_pallas_encoded(
         else cand_valid.astype(jnp.int32).reshape(C)
     )
     em = jnp.asarray(encode_meta, dtype=jnp.float32).reshape(4)
+    return _run_encoded_search(
+        words_r, rows, ox, oy, cok, em, min_obs, min_lh, cand_offset,
+        T=T, H=H, W=W, W4=W4, COLS=COLS, BITS=BITS, TH=TH, SW4=SW4, K=K,
+        SH=SH, SW=SW, SH_pad=SH_pad, n_ty=n_ty, pad_rows=pad_rows,
+        gate_min_obs=gate_min_obs, gate_min_lh=gate_min_lh, interpret=interpret,
+    )
+
+
+def _encoded_row_tile(SH, SW4, COLS, W4, K):
+    # VMEM budget: class-packed top-K blocks + double-buffered word
+    # slabs + 3 class-packed accumulators (see search_topk_pallas).
+    budget = 7 * 1024 * 1024
+    per_row = 2 * K * SW4 * COLS * 4 + 8 * W4 + 3 * SW4 * COLS * 4
+    return max(8, min(_round_up(SH, 8), (budget // per_row) // 8 * 8, 256))
+
+
+def _interleave_words(psi_codes, phi_codes, W4, COLS):
+    """(T, H, W) psi/phi codes -> (T, H, W4) int32 interleaved words."""
+    T, H, W = psi_codes.shape
+    Wp = W4 * COLS
+    inter = jnp.stack([psi_codes, phi_codes], axis=-1).reshape(T, H, 2 * W)
+    if Wp > W:
+        inter = jnp.pad(inter, ((0, 0), (0, 0), (0, 2 * (Wp - W))))
+    return lax.bitcast_convert_type(inter.reshape(T, H, W4, 2 * COLS), jnp.int32)
+
+
+def _run_encoded_search(
+    words_r, rows, ox, oy, cok, em, min_obs, min_lh, cand_offset,
+    *, T, H, W, W4, COLS, BITS, TH, SW4, K, SH, SW, SH_pad, n_ty, pad_rows,
+    gate_min_obs, gate_min_lh, interpret,
+):
+    C = rows.shape[0]
+    total_rows = T * H + 2 * pad_rows
 
     kernel = functools.partial(
         _search_kernel_encoded,
@@ -739,3 +762,124 @@ def search_topk_pallas_encoded(
                 top_lh, top_idx = _merge_pair(top_lh, top_idx, lh_c, idx_c, K)
 
     return top_lh[:, :SH, :SW], top_idx[:, :SH, :SW]
+
+
+def pack_psi_phi_words(psi_codes, phi_codes, sw_max=None, sh_max=None, t_chunk=8):
+    """Pack quantized psi/phi code stacks into the kernel's interleaved
+    int32 word stream with bounded device memory.
+
+    The in-wrapper packing of search_topk_pallas_encoded materializes
+    several stack-sized temporaries at once — fine at bench scale, OOM at
+    survey scale (100 x 4k x 4k u8 is 3.4GB per temporary). This packer
+    streams host chunks of ``t_chunk`` time planes through the interleave,
+    so peak device memory is one output stream plus one chunk.
+
+    Returns ``(words_r, pad_rows)`` for :func:`search_topk_pallas_packed`.
+    ``sw_max``/``sh_max`` bound the search window sizes the packed stream
+    will be used with (default: the image dimensions).
+    """
+    psi_codes = np.asarray(psi_codes)
+    phi_codes = np.asarray(phi_codes)
+    T, H, W = psi_codes.shape
+    if psi_codes.dtype == np.uint8:
+        COLS = 2
+    elif psi_codes.dtype == np.uint16:
+        COLS = 1
+    else:
+        raise ValueError(f"encoded search needs uint8/uint16 codes, got {psi_codes.dtype}")
+    sw_max = W if sw_max is None else int(sw_max)
+    sh_max = H if sh_max is None else int(sh_max)
+    SW4 = pl.cdiv(sw_max, COLS)
+    W4 = _round_up(max(pl.cdiv(W, COLS), SW4), 128)
+    # Upper bound over any row_tile choice (row tiles cap at 256).
+    pad_rows = _round_up(sh_max + 256 + H + 16, 8)
+
+    pack = jax.jit(
+        lambda p, f: _interleave_words(p, f, W4, COLS).reshape(-1, W4),
+        static_argnames=(),
+    )
+    parts = [jnp.zeros((pad_rows, W4), dtype=jnp.int32)]
+    for t0 in range(0, T, int(t_chunk)):
+        t1 = min(T, t0 + int(t_chunk))
+        parts.append(pack(jnp.asarray(psi_codes[t0:t1]), jnp.asarray(phi_codes[t0:t1])))
+    parts.append(parts[0])
+    words_r = jnp.concatenate(parts, axis=0)
+    return words_r, pad_rows
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "shape", "bits", "pad_rows",
+        "x_min", "x_max", "y_min", "y_max", "k_results",
+        "gate_min_obs", "gate_min_lh", "row_tile", "interpret",
+    ),
+)
+def search_topk_pallas_packed(
+    words_r,
+    dxs,
+    dys,
+    min_obs,
+    min_lh,
+    encode_meta,
+    *,
+    shape,
+    bits,
+    pad_rows,
+    x_min,
+    x_max,
+    y_min,
+    y_max,
+    k_results,
+    gate_min_obs=True,
+    gate_min_lh=False,
+    row_tile=None,
+    interpret=False,
+    cand_offset=0,
+    cand_valid=None,
+):
+    """search_topk_pallas_encoded over a pre-packed word stream from
+    :func:`pack_psi_phi_words` (survey-scale entry: no stack-sized
+    temporaries). ``shape`` = (T, H, W) of the code stacks; ``bits`` = 8
+    or 16."""
+    T, H, W = shape
+    C = dxs.shape[0]
+    SH = y_max - y_min
+    SW = x_max - x_min
+    K = int(k_results)
+    COLS = 32 // (2 * int(bits))
+    BITS = int(bits)
+    SW4 = pl.cdiv(SW, COLS)
+    W4 = words_r.shape[1]
+    if W4 < _round_up(max(pl.cdiv(W, COLS), SW4), 128):
+        raise ValueError(
+            f"packed stream W4={W4} too narrow for this search window; "
+            f"repack with sw_max >= {SW}"
+        )
+
+    if row_tile is None:
+        row_tile = _encoded_row_tile(SH, SW4, COLS, W4, K)
+    TH = int(row_tile)
+    n_ty = pl.cdiv(SH, TH)
+    SH_pad = n_ty * TH
+    if pad_rows < _round_up(SH_pad + H + 16, 8):
+        raise ValueError(
+            f"packed stream pad_rows={pad_rows} too small; repack with sh_max >= {SH}"
+        )
+
+    t_idx = jnp.arange(T, dtype=jnp.int32)[None, :]
+    oy = jnp.int32(y_min) + dys.astype(jnp.int32)
+    ox = jnp.int32(x_min) + dxs.astype(jnp.int32)
+    rows = pad_rows + t_idx * H + oy
+    cok = (
+        jnp.ones((C,), dtype=jnp.int32)
+        if cand_valid is None
+        else cand_valid.astype(jnp.int32).reshape(C)
+    )
+    em = jnp.asarray(encode_meta, dtype=jnp.float32).reshape(4)
+    return _run_encoded_search(
+        words_r, rows, ox, oy, cok, em, min_obs, min_lh, cand_offset,
+        T=T, H=H, W=W, W4=W4, COLS=COLS, BITS=BITS, TH=TH, SW4=SW4, K=K,
+        SH=SH, SW=SW, SH_pad=SH_pad, n_ty=n_ty, pad_rows=pad_rows,
+        gate_min_obs=gate_min_obs, gate_min_lh=gate_min_lh, interpret=interpret,
+    )

@@ -12,7 +12,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from kbmod_tpu.ops.search import search_topk_shift, trajectory_offsets
-from kbmod_tpu.ops.search_pallas import search_topk_pallas_encoded
+from kbmod_tpu.ops.search_pallas import pack_psi_phi_words, search_topk_pallas_packed
 
 rng = np.random.default_rng(11)
 T = int(os.environ.get("KB_SURVEY_T", 100))
@@ -26,12 +26,16 @@ times = np.linspace(0, 12, T)
 vel = rng.uniform(1, 60, C).astype(np.float32)
 ang = rng.uniform(-0.4, 0.4, C).astype(np.float32)
 dxs, dys = (jnp.asarray(a) for a in trajectory_offsets(np.cos(ang) * vel, np.sin(ang) * vel, times))
-psi_j, phi_j = jnp.asarray(psi_c), jnp.asarray(phi_c)
 print(f"stack: T={T} {H}x{W} u8, C={C}", flush=True)
+t0 = time.time()
+words_r, pad_rows = pack_psi_phi_words(psi_c, phi_c, t_chunk=8)
+words_r.block_until_ready()
+print("pack", time.time() - t0, flush=True)
 
 def run_full():
-    return search_topk_pallas_encoded(
-        psi_j, phi_j, dxs, dys, jnp.float32(10), jnp.float32(0), em,
+    return search_topk_pallas_packed(
+        words_r, dxs, dys, jnp.float32(10), jnp.float32(0), em,
+        shape=(T, H, W), bits=8, pad_rows=pad_rows,
         x_min=0, x_max=W, y_min=0, y_max=H, k_results=K,
     )
 
@@ -47,6 +51,7 @@ print("pallas run", dt, "evals/s", H * W * C / dt, flush=True)
 
 x0, x1, y0, y1 = 2048, 2112, 2048, 2112
 t0 = time.time()
+psi_j, phi_j = jnp.asarray(psi_c), jnp.asarray(phi_c)
 ref_lh, _ = search_topk_shift(
     psi_j, phi_j, jnp.zeros((1, 1, 1), jnp.uint8), dxs, dys,
     jnp.float32(10), jnp.float32(0), encode_meta=em,

@@ -265,3 +265,59 @@ class TestCandidateChunking:
             jnp.asarray(em), interpret=True, row_tile=8, **common,
         )
         np.testing.assert_allclose(np.asarray(pal_lh), np.asarray(ref_lh), rtol=1e-5, atol=1e-5)
+
+
+class TestPackedEntry:
+    @pytest.mark.parametrize("num_bytes", [1, 2])
+    def test_prepacked_matches_inline(self, num_bytes):
+        from kbmod_tpu.ops.search_pallas import (
+            pack_psi_phi_words,
+            search_topk_pallas_encoded,
+            search_topk_pallas_packed,
+        )
+
+        rng = np.random.default_rng(31)
+        T, H, W = 6, 24, 40
+        times = np.arange(T) * 0.3
+        psi = [rng.normal(0, 1, (H, W)).astype(np.float32) for _ in range(T)]
+        phi = [rng.uniform(0.5, 2.0, (H, W)).astype(np.float32) for _ in range(T)]
+        arr = PsiPhiArray()
+        fill_psi_phi_array(arr, num_bytes, psi, phi, times)
+        m = arr.meta
+        em = np.array([m.psi_min_val, m.psi_scale, m.phi_min_val, m.phi_scale], np.float32)
+        vxs = rng.uniform(-3, 3, 5).astype(np.float32)
+        vys = rng.uniform(-3, 3, 5).astype(np.float32)
+        dxs, dys = trajectory_offsets(vxs, vys, times)
+        common = dict(x_min=0, x_max=W, y_min=0, y_max=H, k_results=3)
+        inline_lh, inline_idx = search_topk_pallas_encoded(
+            jnp.asarray(arr.psi), jnp.asarray(arr.phi),
+            jnp.asarray(dxs), jnp.asarray(dys), jnp.float32(0), jnp.float32(0),
+            jnp.asarray(em), interpret=True, row_tile=8, **common,
+        )
+        words_r, pad_rows = pack_psi_phi_words(arr.psi, arr.phi, t_chunk=2)
+        packed_lh, packed_idx = search_topk_pallas_packed(
+            words_r, jnp.asarray(dxs), jnp.asarray(dys),
+            jnp.float32(0), jnp.float32(0), jnp.asarray(em),
+            shape=(T, H, W), bits=8 * num_bytes, pad_rows=pad_rows,
+            interpret=True, row_tile=8, **common,
+        )
+        np.testing.assert_array_equal(np.asarray(packed_lh), np.asarray(inline_lh))
+        np.testing.assert_array_equal(np.asarray(packed_idx), np.asarray(inline_idx))
+
+    def test_window_too_wide_raises(self):
+        from kbmod_tpu.ops.search_pallas import pack_psi_phi_words, search_topk_pallas_packed
+
+        rng = np.random.default_rng(3)
+        T, H, W = 2, 16, 32
+        psi_c = rng.integers(1, 255, (T, H, W), dtype=np.uint8)
+        words_r, pad_rows = pack_psi_phi_words(psi_c, psi_c)
+        em = np.zeros(4, np.float32)
+        dxs = np.zeros((2, T), np.int32)
+        with pytest.raises(ValueError):
+            search_topk_pallas_packed(
+                jnp.asarray(words_r), jnp.asarray(dxs), jnp.asarray(dxs),
+                jnp.float32(0), jnp.float32(0), jnp.asarray(em),
+                shape=(T, H, W), bits=8, pad_rows=pad_rows,
+                x_min=-200, x_max=W + 200, y_min=0, y_max=H, k_results=2,
+                interpret=True,
+            )
