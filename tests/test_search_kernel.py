@@ -165,3 +165,49 @@ class TestSigmaGIndices:
         values = np.array([1.0, 1.1, 0.9, 1.05, 0.95, -50.0], dtype=np.float32)
         kept = sigmag_filtered_indices(values, 0.25, 0.75, 0.7413, 2.0)
         assert 5 not in kept
+
+
+class TestSigmagFilteredIndicesParity:
+    """The reference's GPU shim cases (tests/test_filtering.py:11-104)."""
+
+    def test_all_same(self):
+        inds = sigmag_filtered_indices([1.0] * 20, 0.25, 0.75, 0.7413, 2.0)
+        assert len(inds) == 20
+
+    def test_no_outliers(self):
+        values = [-1.0, -1.0, -1.0, 0.0, 1.0, 2.0, 2.0, 2.0, 3.1]
+        assert len(sigmag_filtered_indices(values, 0.25, 0.75, 0.7413, 2.0)) == len(values)
+
+    def test_one_outlier(self):
+        values = [-1.0, -1.0, -1.0, 0.0, 1.0, 2.0, 2.0, 2.0, 5.46]
+        inds = list(sigmag_filtered_indices(values, 0.25, 0.75, 0.7413, 2.0))
+        assert len(inds) == len(values) - 1
+        assert all(i in inds for i in range(8)) and 8 not in inds
+        assert len(sigmag_filtered_indices(values, 0.25, 0.75, 0.7413, 3.0)) == len(values)
+
+    def test_other_bounds(self):
+        values = [-1.0, -1.0, -1.0, 0.0, 1.0, 2.0, 2.0, 2.0, 3.85]
+        inds = list(sigmag_filtered_indices(values, 0.15, 0.85, 0.4824, 2.0))
+        assert len(inds) == len(values)
+        values[0] = -1.9
+        inds = list(sigmag_filtered_indices(values, 0.15, 0.85, 0.4824, 2.0))
+        assert len(inds) == len(values) - 1
+        assert 0 not in inds and all(i in inds for i in range(1, 9))
+
+    def test_two_outliers(self):
+        values = [1.6, 0.0, 1.0, 0.0, -1.5, 0.5, 1000.1, 0.0, 0.0, -5.2, -0.1]
+        inds = list(sigmag_filtered_indices(values, 0.25, 0.75, 0.7413, 2.0))
+        assert len(inds) == len(values) - 2
+        for idx in inds:
+            assert -1.631 <= values[idx] <= 1.631
+        assert len(sigmag_filtered_indices(values, 0.25, 0.75, 0.7413, 20.0)) == len(values) - 1
+
+    def test_three_outliers(self):
+        values = [5.0] + [3.0] * 12 + [10.95, -1.50] + [7.0] * 12 + [-0.95, 7.0]
+        inds = list(sigmag_filtered_indices(values, 0.25, 0.75, 0.7413, 2.0))
+        assert len(inds) == len(values) - 3
+        for i in range(29):
+            assert (i in inds) == (i not in (13, 14, 27))
+
+    def test_empty(self):
+        assert len(sigmag_filtered_indices([], 0.25, 0.75, 0.7413, 2.0)) == 0
