@@ -201,6 +201,19 @@ class PsiPhiArray:
         self.valid = None
         self.times = np.array([])
         self._on_device = False
+        self._packed = None  # (words_r, pad_rows) cache for the Pallas path
+
+    def packed_words(self):
+        """The interleaved int32 word stream for the encoded Pallas kernel
+        (built once with bounded memory, then cached — survey-scale stacks
+        are too large for the in-wrapper packing). Quantized arrays only."""
+        if self.meta.num_bytes not in (1, 2):
+            raise RuntimeError("packed_words requires a uint8/uint16 quantized array.")
+        if self._packed is None:
+            from kbmod_tpu.ops.search_pallas import pack_psi_phi_words
+
+            self._packed = pack_psi_phi_words(self.psi, self.phi)
+        return self._packed
 
     # --- reference-compatible metadata accessors ---
     @property
@@ -255,6 +268,7 @@ class PsiPhiArray:
         self.meta = PsiPhiArrayMeta()
         self.times = np.array([])
         self._on_device = False
+        self._packed = None
 
     def move_to_gpu(self):
         """Ensure the arrays live on the default device (no-op if already)."""

@@ -499,6 +499,7 @@ def core_search(
     psi_codes=None,
     phi_codes=None,
     encode_meta=None,
+    packed_provider=None,
 ):
     """Run the full top-K search and assemble per-result statistics.
 
@@ -553,17 +554,40 @@ def core_search(
             jnp.float32(min_lh),
         )
         if kernel == "pallas":
-            from kbmod_tpu.ops.search_pallas import search_topk_pallas_encoded
+            from kbmod_tpu.ops.search_pallas import (
+                search_topk_pallas_encoded,
+                search_topk_pallas_packed,
+            )
 
             interpret = jax.default_backend() != "tpu"
-            top_lh, top_idx = search_topk_pallas_encoded(
-                jnp.asarray(psi_codes), jnp.asarray(phi_codes),
-                jnp.asarray(dxs), jnp.asarray(dys),
-                jnp.float32(min_obs), jnp.float32(min_lh),
-                jnp.asarray(np.asarray(encode_meta, dtype=np.float32)),
-                interpret=interpret,
-                **{k: v for k, v in kernel_kwargs.items() if k != "has_masked"},
-            )
+            kw = {k: v for k, v in kernel_kwargs.items() if k != "has_masked"}
+            done = False
+            if packed_provider is not None:
+                # Survey-scale path: reuse the cached interleaved word
+                # stream instead of re-packing per call.
+                words_r, pad_rows = packed_provider()
+                codes = np.asarray(psi_codes)
+                try:
+                    top_lh, top_idx = search_topk_pallas_packed(
+                        words_r, jnp.asarray(dxs), jnp.asarray(dys),
+                        jnp.float32(min_obs), jnp.float32(min_lh),
+                        jnp.asarray(np.asarray(encode_meta, dtype=np.float32)),
+                        shape=codes.shape, bits=8 * codes.dtype.itemsize,
+                        pad_rows=pad_rows, interpret=interpret, **kw,
+                    )
+                    done = True
+                except ValueError:
+                    # Stream packed for a smaller window (extended bounds):
+                    # fall back to the in-wrapper packing.
+                    pass
+            if not done:
+                top_lh, top_idx = search_topk_pallas_encoded(
+                    jnp.asarray(psi_codes), jnp.asarray(phi_codes),
+                    jnp.asarray(dxs), jnp.asarray(dys),
+                    jnp.float32(min_obs), jnp.float32(min_lh),
+                    jnp.asarray(np.asarray(encode_meta, dtype=np.float32)),
+                    interpret=interpret, **kw,
+                )
         else:
             kernel_kwargs["encode_meta"] = jnp.asarray(np.asarray(encode_meta, dtype=np.float32))
             top_lh, top_idx = search_topk_shift(*args, **kernel_kwargs)

@@ -308,6 +308,9 @@ class StackSearch:
                 psi_codes=self.psi_phi_array.psi,
                 phi_codes=self.psi_phi_array.phi,
                 encode_meta=(meta.psi_min_val, meta.psi_scale, meta.phi_min_val, meta.phi_scale),
+                # Lazy: only the Pallas kernel path packs (and then caches)
+                # the interleaved word stream.
+                packed_provider=self.psi_phi_array.packed_words,
             )
             # The winner re-scoring paths still use decoded planes.
             psi, phi, valid = self._decoded()

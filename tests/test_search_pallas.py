@@ -321,3 +321,35 @@ class TestPackedEntry:
                 x_min=-200, x_max=W + 200, y_min=0, y_max=H, k_results=2,
                 interpret=True,
             )
+
+
+class TestStackSearchPackedPath:
+    def test_encoded_stack_pallas_matches_xla(self, monkeypatch):
+        from kbmod_tpu.fake_data.fake_data_creator import FakeDataSet, create_fake_times
+        from kbmod_tpu.search import StackSearch, Trajectory
+
+        times = create_fake_times(6, t0=57130.0, obs_per_day=3)
+        ds = FakeDataSet(40, 44, times, use_seed=44)
+        ds.insert_object(Trajectory(x=18, y=20, vx=3.0, vy=-2.0, flux=400.0))
+        stack = ds.stack_py
+        cands = [
+            Trajectory(vx=vx, vy=vy)
+            for vx in np.linspace(1.0, 5.0, 4)
+            for vy in np.linspace(-4.0, 0.0, 4)
+        ]
+
+        def run(kern, num_bytes):
+            monkeypatch.setenv("KB_SEARCH_KERNEL", kern)
+            monkeypatch.setenv("KB_SHARDED", "0")
+            s = StackSearch(stack.sci, stack.var, stack.psfs, stack.zeroed_times, num_bytes)
+            s.set_min_obs(4)
+            s.search_all(cands, True)
+            return s.results.get_arrays(), s.psi_phi_array
+
+        ref, _ = run("xla", 1)
+        got, arr = run("pallas", 1)
+        # The packed stream was built and cached on the array.
+        assert arr._packed is not None
+        np.testing.assert_allclose(got["lh"], ref["lh"], rtol=1e-5, atol=1e-5)
+        np.testing.assert_array_equal(got["x"], ref["x"])
+        np.testing.assert_array_equal(got["y"], ref["y"])
