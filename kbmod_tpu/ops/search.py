@@ -365,12 +365,16 @@ def search_topk_core(
             # In-bounds masks: row i valid iff 0 <= y_min + i + dy < H.
             m = (ii >= -oy) & (ii < H - oy) & (jj >= -ox) & (jj < W - ox)
             if encoded:
-                # Decode codes in-register ((v - 1) * scale + min; 0=masked).
+                # Accumulate raw code sums; codes are small integers so the
+                # f32 sums are exact. Decoding ((v-1)*scale + min, 0=masked)
+                # is affine, so it is applied once after the loop — the same
+                # formulation as the Pallas encoded kernel, keeping the two
+                # paths bitwise consistent.
                 m = m & (ps != 0) & (fs != 0)
                 mf = jnp.where(m, 1.0, 0.0)
-                ps = jnp.where(m, (ps.astype(jnp.float32) - 1.0) * psi_scale + psi_min, 0.0)
-                fs = jnp.where(m, (fs.astype(jnp.float32) - 1.0) * phi_scale + phi_min, 0.0)
-                return (psi_s + ps, phi_s + fs, obs + mf)
+                psc = jnp.where(m, ps.astype(jnp.float32), 0.0)
+                fsc = jnp.where(m, fs.astype(jnp.float32), 0.0)
+                return (psi_s + psc, phi_s + fsc, obs + mf)
             if has_masked:
                 vs = lax.dynamic_slice(val_f, (start,), (L,)).reshape(SH, W2)[:, :SW]
                 mf = jnp.where(m, vs.astype(jnp.float32), 0.0)
@@ -379,7 +383,11 @@ def search_topk_core(
             return (psi_s + ps * mf, phi_s + fs * mf, obs + mf)
 
         zeros = jnp.zeros((SH, SW), dtype=jnp.float32)
-        return lax.fori_loop(0, T, tbody, (zeros, zeros, zeros), unroll=unroll)
+        psi_s, phi_s, obs = lax.fori_loop(0, T, tbody, (zeros, zeros, zeros), unroll=unroll)
+        if encoded:
+            psi_s = psi_scale * psi_s + (psi_min - psi_scale) * obs
+            phi_s = phi_scale * phi_s + (phi_min - phi_scale) * obs
+        return psi_s, phi_s, obs
 
     def cand_step(carry, inp):
         top_lh, top_idx = carry

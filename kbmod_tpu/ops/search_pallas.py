@@ -490,9 +490,14 @@ def _search_kernel_encoded(
     jw = lax.broadcasted_iota(jnp.int32, (TH, SW4), 1)
 
     def run(acc_psi, acc_phi, acc_obs):
-        acc_psi[...] = jnp.zeros((COLS, TH, SW4), dtype=jnp.float32)
-        acc_phi[...] = jnp.zeros((COLS, TH, SW4), dtype=jnp.float32)
-        acc_obs[...] = jnp.zeros((COLS, TH, SW4), dtype=jnp.float32)
+        # Integer code sums: psi_val = (code-1)*scale + min is affine in the
+        # code, so Σ over valid samples decodes once per pixel after the T
+        # loop (Σpsi = scale*Σcode + (min-scale)*obs) — the hot loop is pure
+        # int32 select/add, which is what the VPU-bound kernel needs. Code
+        # sums stay far below int32 range (T * 65535).
+        acc_psi[...] = jnp.zeros((COLS, TH, SW4), dtype=jnp.int32)
+        acc_phi[...] = jnp.zeros((COLS, TH, SW4), dtype=jnp.int32)
+        acc_obs[...] = jnp.zeros((COLS, TH, SW4), dtype=jnp.int32)
 
         dma(0, 0).start()
 
@@ -527,20 +532,18 @@ def _search_kernel_encoded(
                 fc = lax.shift_right_logical(wk, shift + BITS) & CODE_MASK
                 j = COLS * jw + k  # output column in search space
                 m = row_ok & (j >= -ox) & (j < W - ox) & (pc > 0) & (fc > 0)
-                mf = jnp.where(m, jnp.float32(1.0), jnp.float32(0.0))
-                ps = jnp.where(m, (pc.astype(jnp.float32) - 1.0) * psi_scale + psi_min, 0.0)
-                fs = jnp.where(m, (fc.astype(jnp.float32) - 1.0) * phi_scale + phi_min, 0.0)
-                acc_psi[k] = acc_psi[k] + ps
-                acc_phi[k] = acc_phi[k] + fs
-                acc_obs[k] = acc_obs[k] + mf
+                zero = jnp.int32(0)
+                acc_psi[k] = acc_psi[k] + jnp.where(m, pc, zero)
+                acc_phi[k] = acc_phi[k] + jnp.where(m, fc, zero)
+                acc_obs[k] = acc_obs[k] + jnp.where(m, jnp.int32(1), zero)
             return 0
 
         lax.fori_loop(0, T, tbody, 0)
 
         for k in range(COLS):
-            phi_sum = acc_phi[k]
-            psi_sum = acc_psi[k]
-            obs = acc_obs[k]
+            obs = acc_obs[k].astype(jnp.float32)
+            psi_sum = psi_scale * acc_psi[k].astype(jnp.float32) + (psi_min - psi_scale) * obs
+            phi_sum = phi_scale * acc_phi[k].astype(jnp.float32) + (phi_min - phi_scale) * obs
             lh = jnp.where(phi_sum > 0, psi_sum * lax.rsqrt(jnp.maximum(phi_sum, 1e-30)), -1.0)
             ok = jnp.full((TH, SW4), cok_ref[c] != 0)
             if gate_min_obs:
@@ -562,9 +565,9 @@ def _search_kernel_encoded(
 
     pl.run_scoped(
         run,
-        acc_psi=pltpu.VMEM((COLS, TH, SW4), jnp.float32),
-        acc_phi=pltpu.VMEM((COLS, TH, SW4), jnp.float32),
-        acc_obs=pltpu.VMEM((COLS, TH, SW4), jnp.float32),
+        acc_psi=pltpu.VMEM((COLS, TH, SW4), jnp.int32),
+        acc_phi=pltpu.VMEM((COLS, TH, SW4), jnp.int32),
+        acc_obs=pltpu.VMEM((COLS, TH, SW4), jnp.int32),
     )
 
 
