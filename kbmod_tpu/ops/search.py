@@ -536,10 +536,11 @@ def core_search(
     encoded = encode_meta is not None and psi_codes is not None
     has_masked = (not encoded) and bool(np.asarray(jnp.min(jnp.asarray(valid))) == 0)
 
-    # Kernel selection: 'xla' (default) or 'pallas' (the fused VMEM-resident
-    # kernel); overridable via KB_SEARCH_KERNEL.
+    # Kernel selection: the fused VMEM-resident Pallas kernel on TPU (the
+    # XLA formulation elsewhere); overridable via KB_SEARCH_KERNEL=xla|pallas.
     if kernel is None:
-        kernel = os.environ.get("KB_SEARCH_KERNEL", "xla")
+        default = "pallas" if jax.default_backend() == "tpu" else "xla"
+        kernel = os.environ.get("KB_SEARCH_KERNEL", default)
     kernel_kwargs = dict(
         x_min=int(x_min),
         x_max=int(x_max),
