@@ -426,6 +426,7 @@ def _search_kernel_encoded(
     TH,
     SW4,
     K,
+    DD,
     gate_min_obs,
     gate_min_lh,
 ):
@@ -499,14 +500,17 @@ def _search_kernel_encoded(
         acc_phi[...] = jnp.zeros((COLS, TH, SW4), dtype=jnp.int32)
         acc_obs[...] = jnp.zeros((COLS, TH, SW4), dtype=jnp.int32)
 
-        dma(0, 0).start()
+        # Ring-buffered DMAs DD deep: per-step tiles are small, so the DMA
+        # issue latency (not bandwidth) is what double-buffering exposes.
+        for d in range(DD - 1):
+            dma(d, d).start()
 
         def tbody(t, _):
-            slot = t % 2
+            slot = t % DD
 
-            @pl.when(t + 1 < T)
+            @pl.when(t + DD - 1 < T)
             def _prefetch():
-                dma((t + 1) % 2, t + 1).start()
+                dma((t + DD - 1) % DD, t + DD - 1).start()
 
             dma(slot, t).wait()
 
@@ -659,7 +663,7 @@ def _encoded_row_tile(SH, SW4, COLS, W4, K):
     # VMEM budget: class-packed top-K blocks + double-buffered word
     # slabs + 3 class-packed accumulators (see search_topk_pallas).
     budget = 7 * 1024 * 1024
-    per_row = 2 * K * SW4 * COLS * 4 + 8 * W4 + 3 * SW4 * COLS * 4
+    per_row = 2 * K * SW4 * COLS * 4 + 16 * W4 + 3 * SW4 * COLS * 4
     return max(8, min(_round_up(SH, 8), (budget // per_row) // 8 * 8, 256))
 
 
@@ -681,9 +685,10 @@ def _run_encoded_search(
     C = rows.shape[0]
     total_rows = T * H + 2 * pad_rows
 
+    DD = min(int(T), 4)
     kernel = functools.partial(
         _search_kernel_encoded,
-        T=T, H=H, W=W, W4=W4, COLS=COLS, BITS=BITS, TH=TH, SW4=SW4, K=K,
+        T=T, H=H, W=W, W4=W4, COLS=COLS, BITS=BITS, TH=TH, SW4=SW4, K=K, DD=DD,
         gate_min_obs=gate_min_obs, gate_min_lh=gate_min_lh,
     )
 
@@ -701,8 +706,8 @@ def _run_encoded_search(
                 for _ in range(2 * COLS)
             ),
             scratch_shapes=[
-                pltpu.VMEM((2, TH + 8, W4), jnp.int32),
-                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.VMEM((DD, TH + 8, W4), jnp.int32),
+                pltpu.SemaphoreType.DMA((DD,)),
             ],
         )
         cost = pl.CostEstimate(
