@@ -70,15 +70,24 @@ HAS_CUDA = kb_has_gpu()
 HAS_OMP = False
 
 
+# Assumed HBM when the runtime exposes no memory stats (e.g. remote/
+# tunneled TPU plugins return memory_stats() = None): one v5e chip's 16GB.
+_DEFAULT_HBM_BYTES = 16 * 1024**3
+
+
 def kb_get_gpu_free_memory():
-    """Free device memory in bytes (kernel_helpers.cpp:35-50)."""
+    """Free device memory in bytes (kernel_helpers.cpp:35-50).
+
+    Falls back to a nominal chip HBM size when the platform reports no
+    stats — better to attempt the search (XLA raises a precise OOM if it
+    does not fit) than to refuse it on missing telemetry."""
     devs = _accelerator_devices()
     if not devs:
         return 0
-    stats = devs[0].memory_stats() or {}
-    limit = stats.get("bytes_limit", 0)
-    used = stats.get("bytes_in_use", 0)
-    return max(limit - used, 0)
+    stats = devs[0].memory_stats()
+    if not stats or "bytes_limit" not in stats:
+        return _DEFAULT_HBM_BYTES
+    return max(stats["bytes_limit"] - stats.get("bytes_in_use", 0), 0)
 
 
 def kb_get_gpu_total_memory():
