@@ -378,7 +378,8 @@ class StackSearch:
         return np.concatenate([psi_v, phi_v], axis=1)
 
     def get_number_total_results(self):
-        return self.params.total_results
+        """Current number of stored results (stack_search.h:52)."""
+        return len(self.results)
 
     def get_results(self, start, count):
         logger.debug(f"Reading results [{start}, {start + count})")

@@ -71,3 +71,40 @@ class TestPsiPhiCurves:
         assert curves.shape == (2, 12)
         # phi = conv(1/var, psf^2) is positive for clean pixels.
         assert np.all(curves[:, 6:] > 0.0)
+
+
+class TestCpuGpuPathSemantics:
+    """Reference divergence: the CPU path keeps min(rpp, n_candidates) per
+    pixel with no insertion gating, while the GPU path always keeps rpp
+    slots gated by min_obs (cpu_search_algorithms.cpp:99 vs kernels.cu:286)."""
+
+    def _make(self):
+        times = create_fake_times(6, t0=57130.0)
+        ds = FakeDataSet(24, 24, times, use_seed=31)
+        ds.insert_object(Trajectory(x=12, y=12, vx=2.0, vy=1.0, flux=400.0))
+        stack = ds.stack_py
+        return StackSearch(stack.sci, stack.var, stack.psfs, stack.zeroed_times, -1)
+
+    def test_cpu_keeps_min_rpp_candidates(self):
+        search = self._make()
+        search.set_results_per_pixel(8)
+        search.set_min_lh(-1e20)
+        cands = [Trajectory(vx=2.0, vy=1.0), Trajectory(vx=0.0, vy=0.0), Trajectory(vx=-1.0, vy=0.5)]
+        search.search_all(cands, False)
+        # 24*24 pixels x min(8, 3) candidates.
+        assert search.get_number_total_results() == 24 * 24 * 3
+
+        search.search_all(cands, True)
+        # The GPU path fills rpp slots but empties are filtered by lh.
+        assert search.get_number_total_results() <= 24 * 24 * 8
+
+    def test_paths_agree_on_best(self):
+        search = self._make()
+        search.set_min_obs(4)
+        cands = [Trajectory(vx=vx, vy=vy) for vx in [1.0, 2.0, 3.0] for vy in [0.0, 1.0, 2.0]]
+        search.search_all(cands, True)
+        best_gpu = search.get_results(0, 1)[0]
+        search.search_all(cands, False)
+        best_cpu = search.get_results(0, 1)[0]
+        assert (best_gpu.x, best_gpu.y) == (best_cpu.x, best_cpu.y) == (12, 12)
+        np.testing.assert_allclose(best_gpu.lh, best_cpu.lh, rtol=1e-5)
