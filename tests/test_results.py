@@ -181,3 +181,139 @@ class TestResultsIO:
             text = open(path).read()
             assert "unfiltered,2" in text
             assert "lh,3" in text
+
+
+def _trajectories(n=10):
+    return [
+        Trajectory(x=i, y=i + 0, vx=float(i), vy=0.5 * i, lh=100.0 + i, flux=25.0 * i, obs_count=i)
+        for i in range(n)
+    ]
+
+
+class TestResultsConstruction:
+    def _input_dict(self, n=10):
+        trjs = _trajectories(n)
+        return {
+            "x": [t.x for t in trjs],
+            "y": [t.y for t in trjs],
+            "vx": [t.vx for t in trjs],
+            "vy": [t.vy for t in trjs],
+            "likelihood": [t.lh for t in trjs],
+            "flux": [t.flux for t in trjs],
+            "obs_count": [t.obs_count for t in trjs],
+        }
+
+    def test_from_dict(self):
+        d = self._input_dict()
+        d["something_added"] = list(range(10))
+        missing = {k: v for k, v in d.items() if k != "x"}
+        with pytest.raises(KeyError):
+            Results(missing)
+        r = Results(d)
+        assert len(r) == 10
+        assert "something_added" in r.colnames
+        np.testing.assert_array_equal(r["x"], d["x"])
+
+    def test_copy_is_deep(self):
+        r = Results.from_trajectories(_trajectories(5))
+        dup = r.copy()
+        dup.table["x"][0] = 99
+        assert r["x"][0] == 0
+
+    def test_remove_column(self):
+        d = self._input_dict()
+        d["something_added"] = list(range(10))
+        r = Results(d)
+        with pytest.raises(KeyError):
+            r.remove_column("missing_column")
+        r.remove_column("something_added")
+        assert "something_added" not in r.colnames
+        with pytest.raises(KeyError):
+            r.remove_column("x")
+
+    def test_extend_mismatched_raises(self):
+        r1 = Results.from_trajectories(_trajectories(5))
+        d = self._input_dict(5)
+        d["something_added"] = list(range(5))
+        with pytest.raises(ValueError):
+            r1.extend(Results(d))
+
+    def test_extend_from_empty(self):
+        r1 = Results.from_trajectories(_trajectories(5))
+        r4 = Results()
+        r4.extend(r1)
+        assert len(r4) == len(r1)
+        np.testing.assert_array_equal(r4["x"], r1["x"])
+
+
+class TestResultsValues:
+    def test_is_empty_value(self):
+        r = Results.from_trajectories(_trajectories(10))
+        r.table["nums"] = list(range(10))
+        pairs = [(i, i + 1) for i in range(10)]
+        pairs[1] = None
+        pairs[3] = ()
+        pairs[7] = ()
+        r.table["pairs"] = pairs
+        assert not np.any(r.is_empty_value("nums"))
+        expected = np.zeros(10, dtype=bool)
+        expected[[1, 3, 7]] = True
+        np.testing.assert_array_equal(r.is_empty_value("pairs"), expected)
+
+    def test_filter_empty_table(self):
+        r = Results.from_trajectories([])
+        assert len(r) == 0
+        r.filter_rows([], "empty_test")
+        assert len(r) == 0
+        assert "empty_test" in r.filtered_stats
+
+    def test_extend_with_filtered(self):
+        trjs = _trajectories(10)
+        r1 = Results.from_trajectories(trjs, track_filtered=True)
+        for t in trjs:
+            t.x += 10
+        r2 = Results.from_trajectories(trjs, track_filtered=True)
+
+        r1.filter_rows([1, 3, 4, 5, 6, 7, 8, 9], label="filter1")
+        r1.filter_rows([1, 2, 3, 4, 7], label="filter2")
+        r2.filter_rows([1, 3, 4, 5, 6, 7, 8], label="filter1")
+        r2.filter_rows([1], label="filter3")
+
+        r1.extend(r2)
+        assert len(r1) == 6
+        assert r1.filtered_stats["filter1"] == 5
+        assert r1.filtered_stats["filter2"] == 3
+        assert r1.filtered_stats["filter3"] == 6
+        assert len(r1.get_filtered("filter1")) == 5
+        assert len(r1.get_filtered("filter2")) == 3
+        assert len(r1.get_filtered("filter3")) == 6
+
+
+class TestResultsIOEdges:
+    def test_empty_roundtrip(self, tmp_path):
+        r = Results()
+        path = str(tmp_path / "empty.ecsv")
+        r.write_table(path)
+        back = Results.read_table(path)
+        assert len(back) == 0
+
+    def test_chunked_read_errors(self, tmp_path):
+        with pytest.raises(FileNotFoundError):
+            list(Results.read_table_chunks(str(tmp_path / "nope.parquet")))
+        bad = tmp_path / "results.xyz"
+        bad.write_text("junk")
+        with pytest.raises(ValueError):
+            list(Results.read_table_chunks(str(bad)))
+
+    def test_write_and_load_column(self, tmp_path):
+        r = Results.from_trajectories(_trajectories(6))
+        base = str(tmp_path / "res.ecsv")
+        r.write_table(base)
+        extra = np.arange(6.0)
+        r.table["extra"] = extra
+        r.write_column("extra", str(tmp_path / "extra.npy"))
+
+        fresh = Results.read_table(base)
+        assert "extra" not in fresh.colnames
+        fresh.load_column(str(tmp_path / "extra.npy"), "extra")
+        np.testing.assert_allclose(fresh["extra"], extra)
