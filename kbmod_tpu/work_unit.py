@@ -159,6 +159,33 @@ class WorkUnit:
 
         return unique_obstimes_and_indices(self.get_all_obstimes())
 
+    def disorder_obstimes(self):
+        """Randomly re-offset every unique obstime (sampled without
+        replacement so uniqueness/sharing structure is preserved), then
+        re-sort the stack by the new times (work_unit.py:437-482). Used to
+        build unlikely-signal data for tests and ML training."""
+        obstimes = self.get_all_obstimes()
+        unique_obstimes = np.unique(obstimes)
+        if len(unique_obstimes) == 0:
+            raise ValueError("No obstimes provided for WorkUnit.")
+
+        max_offset = max(
+            int(np.max(unique_obstimes) - np.min(unique_obstimes) + 1),
+            self.im_stack.num_times,
+        )
+        random_offsets = np.random.choice(
+            np.arange(0, max_offset), len(unique_obstimes), replace=False
+        )
+        mapping = {t: t + random_offsets[i] for i, t in enumerate(unique_obstimes)}
+        self.im_stack.times = np.asanyarray([mapping[t] for t in obstimes], dtype=float)
+        self.im_stack.zeroed_times = self.im_stack.times - self.im_stack.times[0]
+        self._obstimes = None
+
+        order = self.im_stack.sort_by_time()
+        self._per_image_indices = [self._per_image_indices[i] for i in order]
+        if len(self.org_img_meta) == len(order):
+            self.org_img_meta = self.org_img_meta[list(order)]
+
     def get_pixel_coordinates(self, ra, dec, times=None):
         """Pixel (x, y) for sky positions, per matching time. ra/dec in
         degrees; times (MJD) select which image's WCS to use."""
@@ -201,7 +228,11 @@ class WorkUnit:
         ]
 
     def apply_color_scale(self, color_scale=None):
-        """Scale images by per-filter magnitude corrections."""
+        """Scale images by per-filter magnitude corrections
+        (work_unit.py:401-435): each image's filter (from the constituent
+        metadata) must have an entry in ``color_scale``; the applied
+        magnitudes are also recorded in a per-constituent ``color_scale``
+        column."""
         if color_scale is None:
             color_scale = self.config["color_scale"]
         if color_scale is None:
@@ -209,11 +240,23 @@ class WorkUnit:
         if np.isscalar(color_scale):
             self.im_stack.scale_images(color_scale, is_magnitude=True)
             return
-        filters = self.get_constituent_meta(["filter"]).get("filter")
-        if filters is None:
-            raise ValueError("No filter metadata to apply a per-filter color scale.")
-        scales = np.array([color_scale.get(f, 0.0) for f in filters], dtype=float)
+        if "filter" not in self.org_img_meta.colnames:
+            raise ValueError("No filter information in WorkUnit to apply color scaling.")
+        filters = np.asarray(self.org_img_meta["filter"])
+
+        num_img = len(self.im_stack)
+        scales = np.zeros(num_img)
+        for i in range(num_img):
+            const_filters = filters[np.asarray(self._per_image_indices[i])]
+            if len(np.unique(const_filters)) != 1:
+                raise ValueError(
+                    f"More than one filter found for image {i}: {const_filters}."
+                )
+            if const_filters[0] not in color_scale:
+                raise ValueError(f"Color scale missing entry for filter {const_filters[0]}.")
+            scales[i] = color_scale[const_filters[0]]
         self.im_stack.scale_images(scales, is_magnitude=True)
+        self.org_img_meta["color_scale"] = np.array([color_scale[f] for f in filters])
 
     # Alias matching the name used by SearchRunner in the reference.
     def apply_color_scaling(self, color_scale=None):
@@ -228,6 +271,10 @@ class WorkUnit:
         from kbmod_tpu.reprojection_utils import invert_correct_parallax_vectorized
         from kbmod_tpu.geom.wcs import SkyCoordLite
 
+        if input_format not in ("xy", "radec"):
+            raise ValueError(f"Input format {input_format} not supported.")
+        if output_format not in ("xy", "radec"):
+            raise ValueError(f"Output format {output_format} not supported.")
         obstimes = np.asarray(self.get_all_obstimes())
         results = []
         for idx, pos in zip(np.atleast_1d(image_indices), positions):
