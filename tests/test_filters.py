@@ -173,3 +173,66 @@ class TestStampFilters:
         assert "prob_bogus" in results.colnames
         assert "cnn_class" in results.colnames
         assert results["prob_real"].shape == (4,)
+
+
+class TestNNSweepFilter:
+    def test_keeps_local_maxima(self):
+        from kbmod_tpu.filters.clustering_filters import NNSweepFilter
+
+        # Two tight groups + one isolated trajectory; keep argmax-lh of each.
+        trjs = [
+            Trajectory(x=10, y=10, vx=1.0, vy=1.0, lh=100.0),
+            Trajectory(x=10, y=11, vx=1.0, vy=1.0, lh=90.0),
+            Trajectory(x=11, y=10, vx=1.0, vy=1.0, lh=80.0),
+            Trajectory(x=50, y=50, vx=-1.0, vy=0.0, lh=70.0),
+            Trajectory(x=51, y=50, vx=-1.0, vy=0.0, lh=75.0),
+            Trajectory(x=90, y=90, vx=0.0, vy=0.0, lh=10.0),
+        ]
+        results = Results.from_trajectories(trjs)
+        f = NNSweepFilter(5.0, [0.0, 1.0])
+        keep = f.keep_indices(results)
+        assert list(keep) == [0, 4, 5]
+
+    def test_validation(self):
+        from kbmod_tpu.filters.clustering_filters import NNSweepFilter
+
+        with pytest.raises(ValueError):
+            NNSweepFilter(0.0, [0.0])
+        with pytest.raises(ValueError):
+            NNSweepFilter(1.0, [])
+        with pytest.raises(ValueError):
+            NNSweepFilter(1.0, [0.0], batch_size=0)
+
+
+class TestCoaddEdgeCases:
+    def _stack_and_result(self, n=6):
+        times = create_fake_times(n, t0=57130.0)
+        ds = FakeDataSet(32, 32, times, use_seed=55)
+        trj = Trajectory(x=16, y=16, vx=1.0, vy=0.0, flux=300.0)
+        ds.insert_object(trj)
+        return ds.stack_py, trj
+
+    def test_coadds_empty_results(self):
+        stack, _ = self._stack_and_result()
+        results = Results.from_trajectories([])
+        append_coadds(results, stack, ["mean", "sum"], 3)
+        assert "coadd_mean" in results.colnames
+        assert "coadd_sum" in results.colnames
+        assert len(results) == 0
+
+    def test_coadds_no_valid_times(self):
+        stack, trj = self._stack_and_result()
+        results = Results.from_trajectories([trj])
+        obs_valid = np.full((1, 6), False)
+        results.update_obs_valid(obs_valid, drop_empty_rows=False)
+        append_coadds(results, stack, ["mean", "median", "sum"], 3)
+        for c in ("coadd_mean", "coadd_median", "coadd_sum"):
+            assert c in results.colnames
+            assert np.all(np.isfinite(np.asarray(results[c][0])) | (np.asarray(results[c][0]) == 0))
+
+    def test_all_stamps_empty_results(self):
+        stack, _ = self._stack_and_result()
+        results = Results.from_trajectories([])
+        append_all_stamps(results, stack, 3)
+        assert "all_stamps" in results.colnames
+        assert len(results) == 0
