@@ -159,6 +159,22 @@ def _encode_array(imgs, min_val, max_val, scale, dtype):
 # PsiPhiArray
 # ----------------------------------------------------------------------
 
+class PsiPhi:
+    """Named (psi, phi) value pair (psi_phi_array_ds.h:33-38)."""
+
+    __slots__ = ("psi", "phi")
+
+    def __init__(self, psi=0.0, phi=0.0):
+        self.psi = psi
+        self.phi = phi
+
+    def __iter__(self):
+        return iter((self.psi, self.phi))
+
+    def __repr__(self):
+        return f"PsiPhi(psi={self.psi}, phi={self.phi})"
+
+
 class PsiPhiArrayMeta:
     """Metadata mirror of the reference's PsiPhiArrayMeta
     (psi_phi_array_ds.h:49-67)."""
@@ -313,14 +329,16 @@ class PsiPhiArray:
             or col >= self.meta.width
             or time >= self.meta.num_times
         ):
-            return (float("nan"), float("nan"))
+            return PsiPhi(float("nan"), float("nan"))
         if self.meta.num_bytes == 4:
             if self.valid is not None and not bool(np.asarray(self.valid[time, row, col])):
-                return (float("nan"), float("nan"))
-            return (float(np.asarray(self.psi[time, row, col])), float(np.asarray(self.phi[time, row, col])))
+                return PsiPhi(float("nan"), float("nan"))
+            return PsiPhi(
+                float(np.asarray(self.psi[time, row, col])), float(np.asarray(self.phi[time, row, col]))
+            )
         psi_code = float(np.asarray(self.psi[time, row, col]))
         phi_code = float(np.asarray(self.phi[time, row, col]))
-        return (
+        return PsiPhi(
             decode_uint_scalar(psi_code, self.meta.psi_min_val, self.meta.psi_scale),
             decode_uint_scalar(phi_code, self.meta.phi_min_val, self.meta.phi_scale),
         )

@@ -27,6 +27,7 @@ from kbmod_tpu.search.trajectory_list import (
 from kbmod_tpu.search.checkpoint import checkpointed_core_search
 from kbmod_tpu.search.stack_search import StackSearch
 from kbmod_tpu.ops.psi_phi import (
+    PsiPhi,
     PsiPhiArray,
     PsiPhiArrayMeta,
     fill_psi_phi_array,
@@ -34,12 +35,80 @@ from kbmod_tpu.ops.psi_phi import (
     compute_scale_params_from_image_vect,
     encode_uint_scalar,
     decode_uint_scalar,
+    generate_psi_phi_images,
 )
 from kbmod_tpu.ops.search import (
     sigmag_filtered_indices,
     evaluate_trajectories,
     predict_index,
 )
+
+
+# --- image-utils bindings (image_utils_cpp.cpp:179-196) ---
+
+def convolve_image(image, psf):
+    """Masked PSF convolution of one image (image_utils_cpp.cpp:103-108)."""
+    from kbmod_tpu.ops.convolve import convolve_psf_and_image
+
+    return np.asarray(convolve_psf_and_image(image, psf))
+
+
+# The reference exposes explicit CPU/GPU dispatch; JAX picks the device.
+convolve_image_cpu = convolve_image
+convolve_image_gpu = convolve_image
+
+
+def square_psf_values(given_psf):
+    """Element-wise squared PSF kernel (image_utils_cpp.cpp:110-120)."""
+    return np.asanyarray(given_psf) ** 2
+
+
+def generate_psi(sci, var, psf):
+    """psi = conv(sci/var, PSF) (image_utils_cpp.cpp:126-153)."""
+    return generate_psi_phi_images(sci, var, psf)[0]
+
+
+def generate_phi(var, psf):
+    """phi = conv(1/var, PSF^2) (image_utils_cpp.cpp:155-177)."""
+    var = np.asanyarray(var)
+    return generate_psi_phi_images(np.ones_like(var), var, psf)[1]
+
+
+# --- CPU search bindings (cpu_search_algorithms.cpp:127-131) ---
+
+def evaluate_trajectory_cpu(psi_phi_array, candidate):
+    """Score one candidate trajectory against a PsiPhiArray, updating its
+    obs_count/lh/flux in place (cpu_search_algorithms.cpp:20-60; no
+    sigma-G)."""
+    psi, phi, valid = psi_phi_array.decoded_psi_phi()
+    stats = evaluate_trajectories(
+        psi, phi, valid, psi_phi_array.times,
+        np.array([candidate.x]), np.array([candidate.y]),
+        np.array([candidate.vx], dtype=np.float32),
+        np.array([candidate.vy], dtype=np.float32),
+    )
+    candidate.obs_count = int(stats["obs_count"][0])
+    candidate.lh = float(stats["lh"][0])
+    candidate.flux = float(stats["flux"][0])
+
+
+def search_cpu_only(psi_phi_array, params, trj_to_search, results):
+    """The CPU-path search (cpu_search_algorithms.cpp:62-124): every
+    starting pixel keeps min(results_per_pixel, n_candidates) ungated
+    results; ``results`` (a TrajectoryList) receives them."""
+    from kbmod_tpu.ops.search import core_search
+
+    cands = trj_to_search.get_arrays()
+    psi, phi, valid = psi_phi_array.decoded_psi_phi()
+    raw = core_search(
+        psi, phi, valid, psi_phi_array.times,
+        cands["vx"], cands["vy"],
+        params.x_start_min, params.x_start_max,
+        params.y_start_min, params.y_start_max,
+        min(params.results_per_pixel, len(trj_to_search)),
+        min_obs=0, min_lh=-np.inf, gate_min_obs=False,
+    )
+    results.set_arrays(raw)
 
 
 class StampType:
@@ -156,6 +225,16 @@ __all__ = [
     "encode_uint_scalar",
     "decode_uint_scalar",
     "sigmag_filtered_indices",
+    "PsiPhi",
+    "convolve_image",
+    "convolve_image_cpu",
+    "convolve_image_gpu",
+    "square_psf_values",
+    "generate_psi",
+    "generate_phi",
+    "generate_psi_phi_images",
+    "evaluate_trajectory_cpu",
+    "search_cpu_only",
     "evaluate_trajectories",
     "predict_index",
     "extract_all_trajectory_x",

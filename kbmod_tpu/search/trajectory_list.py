@@ -69,6 +69,11 @@ class TrajectoryList:
     def set_trajectories(self, trajectories):
         self._arrays = trajectories_to_arrays(list(trajectories))
 
+    def set_arrays(self, arrays):
+        """kbmod_tpu extension: replace the contents from a struct-of-arrays
+        dict (pixel-major search output)."""
+        self._arrays = {k: np.asarray(arrays[k]) for k in _FIELDS}
+
     def get_list(self):
         return arrays_to_trajectories(self._arrays)
 

@@ -211,3 +211,86 @@ class TestSigmagFilteredIndicesParity:
 
     def test_empty(self):
         assert len(sigmag_filtered_indices([], 0.25, 0.75, 0.7413, 2.0)) == 0
+
+
+class TestModuleBindings:
+    """The module-level names the reference binds from C++
+    (image_utils_cpp.cpp:179-196, cpu_search_algorithms.cpp:127-131)."""
+
+    def test_convolve_and_psf_helpers(self):
+        from kbmod_tpu.search import (
+            convolve_image, convolve_image_cpu, convolve_image_gpu,
+            square_psf_values, generate_psi, generate_phi,
+        )
+
+        rng = np.random.default_rng(2)
+        img = rng.normal(10, 1, (16, 16)).astype(np.float32)
+        var = rng.uniform(1, 2, (16, 16)).astype(np.float32)
+        psf = np.full((3, 3), 1.0 / 9.0, dtype=np.float32)
+        out = convolve_image(img, psf)
+        assert out.shape == img.shape
+        np.testing.assert_allclose(convolve_image_cpu(img, psf), out)
+        np.testing.assert_allclose(convolve_image_gpu(img, psf), out)
+        np.testing.assert_allclose(square_psf_values(psf), psf**2)
+
+        psi = generate_psi(img, var, psf)
+        phi = generate_phi(var, psf)
+        np.testing.assert_allclose(psi, convolve_image(img / var, psf), rtol=1e-5)
+        np.testing.assert_allclose(phi, convolve_image(1.0 / var, psf**2), rtol=1e-5)
+
+    def test_read_psi_phi_struct(self):
+        from kbmod_tpu.search import PsiPhi, PsiPhiArray, fill_psi_phi_array
+
+        rng = np.random.default_rng(3)
+        psi = [rng.normal(0, 1, (8, 8)).astype(np.float32)]
+        phi = [rng.uniform(1, 2, (8, 8)).astype(np.float32)]
+        arr = PsiPhiArray()
+        fill_psi_phi_array(arr, -1, psi, phi, [0.0])
+        pp = arr.read_psi_phi(0, 3, 4)
+        assert isinstance(pp, PsiPhi)
+        np.testing.assert_allclose(pp.psi, psi[0][3, 4], rtol=1e-6)
+        np.testing.assert_allclose(pp.phi, phi[0][3, 4], rtol=1e-6)
+        # Tuple-compat: unpacking still works.
+        p, f = arr.read_psi_phi(0, 3, 4)
+        assert p == pp.psi and f == pp.phi
+        assert np.isnan(arr.read_psi_phi(0, 100, 0).psi)
+
+    def test_evaluate_trajectory_cpu(self):
+        from kbmod_tpu.search import (
+            PsiPhiArray, Trajectory, evaluate_trajectory_cpu, fill_psi_phi_array,
+        )
+
+        T, H, W = 4, 12, 12
+        psi = [np.full((H, W), float(t + 1), dtype=np.float32) for t in range(T)]
+        phi = [np.full((H, W), 2.0, dtype=np.float32) for _ in range(T)]
+        arr = PsiPhiArray()
+        fill_psi_phi_array(arr, -1, psi, phi, np.arange(T, dtype=float))
+        trj = Trajectory(x=5, y=5, vx=0.0, vy=0.0)
+        evaluate_trajectory_cpu(arr, trj)
+        assert trj.obs_count == T
+        np.testing.assert_allclose(trj.lh, (1 + 2 + 3 + 4) / np.sqrt(8.0), rtol=1e-6)
+        np.testing.assert_allclose(trj.flux, 10.0 / 8.0, rtol=1e-6)
+
+    def test_search_cpu_only(self):
+        from kbmod_tpu.search import (
+            PsiPhiArray, Trajectory, TrajectoryList, fill_psi_phi_array, search_cpu_only,
+        )
+        from kbmod_tpu.search.stack_search import _SearchParams
+
+        rng = np.random.default_rng(4)
+        T, H, W = 4, 10, 10
+        psi = [rng.normal(0, 1, (H, W)).astype(np.float32) for _ in range(T)]
+        phi = [rng.uniform(1, 2, (H, W)).astype(np.float32) for _ in range(T)]
+        arr = PsiPhiArray()
+        fill_psi_phi_array(arr, -1, psi, phi, np.arange(T, dtype=float))
+
+        params = _SearchParams()
+        params.x_start_min, params.x_start_max = 0, W
+        params.y_start_min, params.y_start_max = 0, H
+        params.results_per_pixel = 5
+
+        cands = TrajectoryList([Trajectory(vx=0.0, vy=0.0), Trajectory(vx=1.0, vy=0.0)])
+        results = TrajectoryList(0)
+        search_cpu_only(arr, params, cands, results)
+        # min(rpp=5, 2 candidates) per pixel, ungated.
+        assert len(results) == H * W * 2
