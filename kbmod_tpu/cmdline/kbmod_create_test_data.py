@@ -7,7 +7,6 @@ src/kbmod_cmdline/kbmod_create_test_data.py).
 
 import argparse
 
-import numpy as np
 
 
 def main():

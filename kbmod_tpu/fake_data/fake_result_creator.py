@@ -9,7 +9,6 @@ obs_valid masks, and stamps.
 import numpy as np
 
 from kbmod_tpu.results import Results
-from kbmod_tpu.table import Table
 
 __all__ = [
     "make_fake_trajectories",

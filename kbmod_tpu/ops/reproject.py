@@ -6,7 +6,6 @@ coordinate grids are computed on host in float64 (exact TAN math) and the
 interpolation runs on the TPU as a batched bilinear gather.
 """
 
-from functools import partial
 
 import numpy as np
 import jax

@@ -42,7 +42,7 @@ def shard_map(f=None, **kwargs):
         return lambda fn: _shard_map(fn, **kwargs)
     return _shard_map(f, **kwargs)
 
-from kbmod_tpu.ops.search import search_topk_core, merge_topk, trajectory_offsets, FLT_MAX
+from kbmod_tpu.ops.search import search_topk_core, merge_topk, trajectory_offsets
 
 AXIS = "shard"
 

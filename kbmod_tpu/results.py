@@ -12,7 +12,6 @@ metadata / hdf5 attrs).
 """
 
 import copy
-import json
 import logging
 import re
 import uuid as uuid_mod
@@ -22,7 +21,7 @@ import numpy as np
 
 from kbmod_tpu.table import Table, vstack
 from kbmod_tpu.search import Trajectory
-from kbmod_tpu.search.trajectory_list import TrajectoryList, _FIELDS as _TRJ_FIELDS
+from kbmod_tpu.search.trajectory_list import TrajectoryList
 
 logger = logging.getLogger(__name__)
 
