@@ -283,6 +283,21 @@ class StackSearch:
         if use_sharded:
             from kbmod_tpu.parallel import build_mesh, sharded_core_search
 
+            shard_mode = os.environ.get("KB_SHARD_MODE", "candidates")
+            kernel = os.environ.get(
+                "KB_SEARCH_KERNEL",
+                "pallas" if jax.default_backend() == "tpu" else "xla",
+            )
+            meta = self.psi_phi_array.meta
+            encode_kwargs = {}
+            if kernel == "pallas" and shard_mode == "candidates" and meta.num_bytes in (1, 2):
+                encode_kwargs = dict(
+                    psi_codes=self.psi_phi_array.psi,
+                    phi_codes=self.psi_phi_array.phi,
+                    encode_meta=(
+                        meta.psi_min_val, meta.psi_scale, meta.phi_min_val, meta.phi_scale
+                    ),
+                )
             psi, phi, valid = self._decoded()
             raw = sharded_core_search(
                 psi, phi, valid, self._zeroed_times, vxs, vys, build_mesh(),
@@ -291,7 +306,9 @@ class StackSearch:
                 results_per_pixel=rpp,
                 min_obs=p.min_observations, min_lh=p.min_lh,
                 gate_min_obs=gate_min_obs,
-                shard_mode=os.environ.get("KB_SHARD_MODE", "candidates"),
+                shard_mode=shard_mode,
+                kernel=kernel if shard_mode == "candidates" else "xla",
+                **encode_kwargs,
             )
             self.results = TrajectoryList(raw)
             self.results.filter_by_likelihood(p.min_lh)
