@@ -34,11 +34,16 @@ def _conv_same(x, k):
     ph, pw = kh // 2, kw // 2
     N, H, W = x.shape
     xp = jnp.pad(x, ((0, 0), (ph, kh - 1 - ph), (pw, kw - 1 - pw)))
-    out = jnp.zeros_like(x)
-    for i in range(kh):
-        for j in range(kw):
-            out = out + k[i, j] * jax.lax.slice(xp, (0, i, j), (N, i + H, j + W))
-    return out
+    kflat = k.reshape(-1)
+
+    # fori_loop (not an unrolled Python loop): XLA materializes every
+    # unrolled tap product as a full-size HLO temp (81 x the image stack —
+    # tens of GB at survey scale); the loop form keeps two buffers live.
+    def body(idx, acc):
+        sl = jax.lax.dynamic_slice(xp, (0, idx // kw, idx % kw), (N, H, W))
+        return acc + kflat[idx] * sl
+
+    return jax.lax.fori_loop(0, kh * kw, body, jnp.zeros_like(x))
 
 
 @partial(jax.jit, static_argnames=("scale_by_masked",))
