@@ -37,7 +37,18 @@ def _psi_phi_from_sci_var(sci, var, psf):
 
     sci, var: (N, H, W) float32 (NaN = masked); psf: (kh, kw).
     Returns psi, phi: (N, H, W) float32 with NaN at masked pixels.
+
+    On TPU this runs the fused Pallas tap-sum kernel (one pass over the
+    inputs; ops/conv_pallas.py) — XLA's single-channel conv path is ~30x
+    slower. KB_CONV_KERNEL=xla opts out.
     """
+    import os
+
+    if jax.default_backend() == "tpu" and os.environ.get("KB_CONV_KERNEL", "pallas") == "pallas":
+        from kbmod_tpu.ops.conv_pallas import psi_phi_conv_pallas
+
+        return psi_phi_conv_pallas(sci, var, psf)
+
     valid = jnp.isfinite(sci) & jnp.isfinite(var) & (var > 0.0)
     psi_raw = jnp.where(valid, sci / var, jnp.nan)
     phi_raw = jnp.where(valid, 1.0 / var, jnp.nan)
