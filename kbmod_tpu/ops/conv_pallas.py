@@ -57,49 +57,67 @@ def _psi_phi_kernel(
     cp_s.wait()
     cp_v.wait()
 
-    s = sci_buf[:TB2]
-    v = var_buf[:TB2]
-    valid = jnp.isfinite(s) & jnp.isfinite(v) & (v > 0.0)
-    p = jnp.where(valid, s / v, 0.0)
-    f = jnp.where(valid, 1.0 / v, 0.0)
-    m = jnp.where(valid, jnp.float32(1.0), jnp.float32(0.0))
+    # All planes and accumulators live in explicit VMEM scratch with
+    # in-place updates: a pure-value formulation makes Mosaic keep the
+    # whole unrolled tap chain live on the VMEM stack (observed 80MB+).
+    def run(p_ref, f_ref, m_ref, pr_ref, fr_ref, mr_ref, apsi, aphi, am1, am2):
+        s = sci_buf[:TB2]
+        v = var_buf[:TB2]
+        valid = jnp.isfinite(s) & jnp.isfinite(v) & (v > 0.0)
+        p_ref[:TB2] = jnp.where(valid, s / v, 0.0)
+        f_ref[:TB2] = jnp.where(valid, 1.0 / v, 0.0)
+        m_ref[:TB2] = jnp.where(valid, jnp.float32(1.0), jnp.float32(0.0))
+        apsi[...] = jnp.zeros((TH, W2), jnp.float32)
+        aphi[...] = jnp.zeros((TH, W2), jnp.float32)
+        am1[...] = jnp.zeros((TH, W2), jnp.float32)
+        am2[...] = jnp.zeros((TH, W2), jnp.float32)
 
-    acc_psi = jnp.zeros((TH, W2), jnp.float32)
-    acc_phi = jnp.zeros((TH, W2), jnp.float32)
-    acc_m1 = jnp.zeros((TH, W2), jnp.float32)
-    acc_m2 = jnp.zeros((TH, W2), jnp.float32)
-    ksum = jnp.float32(0.0)
-    k2sum = jnp.float32(0.0)
+        ksum = jnp.float32(0.0)
+        k2sum = jnp.float32(0.0)
+        for i in range(kh):
+            pr_ref[...] = pltpu.roll(p_ref[:TB2], TB2 - i, 0)[:TH] if i else p_ref[:TH]
+            fr_ref[...] = pltpu.roll(f_ref[:TB2], TB2 - i, 0)[:TH] if i else f_ref[:TH]
+            mr_ref[...] = pltpu.roll(m_ref[:TB2], TB2 - i, 0)[:TH] if i else m_ref[:TH]
+            for j in range(kw):
+                kij = k_ref[i * kw + j]
+                k2ij = kij * kij
+                ksum = ksum + kij
+                k2sum = k2sum + k2ij
+                ps = pltpu.roll(pr_ref[...], W2 - j, 1) if j else pr_ref[...]
+                apsi[...] = apsi[...] + kij * ps
+                fs = pltpu.roll(fr_ref[...], W2 - j, 1) if j else fr_ref[...]
+                aphi[...] = aphi[...] + k2ij * fs
+                ms = pltpu.roll(mr_ref[...], W2 - j, 1) if j else mr_ref[...]
+                am1[...] = am1[...] + kij * ms
+                am2[...] = am2[...] + k2ij * ms
 
-    for i in range(kh):
-        pr = pltpu.roll(p, TB2 - i, 0)[:TH] if i else p[:TH]
-        fr = pltpu.roll(f, TB2 - i, 0)[:TH] if i else f[:TH]
-        mr = pltpu.roll(m, TB2 - i, 0)[:TH] if i else m[:TH]
-        for j in range(kw):
-            kij = k_ref[i * kw + j]
-            k2ij = kij * kij
-            ksum = ksum + kij
-            k2sum = k2sum + k2ij
-            ps = pltpu.roll(pr, W2 - j, 1) if j else pr
-            fs = pltpu.roll(fr, W2 - j, 1) if j else fr
-            ms = pltpu.roll(mr, W2 - j, 1) if j else mr
-            acc_psi = acc_psi + kij * ps
-            acc_phi = acc_phi + k2ij * fs
-            acc_m1 = acc_m1 + kij * ms
-            acc_m2 = acc_m2 + k2ij * ms
+        center = m_ref[:TB2]
+        if kh // 2:
+            center = pltpu.roll(center, TB2 - kh // 2, 0)
+        center = center[:TH]
+        if kw // 2:
+            center = pltpu.roll(center, W2 - kw // 2, 1)
+        nan = jnp.float32(np.nan)
+        psi_ref[0] = jnp.where(
+            center > 0, apsi[...] * (ksum / jnp.maximum(am1[...], 1e-24)), nan
+        )
+        phi_ref[0] = jnp.where(
+            center > 0, aphi[...] * (k2sum / jnp.maximum(am2[...], 1e-24)), nan
+        )
 
-    center = m
-    if kh // 2:
-        center = pltpu.roll(center, TB2 - kh // 2, 0)
-    center = center[:TH]
-    if kw // 2:
-        center = pltpu.roll(center, W2 - kw // 2, 1)
-    nan = jnp.float32(np.nan)
-    psi_ref[0] = jnp.where(
-        center > 0, acc_psi * (ksum / jnp.maximum(acc_m1, 1e-24)), nan
-    )
-    phi_ref[0] = jnp.where(
-        center > 0, acc_phi * (k2sum / jnp.maximum(acc_m2, 1e-24)), nan
+    TB2p = ((TB2 + 7) // 8) * 8
+    pl.run_scoped(
+        run,
+        p_ref=pltpu.VMEM((TB2p, W2), jnp.float32),
+        f_ref=pltpu.VMEM((TB2p, W2), jnp.float32),
+        m_ref=pltpu.VMEM((TB2p, W2), jnp.float32),
+        pr_ref=pltpu.VMEM((TH, W2), jnp.float32),
+        fr_ref=pltpu.VMEM((TH, W2), jnp.float32),
+        mr_ref=pltpu.VMEM((TH, W2), jnp.float32),
+        apsi=pltpu.VMEM((TH, W2), jnp.float32),
+        aphi=pltpu.VMEM((TH, W2), jnp.float32),
+        am1=pltpu.VMEM((TH, W2), jnp.float32),
+        am2=pltpu.VMEM((TH, W2), jnp.float32),
     )
 
 
@@ -116,8 +134,8 @@ def psi_phi_conv_pallas(sci, var, psf, row_tile=None, interpret=False):
     if row_tile is None:
         # VMEM: 2 input tiles + 3 derived planes + 4 accumulators + 2 output
         # blocks (possibly double-buffered), all (~TH, W2) f32.
-        budget = 8 * 1024 * 1024
-        per_row = 13 * W2 * 4
+        budget = 6 * 1024 * 1024
+        per_row = 16 * W2 * 4
         row_tile = max(8, min(_round_up(H, 8), (budget // per_row) // 8 * 8, 256))
     TH = int(row_tile)
     n_ty = pl.cdiv(H, TH)
