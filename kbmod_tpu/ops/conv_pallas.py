@@ -72,24 +72,33 @@ def _psi_phi_kernel(
         am1[...] = jnp.zeros((TH, W2), jnp.float32)
         am2[...] = jnp.zeros((TH, W2), jnp.float32)
 
-        ksum = jnp.float32(0.0)
-        k2sum = jnp.float32(0.0)
-        for i in range(kh):
-            pr_ref[...] = pltpu.roll(p_ref[:TB2], TB2 - i, 0)[:TH] if i else p_ref[:TH]
-            fr_ref[...] = pltpu.roll(f_ref[:TB2], TB2 - i, 0)[:TH] if i else f_ref[:TH]
-            mr_ref[...] = pltpu.roll(m_ref[:TB2], TB2 - i, 0)[:TH] if i else m_ref[:TH]
-            for j in range(kw):
+        # Nested fori loops (not Python-unrolled): Mosaic's stack allocator
+        # does not reuse slots across hundreds of unrolled tap statements.
+        # Dynamic non-negative roll amounts, as in the search kernel.
+        def ibody(i, _):
+            pr_ref[...] = pltpu.roll(p_ref[:TB2], TB2 - i, 0)[:TH]
+            fr_ref[...] = pltpu.roll(f_ref[:TB2], TB2 - i, 0)[:TH]
+            mr_ref[...] = pltpu.roll(m_ref[:TB2], TB2 - i, 0)[:TH]
+
+            def jbody(j, _):
                 kij = k_ref[i * kw + j]
                 k2ij = kij * kij
-                ksum = ksum + kij
-                k2sum = k2sum + k2ij
-                ps = pltpu.roll(pr_ref[...], W2 - j, 1) if j else pr_ref[...]
+                ps = pltpu.roll(pr_ref[...], W2 - j, 1)
                 apsi[...] = apsi[...] + kij * ps
-                fs = pltpu.roll(fr_ref[...], W2 - j, 1) if j else fr_ref[...]
+                fs = pltpu.roll(fr_ref[...], W2 - j, 1)
                 aphi[...] = aphi[...] + k2ij * fs
-                ms = pltpu.roll(mr_ref[...], W2 - j, 1) if j else mr_ref[...]
+                ms = pltpu.roll(mr_ref[...], W2 - j, 1)
                 am1[...] = am1[...] + kij * ms
                 am2[...] = am2[...] + k2ij * ms
+                return 0
+
+            jax.lax.fori_loop(0, kw, jbody, 0)
+            return 0
+
+        jax.lax.fori_loop(0, kh, ibody, 0)
+        # Kernel tap sums ride in the scalar-prefetch array's tail.
+        ksum = k_ref[kh * kw]
+        k2sum = k_ref[kh * kw + 1]
 
         center = m_ref[:TB2]
         if kh // 2:
@@ -151,7 +160,8 @@ def psi_phi_conv_pallas(sci, var, psf, row_tile=None, interpret=False):
 
     sci_r = pad(sci)
     var_r = pad(var)
-    taps = jnp.asarray(psf, dtype=jnp.float32).reshape(kh * kw)
+    k = jnp.asarray(psf, dtype=jnp.float32).reshape(kh * kw)
+    taps = jnp.concatenate([k, jnp.stack([jnp.sum(k), jnp.sum(k * k)])])
 
     kernel = functools.partial(
         _psi_phi_kernel, kh=kh, kw=kw, TH=TH, TB2=TB2, W2=W2, Hp=Hp,
