@@ -57,6 +57,8 @@ def _psi_phi_kernel(
     cp_s.wait()
     cp_v.wait()
 
+    TB2p = ((TB2 + 7) // 8) * 8
+
     # All planes and accumulators live in explicit VMEM scratch with
     # in-place updates: a pure-value formulation makes Mosaic keep the
     # whole unrolled tap chain live on the VMEM stack (observed 80MB+).
@@ -64,6 +66,9 @@ def _psi_phi_kernel(
         s = sci_buf[:TB2]
         v = var_buf[:TB2]
         valid = jnp.isfinite(s) & jnp.isfinite(v) & (v > 0.0)
+        p_ref[...] = jnp.zeros((TB2p, W2), jnp.float32)
+        f_ref[...] = jnp.zeros((TB2p, W2), jnp.float32)
+        m_ref[...] = jnp.zeros((TB2p, W2), jnp.float32)
         p_ref[:TB2] = jnp.where(valid, s / v, 0.0)
         f_ref[:TB2] = jnp.where(valid, 1.0 / v, 0.0)
         m_ref[:TB2] = jnp.where(valid, jnp.float32(1.0), jnp.float32(0.0))
@@ -76,9 +81,12 @@ def _psi_phi_kernel(
         # does not reuse slots across hundreds of unrolled tap statements.
         # Dynamic non-negative roll amounts, as in the search kernel.
         def ibody(i, _):
-            pr_ref[...] = pltpu.roll(p_ref[:TB2], TB2 - i, 0)[:TH]
-            fr_ref[...] = pltpu.roll(f_ref[:TB2], TB2 - i, 0)[:TH]
-            mr_ref[...] = pltpu.roll(m_ref[:TB2], TB2 - i, 0)[:TH]
+            # Roll the full (8-aligned) buffer: Mosaic's dynamic sublane
+            # rotate rejects unaligned shapes. Stale rows >= TB2 never
+            # reach [:TH] because y + i <= TB2 - 1.
+            pr_ref[...] = pltpu.roll(p_ref[...], TB2p - i, 0)[:TH]
+            fr_ref[...] = pltpu.roll(f_ref[...], TB2p - i, 0)[:TH]
+            mr_ref[...] = pltpu.roll(m_ref[...], TB2p - i, 0)[:TH]
 
             def jbody(j, _):
                 kij = k_ref[i * kw + j]
@@ -100,10 +108,7 @@ def _psi_phi_kernel(
         ksum = k_ref[kh * kw]
         k2sum = k_ref[kh * kw + 1]
 
-        center = m_ref[:TB2]
-        if kh // 2:
-            center = pltpu.roll(center, TB2 - kh // 2, 0)
-        center = center[:TH]
+        center = pltpu.roll(m_ref[...], TB2p - kh // 2, 0)[:TH] if kh // 2 else m_ref[:TH]
         if kw // 2:
             center = pltpu.roll(center, W2 - kw // 2, 1)
         nan = jnp.float32(np.nan)
@@ -114,7 +119,6 @@ def _psi_phi_kernel(
             center > 0, aphi[...] * (k2sum / jnp.maximum(am2[...], 1e-24)), nan
         )
 
-    TB2p = ((TB2 + 7) // 8) * 8
     pl.run_scoped(
         run,
         p_ref=pltpu.VMEM((TB2p, W2), jnp.float32),
