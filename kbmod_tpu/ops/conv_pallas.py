@@ -50,14 +50,15 @@ def _psi_phi_kernel(
     ty = pl.program_id(1)
     r0 = t * Hp + ty * TH  # 8-aligned: TH % 8 == 0 and Hp % 8 == 0
 
-    cp_s = pltpu.make_async_copy(sci_hbm.at[pl.ds(r0, TB2), :], sci_buf.at[: TB2], sems.at[0])
-    cp_v = pltpu.make_async_copy(var_hbm.at[pl.ds(r0, TB2), :], var_buf.at[: TB2], sems.at[1])
+    # Full 8-aligned copies (DMA slice heights must respect the (8,128)
+    # tiling); Hp guarantees r0 + TB2p stays in bounds.
+    TB2p = ((TB2 + 7) // 8) * 8
+    cp_s = pltpu.make_async_copy(sci_hbm.at[pl.ds(r0, TB2p), :], sci_buf, sems.at[0])
+    cp_v = pltpu.make_async_copy(var_hbm.at[pl.ds(r0, TB2p), :], var_buf, sems.at[1])
     cp_s.start()
     cp_v.start()
     cp_s.wait()
     cp_v.wait()
-
-    TB2p = ((TB2 + 7) // 8) * 8
 
     # All planes and accumulators live in explicit VMEM scratch with
     # in-place updates: a pure-value formulation makes Mosaic keep the
