@@ -143,3 +143,83 @@ class TestResultsRater:
 
         with _pytest.raises(IndexError):
             extract_results_row_scalars(rater.results, 99)
+
+
+class TestPlottingExtras:
+    def test_transform_rect(self):
+        from kbmod_tpu.analysis.plotting import transform_rect
+
+        # Axis-aligned unit square, clockwise from top-left.
+        pts = [(0, 1), (1, 1), (1, 0), (0, 0)]
+        xy, width, height, angle = transform_rect(pts)
+        assert xy == (0, 1)
+        assert width == 1.0 and height == -1.0
+
+    def test_field_bbox_footprint(self):
+        import matplotlib.pyplot as plt
+        from kbmod_tpu.analysis.plotting import (
+            plot_field, plot_bbox, plot_bboxes, plot_footprint, plot_footprints,
+        )
+
+        fig, ax = plt.subplots()
+        plot_field(ax, (10.0, -5.0), 1.1)
+        plot_bbox(ax, [(0, 1), (1, 1), (1, 0), (0, 0)])
+        plot_bboxes(ax, [[(0, 1), (1, 1), (1, 0), (0, 0)]])
+        wcs = make_fake_wcs(200.0, -7.0, 64, 64)
+        plot_footprint(ax, wcs, shape=(64, 64))
+        plot_footprints(ax, [wcs], shapes=[(64, 64)])
+        plt.close(fig)
+
+    def test_iter_over_obj_and_all_objs(self):
+        import matplotlib.pyplot as plt
+        from kbmod_tpu.analysis.plotting import iter_over_obj, plot_all_objs
+        from kbmod_tpu.table import Table
+
+        objs = Table({
+            "Name": ["b", "a", "b", "a"],
+            "epoch": [2.0, 1.0, 1.0, 2.0],
+            "RA": [10.0, 20.0, 11.0, 21.0],
+            "DEC": [0.0, 1.0, 0.5, 1.5],
+        })
+        grouped = list(iter_over_obj(objs))
+        assert len(grouped) == 2
+        assert list(grouped[0]["epoch"]) == [1.0, 2.0]
+        fig, ax = plt.subplots()
+        plot_all_objs(ax, objs, count=0)
+        plot_all_objs(ax, objs, count=2, show_field=True, center=(15.0, 1.0), radius=1.0)
+        plt.close(fig)
+
+    def test_cutouts_and_histogram(self):
+        import matplotlib.pyplot as plt
+        from kbmod_tpu.analysis.plotting import compute_lightcurve_histogram, plot_cutouts
+
+        fig, axes = plt.subplots(2, 3)
+        rng = np.random.default_rng(0)
+        cuts = [rng.normal(size=(9, 9)) for _ in range(4)]
+        plot_cutouts(axes, cuts)
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            fig2, axes2 = plt.subplots(1, 2)
+            plot_cutouts(axes2, cuts)
+        plt.close("all")
+
+        row = {"psi_curve": np.array([1.0, 2.0, 0.0, 3.0]),
+               "phi_curve": np.array([1.0, 1.0, 0.0, 1.0])}
+        hist, edges = compute_lightcurve_histogram(row, bins=5)
+        assert hist.sum() == 3
+
+    def test_search_trajectories_plot(self):
+        from kbmod_tpu.analysis.plotting import plot_search_trajectories
+        from kbmod_tpu.trajectory_generator import VelocityGridSearch
+
+        gen = VelocityGridSearch(3, 0.0, 2.0, 3, -1.0, 1.0)
+        fig, ax = plot_search_trajectories(gen)
+        assert ax.get_xlabel().startswith("vx")
+
+    def test_wcs_on_sky(self):
+        from kbmod_tpu.analysis.plotting import plot_wcs_on_sky
+
+        wcs_list = [make_fake_wcs(200.0 + i, -7.0, 32, 32) for i in range(2)]
+        fig, ax = plot_wcs_on_sky(wcs_list, labels=["a", "b"])
+        assert fig is not None
