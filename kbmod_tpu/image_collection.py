@@ -218,6 +218,8 @@ class ImageCollection:
     def filter_by_mjds(self, mjds, time_sep_s=0.001):
         """Keep rows whose mjd_mid matches any of the given times within
         ``time_sep_s`` seconds."""
+        if time_sep_s < 0:
+            raise ValueError(f"time_sep_s must be >= 0. Got {time_sep_s}")
         data_t = np.asarray(self.data["mjd_mid"], dtype=float)
         keep = np.zeros(len(self), dtype=bool)
         for t in np.atleast_1d(mjds):

@@ -183,3 +183,65 @@ class TestImageCollection:
             assert np.isnan(work.im_stack.sci[0][2, 3])
             # Per-image WCS preserved.
             assert work.get_wcs(0) is not None
+
+
+class TestImageCollectionIndexing:
+    def _ic(self, tmp, n=5):
+        paths = [
+            write_rubin_style_fits(os.path.join(tmp, f"ix_{i}.fits"), seed=i, mjd=57130.0 + 0.05 * i)
+            for i in range(n)
+        ]
+        return ImageCollection.fromTargets(paths)
+
+    def test_index_types(self):
+        with tempfile.TemporaryDirectory() as tmp:
+            ic = self._ic(tmp)
+            # Column access, row access, fancy/slice -> sub-collection.
+            assert len(ic["mjd_mid"]) == 5
+            row = ic[0]
+            assert "mjd_mid" in row.keys()
+            assert isinstance(ic[[0, 1]], ImageCollection)
+            assert isinstance(ic[:3], ImageCollection)
+            assert len(ic[1:3]) == 2
+
+    def test_subset_reset_lazy_indices(self):
+        with tempfile.TemporaryDirectory() as tmp:
+            ic = self._ic(tmp)
+            subset = ic[[0, 2, 3, 4]]
+            subset.reset_lazy_loading_indices()
+            assert list(np.asarray(subset.data["std_idx"], dtype=int)) == [0, 1, 2, 3]
+            # The subset still standardizes correctly after reindexing.
+            assert subset.get_standardizer(1)["std"] is not None
+
+    def test_filter_by_mjds_semantics(self):
+        with tempfile.TemporaryDirectory() as tmp:
+            ic = self._ic(tmp, 5)
+            with pytest.raises(ValueError):
+                ic.filter_by_mjds([57130.0], time_sep_s=-1)
+            # Exact times keep everything.
+            ic.filter_by_mjds(list(np.asarray(ic["mjd_mid"], dtype=float)))
+            assert len(ic) == 5
+            # Offsets below tolerance keep matches; dropping the last 2 times
+            # drops those rows.
+            times = np.asarray(ic["mjd_mid"], dtype=float) - 0.0001 / 86400.0
+            ic.filter_by_mjds(times[:3])
+            assert len(ic) == 3
+            # 29s offsets within a 30s tolerance.
+            times = np.asarray(ic["mjd_mid"], dtype=float) - 29.0 / 86400.0
+            ic.filter_by_mjds(times[:2], time_sep_s=30)
+            assert len(ic) == 2
+            # Exact-match tolerance filters everything.
+            ic.filter_by_mjds(times, time_sep_s=0)
+            assert len(ic) == 0
+
+    def test_vstack(self):
+        with tempfile.TemporaryDirectory() as tmp:
+            ic1 = self._ic(tmp, 2)
+            with tempfile.TemporaryDirectory() as tmp2:
+                ic2 = ImageCollection.fromTargets([
+                    write_rubin_style_fits(os.path.join(tmp2, "v.fits"), seed=9, mjd=57140.0)
+                ])
+                ic1.vstack([ic2])
+                assert len(ic1) == 3
+                # Standardizers from both collections stay reachable.
+                assert ic1.get_standardizer(2)["std"] is not None
