@@ -49,22 +49,91 @@ def ecliptic_to_equatorial(lon_deg, lat_deg):
     return ra, dec
 
 
-def sun_position_ecliptic(mjd):
+def sun_position_ecliptic(mjd, of_date=False):
     """Geometric ecliptic longitude (deg) and distance (AU) of the Sun at
-    the given MJD (UTC). Low-precision (Meeus-style) series."""
+    the given MJD (UTC).
+
+    Geometric (no aberration, no nutation) equation-of-center series with
+    the longitude precessed from the mean equinox of date back to J2000 —
+    the frame every (RA, Dec) in the package lives in. Omitting the
+    precession correction displaces the derived Earth position by
+    ~0.014 deg/yr of longitude, which dominated the parallax-correction
+    error budget (~0.01 deg at 50 AU for 2023 epochs); with it the
+    remaining error is the neglected planetary/lunar perturbations
+    (~2e-3 deg of longitude ~ 3e-5 AU)."""
     mjd = np.asarray(mjd, dtype=float)
-    # Days from J2000.0 (JD 2451545.0 = MJD 51544.5).
-    n = mjd - 51544.5
-    # Mean longitude and mean anomaly of the Sun (deg).
-    L = (280.460 + 0.9856474 * n) % 360.0
-    g = np.radians((357.528 + 0.9856003 * n) % 360.0)
-    lon = L + 1.915 * np.sin(g) + 0.020 * np.sin(2 * g)
-    dist = 1.00014 - 0.01671 * np.cos(g) - 0.00014 * np.cos(2 * g)
+    # Julian centuries from J2000.0 (JD 2451545.0 = MJD 51544.5).
+    T = (mjd - 51544.5) / 36525.0
+    L0 = 280.46646 + 36000.76983 * T + 0.0003032 * T * T
+    M = np.radians(357.52911 + 35999.05029 * T - 0.0001537 * T * T)
+    C = (
+        (1.914602 - 0.004817 * T) * np.sin(M)
+        + (0.019993 - 0.000101 * T) * np.sin(2 * M)
+        + 0.000289 * np.sin(3 * M)
+    )
+    lon = L0 + C  # true geometric longitude, mean equinox of date
+    if not of_date:
+        # General precession in longitude (IAU76): 5029.0966"/century.
+        lon = lon - (1.3969713 * T + 0.000308 * T * T)
+    ecc = 0.016708634 - 0.000042037 * T
+    nu = M + np.radians(C)
+    dist = 1.000001018 * (1.0 - ecc * ecc) / (1.0 + ecc * np.cos(nu))
     return lon % 360.0, dist
 
 
-def earth_position_ecliptic(mjd):
-    """Heliocentric ecliptic (x, y, z) of the Earth in AU at MJD (UTC).
+# Keplerian mean elements for the giant planets (Standish, "Approximate
+# Positions of the Planets", J2000 ecliptic): a (AU), e, I, L0, Ldot
+# (deg/century), longitude of perihelion, longitude of node, and mass in
+# solar masses. Used only for the Sun's barycentric offset (up to ~0.01 AU,
+# Jupiter-dominated), which matters because object distances are specified
+# from the solar-system barycenter.
+_GIANTS = (
+    (5.20288700, 0.04838624, 1.30439695, 34.39644051, 3034.74612775, 14.72847983, 100.47390909, 1.0 / 1047.3486),
+    (9.53667594, 0.05386179, 2.48599187, 49.95424423, 1222.49362201, 92.59887831, 113.66242448, 1.0 / 3497.898),
+    (19.18916464, 0.04725744, 0.77263783, 313.23810451, 428.48202785, 170.95427630, 74.01692503, 1.0 / 22902.98),
+    (30.06992276, 0.00859048, 1.77004347, -55.12002969, 218.45945325, 44.96476227, 131.78422574, 1.0 / 19412.24),
+)
+
+
+def _kepler_solve(M, e, iters=6):
+    """Eccentric anomaly from mean anomaly (radians), Newton iterations."""
+    E = M + e * np.sin(M)
+    for _ in range(iters):
+        E = E - (E - e * np.sin(E) - M) / (1.0 - e * np.cos(E))
+    return E
+
+
+def sun_barycentric_position(mjd):
+    """Ecliptic (x, y, z) of the Sun relative to the solar-system
+    barycenter, in AU (J2000 ecliptic frame)."""
+    mjd = np.asarray(mjd, dtype=float)
+    T = (mjd - 51544.5) / 36525.0
+    acc = np.zeros(np.shape(T) + (3,))
+    total_m = 0.0
+    for a, e, inc, L0, Ldot, peri, node, m in _GIANTS:
+        L = np.radians(L0 + Ldot * T)
+        w = np.radians(peri - node)
+        nd = math.radians(node)
+        inc_r = math.radians(inc)
+        M = L - np.radians(peri)
+        E = _kepler_solve(M, e)
+        xo = a * (np.cos(E) - e)
+        yo = a * math.sqrt(1.0 - e * e) * np.sin(E)
+        cw, sw = np.cos(w), np.sin(w)
+        cn, sn = math.cos(nd), math.sin(nd)
+        ci, si = math.cos(inc_r), math.sin(inc_r)
+        x = (cw * cn - sw * sn * ci) * xo + (-sw * cn - cw * sn * ci) * yo
+        y = (cw * sn + sw * cn * ci) * xo + (-sw * sn + cw * cn * ci) * yo
+        z = (sw * si) * xo + (cw * si) * yo
+        acc = acc + m * np.stack([x, y, z], axis=-1)
+        total_m += m
+    return -acc / (1.0 + total_m)
+
+
+def earth_position_ecliptic(mjd, barycentric=True):
+    """Ecliptic (x, y, z) of the Earth in AU at MJD (UTC), in the J2000
+    ecliptic frame, relative to the solar-system barycenter (default) or
+    the Sun.
 
     The Earth is opposite the Sun's geocentric direction; latitude ~0."""
     lon, dist = sun_position_ecliptic(mjd)
@@ -72,7 +141,10 @@ def earth_position_ecliptic(mjd):
     x = dist * np.cos(lon_e)
     y = dist * np.sin(lon_e)
     z = np.zeros_like(x)
-    return np.stack([x, y, z], axis=-1)
+    helio = np.stack([x, y, z], axis=-1)
+    if not barycentric:
+        return helio
+    return helio + sun_barycentric_position(mjd)
 
 
 def radec_unit_vector(ra_deg, dec_deg):

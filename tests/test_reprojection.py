@@ -148,3 +148,40 @@ class TestParallaxCorrection:
         x, y = ebd_wcs.world_to_pixel_values(corrected.ra_deg[0], corrected.dec_deg[0])
         assert abs(x - 100.0) < 0.2
         assert abs(y - 100.0) < 0.2
+
+
+class TestParallaxGoldenValues:
+    """The reference's equinox golden case (tests/test_reprojection_utils.py:52):
+    an object at 50 AU whose parallax-corrected position is exactly
+    (ra=90, dec=obliquity). The reference computes with astropy + DE432s;
+    the self-contained ephemeris here (geometric J2000 solar series +
+    Keplerian giant-planet barycenter offset) agrees to ~0.1 arcsec."""
+
+    def test_equinox_golden(self):
+        from datetime import datetime, timezone
+
+        def mjd(iso):
+            dt = datetime.fromisoformat(iso).replace(tzinfo=timezone.utc)
+            return (dt - datetime(1858, 11, 17, tzinfo=timezone.utc)).total_seconds() / 86400.0
+
+        out, dist = correct_parallax_geometrically_vectorized(
+            np.array([88.74513571, 91.24261107]),
+            np.array([23.43426475, 23.43437467]),
+            np.array([mjd("2023-03-20T16:00:00"), mjd("2023-09-24T04:00:00")]),
+            50.0,
+        )
+        np.testing.assert_allclose(np.array(out.ra.deg), [90.0, 90.0], atol=2e-4)
+        np.testing.assert_allclose(
+            np.array(out.dec.deg), [23.43952556, 23.43952556], atol=1e-4
+        )
+        np.testing.assert_allclose(dist, 50.0013, atol=2e-3)
+
+    def test_sun_barycenter_magnitude(self):
+        from kbmod_tpu.geom.ecliptic import sun_barycentric_position
+
+        # The Sun's barycentric offset stays within ~2 solar radii (0.01 AU
+        # scale, Jupiter-dominated).
+        off = sun_barycentric_position(np.linspace(51544.5, 51544.5 + 365 * 30, 50))
+        r = np.linalg.norm(off, axis=-1)
+        assert np.all(r < 0.02)
+        assert np.any(r > 0.004)
