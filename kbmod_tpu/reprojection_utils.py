@@ -17,10 +17,13 @@ reference falls back to a minimizer inside that radius,
 reprojection_utils.py:25-260). The inverse projects P = d * unit(ra, dec)
 back to the Earth's view.
 
-Note: the Earth position is geocentric from a low-precision solar
-ephemeris (kbmod_tpu.geom.ecliptic); the reference uses topocentric
-astropy positions. The difference (< 5e-5 AU) is far below the
-uncertainty of the guessed distance.
+Note: the Earth position comes from the self-contained barycentric
+ephemeris (kbmod_tpu.geom.ecliptic: geometric J2000 solar series plus the
+Keplerian giant-planet Sun-barycenter offset), validated against the
+reference's astropy/DE432s golden values to ~0.1 arcsec
+(tests/test_reprojection.py::TestParallaxGoldenValues). The observer is
+the geocenter rather than the reference's topocentric site — a < 4.3e-5 AU
+offset, ~1e-6 rad at survey distances.
 """
 
 import numpy as np
