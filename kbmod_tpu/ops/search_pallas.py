@@ -39,16 +39,23 @@ def _round_up(x, m):
     return ((x + m - 1) // m) * m
 
 
-# SMEM budget for the scalar-prefetched (C, T) offset tables (rows/ox/oy,
-# 12 bytes per entry; SMEM is ~1MB total). Candidate sets whose tables
-# exceed this are processed in chunks with a stable top-K merge between
-# chunks — semantics identical to one pass, since within-chunk rank-insert
-# and the chunk-ordered stable sort both keep arrival order on exact ties.
-_SMEM_TABLE_ENTRIES = 20480
+# SMEM budget (bytes) for the scalar-prefetched per-candidate offset table
+# (rows|ox|oy packed as one (C, 3T) int32 array; SMEM is ~1MB total and
+# Mosaic lane-pads SMEM arrays to 128 columns, so padding is paid once).
+# Candidate sets whose table exceeds this are processed in chunks with a
+# stable top-K merge between chunks — semantics identical to one pass,
+# since within-chunk rank-insert and the chunk-ordered stable sort both
+# keep arrival order on exact ties.
+_SMEM_TABLE_BYTES = 384 * 1024
+
+
+def _round_up_int(x, m):
+    return ((x + m - 1) // m) * m
 
 
 def _cand_chunk(C, T):
-    return max(8, min(int(C), _SMEM_TABLE_ENTRIES // max(int(T), 1)))
+    per_cand = _round_up_int(3 * int(T), 128) * 4
+    return max(8, min(int(C), _SMEM_TABLE_BYTES // per_cand))
 
 
 def _merge_pair(lh_a, idx_a, lh_b, idx_b, K):
@@ -82,9 +89,7 @@ def _merge_pair(lh_a, idx_a, lh_b, idx_b, K):
 
 def _search_kernel(
     # Scalar-prefetch arrays (SMEM, full arrays indexed by the grid)
-    rows_ref,  # (C, T) int32: source row (within the padded stack) at tile row 0
-    ox_ref,  # (C, T) int32: column offset (x_min + dx_t)
-    oy_ref,  # (C, T) int32: row offset (y_min + dy_t) for masks
+    tbl_ref,  # (C, 3T) int32: [source row | x offset | y offset] per time
     cok_ref,  # (C,) int32: candidate validity (padding = 0)
     scalars_ref,  # (4,) float32: [min_obs, min_lh, cand_offset, total_rows]
     # HBM inputs: zero-padded stacks shaped (rows, W2)
@@ -129,7 +134,7 @@ def _search_kernel(
 
     def row_for(t):
         """Sublane-aligned DMA start and the residual shift."""
-        r = jnp.clip(rows_ref[c, t] + tile_row0, 0, total_rows - TB)
+        r = jnp.clip(tbl_ref[c, t] + tile_row0, 0, total_rows - TB)
         r8 = pl.multiple_of((r // 8) * 8, 8)
         return r8, r - r8
 
@@ -181,8 +186,8 @@ def _search_kernel(
 
             dma_wait(slot, t)
 
-            oy = oy_ref[c, t] + tile_row0
-            ox = ox_ref[c, t]
+            oy = tbl_ref[c, 2 * T + t] + tile_row0
+            ox = tbl_ref[c, T + t]
             _, rshift = row_for(t)
             ps = shift_tile(psi_buf[slot], rshift, ox)
             fs = shift_tile(phi_buf[slot], rshift, ox)
@@ -328,11 +333,12 @@ def search_topk_pallas(
     )
 
     CC = _cand_chunk(C, T)
+    tbl = jnp.concatenate([rows, ox, oy], axis=1)  # (C, 3T)
 
-    def call_chunk(rows_c, ox_c, oy_c, cok_c, chunk_offset):
+    def call_chunk(tbl_c, cok_c, chunk_offset):
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=5,
-            grid=(n_ty, rows_c.shape[0]),
+            num_scalar_prefetch=3,
+            grid=(n_ty, tbl_c.shape[0]),
             in_specs=[
                 # Force HBM: under ANY the compiler may pick VMEM for small
                 # stacks, where dynamic row slices need sublane alignment.
@@ -353,9 +359,9 @@ def search_topk_pallas(
         )
         bytes_per_step = TH * W2 * (9 if has_masked else 8)
         cost = pl.CostEstimate(
-            flops=2 * rows_c.shape[0] * T * SH_pad * SW,
-            bytes_accessed=rows_c.shape[0] * T * bytes_per_step * n_ty,
-            transcendentals=rows_c.shape[0] * SH_pad * SW,
+            flops=2 * tbl_c.shape[0] * T * SH_pad * SW,
+            bytes_accessed=tbl_c.shape[0] * T * bytes_per_step * n_ty,
+            transcendentals=tbl_c.shape[0] * SH_pad * SW,
         )
         # chunk_offset is a Python int: keep the single-chunk jaxpr
         # identical to the unchunked form (compile-cache stability).
@@ -382,24 +388,22 @@ def search_topk_pallas(
             ),
             cost_estimate=cost,
             interpret=interpret,
-        )(rows_c, ox_c, oy_c, cok_c, scalars, psi_r, phi_r, val_r)
+        )(tbl_c, cok_c, scalars, psi_r, phi_r, val_r)
 
     if C <= CC:
-        top_lh, top_idx = call_chunk(rows, ox, oy, cok, 0)
+        top_lh, top_idx = call_chunk(tbl, cok, 0)
     else:
         # Candidate tables exceed the SMEM budget: pad to a whole number of
         # chunks (padding marked invalid) and merge per-pixel top-K maps
         # chunk by chunk.
         n_chunks = pl.cdiv(C, CC)
         pad = n_chunks * CC - C
-        rows_p = jnp.pad(rows, ((0, pad), (0, 0)))
-        ox_p = jnp.pad(ox, ((0, pad), (0, 0)))
-        oy_p = jnp.pad(oy, ((0, pad), (0, 0)))
+        tbl_p = jnp.pad(tbl, ((0, pad), (0, 0)))
         cok_p = jnp.pad(cok, (0, pad))
         top_lh = top_idx = None
         for ci in range(n_chunks):
             sl = slice(ci * CC, (ci + 1) * CC)
-            lh_c, idx_c = call_chunk(rows_p[sl], ox_p[sl], oy_p[sl], cok_p[sl], ci * CC)
+            lh_c, idx_c = call_chunk(tbl_p[sl], cok_p[sl], ci * CC)
             if top_lh is None:
                 top_lh, top_idx = lh_c, idx_c
             else:
@@ -409,9 +413,7 @@ def search_topk_pallas(
 
 
 def _search_kernel_encoded(
-    rows_ref,  # (C, T) int32: source word-row at tile row 0
-    ox_ref,  # (C, T) int32: column offset (x_min + dx_t), in image columns
-    oy_ref,  # (C, T) int32: row offset for the bounds mask
+    tbl_ref,  # (C, 3T) int32: [source word-row | x offset | y offset] per time
     cok_ref,  # (C,) int32 candidate validity
     scalars_ref,  # (8,) f32: [min_obs, min_lh, cand_offset, total_rows,
     #              psi_min, psi_scale, phi_min, phi_scale]
@@ -477,7 +479,7 @@ def _search_kernel_encoded(
     TB = TH + 8
 
     def row_for(t):
-        r = jnp.clip(rows_ref[c, t] + tile_row0, 0, total_rows - TB)
+        r = jnp.clip(tbl_ref[c, t] + tile_row0, 0, total_rows - TB)
         r8 = pl.multiple_of((r // 8) * 8, 8)
         return r8, r - r8
 
@@ -514,8 +516,8 @@ def _search_kernel_encoded(
 
             dma(slot, t).wait()
 
-            oy = oy_ref[c, t] + tile_row0
-            ox = ox_ref[c, t]
+            oy = tbl_ref[c, 2 * T + t] + tile_row0
+            ox = tbl_ref[c, T + t]
             _, rshift = row_for(t)
             # Row shift once per step (non-negative sublane rotate).
             pw = pltpu.roll(word_buf[slot], TB - rshift, 0)[:TH]
@@ -693,11 +695,12 @@ def _run_encoded_search(
     )
 
     CC = _cand_chunk(C, T)
+    tbl = jnp.concatenate([rows, ox, oy], axis=1)  # (C, 3T)
 
-    def call_chunk(rows_c, ox_c, oy_c, cok_c, chunk_offset):
+    def call_chunk(tbl_c, cok_c, chunk_offset):
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=5,
-            grid=(n_ty, rows_c.shape[0]),
+            num_scalar_prefetch=3,
+            grid=(n_ty, tbl_c.shape[0]),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.HBM),  # interleaved code words
             ],
@@ -711,9 +714,9 @@ def _run_encoded_search(
             ],
         )
         cost = pl.CostEstimate(
-            flops=2 * rows_c.shape[0] * T * SH_pad * SW,
-            bytes_accessed=rows_c.shape[0] * T * TH * W4 * 4 * n_ty,
-            transcendentals=rows_c.shape[0] * SH_pad * SW,
+            flops=2 * tbl_c.shape[0] * T * SH_pad * SW,
+            bytes_accessed=tbl_c.shape[0] * T * TH * W4 * 4 * n_ty,
+            transcendentals=tbl_c.shape[0] * SH_pad * SW,
         )
         out_shapes = tuple(
             jax.ShapeDtypeStruct((K, SH_pad, SW4), jnp.float32) for _ in range(COLS)
@@ -743,7 +746,7 @@ def _run_encoded_search(
             ),
             cost_estimate=cost,
             interpret=interpret,
-        )(rows_c, ox_c, oy_c, cok_c, scalars, words_r)
+        )(tbl_c, cok_c, scalars, words_r)
         # Interleave class-packed outputs: output column j = COLS*w + k.
         if COLS == 1:
             return outs[0], outs[1]
@@ -752,18 +755,16 @@ def _run_encoded_search(
         return lh_i, idx_i
 
     if C <= CC:
-        top_lh, top_idx = call_chunk(rows, ox, oy, cok, 0)
+        top_lh, top_idx = call_chunk(tbl, cok, 0)
     else:
         n_chunks = pl.cdiv(C, CC)
         pad = n_chunks * CC - C
-        rows_p = jnp.pad(rows, ((0, pad), (0, 0)))
-        ox_p = jnp.pad(ox, ((0, pad), (0, 0)))
-        oy_p = jnp.pad(oy, ((0, pad), (0, 0)))
+        tbl_p = jnp.pad(tbl, ((0, pad), (0, 0)))
         cok_p = jnp.pad(cok, (0, pad))
         top_lh = top_idx = None
         for ci in range(n_chunks):
             sl = slice(ci * CC, (ci + 1) * CC)
-            lh_c, idx_c = call_chunk(rows_p[sl], ox_p[sl], oy_p[sl], cok_p[sl], ci * CC)
+            lh_c, idx_c = call_chunk(tbl_p[sl], cok_p[sl], ci * CC)
             if top_lh is None:
                 top_lh, top_idx = lh_c, idx_c
             else:

@@ -224,7 +224,7 @@ class TestCandidateChunking:
             jnp.asarray(psi_z), jnp.asarray(phi_z), jnp.asarray(valid),
             jnp.asarray(dxs), jnp.asarray(dys), jnp.float32(0), jnp.float32(0), **common,
         )
-        monkeypatch.setattr(sp, "_SMEM_TABLE_ENTRIES", 4 * T)
+        monkeypatch.setattr(sp, "_SMEM_TABLE_BYTES", 4 * 512)
         pal_lh, pal_idx = sp.search_topk_pallas(
             jnp.asarray(psi_z), jnp.asarray(phi_z), jnp.asarray(valid),
             jnp.asarray(dxs), jnp.asarray(dys), jnp.float32(0), jnp.float32(0),
@@ -258,7 +258,7 @@ class TestCandidateChunking:
             jnp.asarray(dxs), jnp.asarray(dys), jnp.float32(0), jnp.float32(0),
             encode_meta=jnp.asarray(em), **common,
         )
-        monkeypatch.setattr(sp, "_SMEM_TABLE_ENTRIES", 3 * T)
+        monkeypatch.setattr(sp, "_SMEM_TABLE_BYTES", 3 * 512)
         pal_lh, _ = sp.search_topk_pallas_encoded(
             jnp.asarray(arr.psi), jnp.asarray(arr.phi),
             jnp.asarray(dxs), jnp.asarray(dys), jnp.float32(0), jnp.float32(0),
