@@ -2,10 +2,17 @@
 
 The XLA formulation (ops/search.py) materializes the psi/phi/obs
 accumulators in HBM every time step — 3x more HBM traffic than the
-inputs themselves. This kernel keeps the accumulators, and the per-pixel
+inputs themselves. These kernels keep the accumulators, and the per-pixel
 top-K lists, resident in VMEM across the whole time loop and candidate
-scan; HBM traffic drops to just the shifted psi/phi/valid reads
-(double-buffered DMAs).
+scan; HBM traffic drops to just the shifted input reads (ring-buffered
+DMAs).
+
+Two variants share the structure: the float kernel streams psi/phi/valid
+planes; the encoded kernel streams uint8/uint16 quantized codes packed
+into one interleaved int32 word stream with in-register decode and
+integer accumulation (2-4 bytes per sample instead of 9 — the direct
+throughput multiplier for an HBM-bound kernel, and the layout that fits
+survey-scale stacks in HBM).
 
 Work decomposition
 ------------------
@@ -16,6 +23,10 @@ row-aligned 2D DMA from the (rows, W2) zero-padded stack; the column
 shift dx is applied in-register with a dynamic lane rotate
 (pltpu.roll). Out-of-bounds and masked contributions are removed with
 iota masks plus the validity plane — identical semantics to the XLA path.
+Per-candidate per-time offsets ride in one scalar-prefetched SMEM table
+(rows|ox|oy packed: Mosaic lane-pads SMEM arrays to 128 columns, so the
+padding is paid once); candidate sets whose table exceeds the SMEM budget
+are processed in chunks joined by a sort-free stable top-K merge.
 
 The kernel reproduces the reference CUDA searchFilterImages
 (kernels.cu:252-332): insertion gated on min_obs (and min_lh when the
