@@ -47,6 +47,15 @@ class StandardizerConfig:
     def __eq__(self, other):
         if isinstance(other, StandardizerConfig):
             return self._conf == other._conf
+        if isinstance(other, dict):
+            return self._conf == other
+        return NotImplemented
+
+    def __or__(self, other):
+        if isinstance(other, StandardizerConfig):
+            return self._conf | other._conf
+        if isinstance(other, dict):
+            return self._conf | other
         return NotImplemented
 
     def __iter__(self):

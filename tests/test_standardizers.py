@@ -10,7 +10,7 @@ import pytest
 
 from kbmod_tpu.io import fits_io
 from kbmod_tpu.image_collection import ImageCollection
-from kbmod_tpu.standardizers import Standardizer, KBMODV1, SingleExtensionFits
+from kbmod_tpu.standardizers import Standardizer, StandardizerConfig, KBMODV1, SingleExtensionFits
 from kbmod_tpu.wcs_utils import make_fake_wcs
 
 
@@ -245,3 +245,39 @@ class TestImageCollectionIndexing:
                 assert len(ic1) == 3
                 # Standardizers from both collections stay reachable.
                 assert ic1.get_standardizer(2)["std"] is not None
+
+
+class TestStandardizerConfig:
+    """Dict-like StandardizerConfig behavior (reference test_std_config.py)."""
+
+    def test_dict_behavior(self):
+        expected = {"a": 1, "b": 2, "c": 3}
+        conf = StandardizerConfig(expected)
+        assert len(conf) == 3
+        assert list(conf.keys()) == ["a", "b", "c"]
+        assert list(conf.values()) == [1, 2, 3]
+        assert "a" in conf and "noexist" not in conf
+
+        conf2 = StandardizerConfig(a=1, b=2, c=3)
+        assert conf == conf2
+        with pytest.raises(KeyError):
+            conf2["noexist"]
+
+        conf["a"] = 10
+        assert conf["a"] == 10
+        assert list(iter(conf)) == ["a", "b", "c"]
+
+        conf.update(conf2)
+        assert conf == conf2
+        conf.update(expected)
+        assert conf == expected
+        conf.update({"a": 11, "b": 12, "c": 13})
+        assert conf.toDict() == {"a": 11, "b": 12, "c": 13}
+        conf.update(a=1, b=2, c=3)
+        assert conf == conf2
+        with pytest.raises(TypeError):
+            conf2.update([1, 2, 3])
+
+    def test_or(self):
+        expected = {"a": 1, "b": 2, "c": 3}
+        assert (StandardizerConfig(a=1, b=2, c=3) | StandardizerConfig(expected)) == expected
