@@ -87,8 +87,12 @@ with tempfile.TemporaryDirectory() as tmp:
     wu.org_img_meta["visit"] = [f"img_{i}" for i in range(stack.num_times)]
 
     t0 = time.time()
-    SearchRunner().run_search_from_work_unit(wu)
+    runner = SearchRunner()
+    runner.run_search_from_work_unit(wu)
     print("pipeline", time.time() - t0, "s", flush=True)
+    spans = {k: v[1] - v[0] for k, v in runner.phase_times.items() if v[1] is not None}
+    for phase, dt in sorted(spans.items(), key=lambda kv: -kv[1]):
+        print(f"  phase {phase}: {dt:.2f}s", flush=True)
 
     loaded = Results.read_table(res_file)
     found = loaded.make_trajectory_list()
