@@ -281,3 +281,73 @@ class TestStandardizerConfig:
     def test_or(self):
         expected = {"a": 1, "b": 2, "c": 3}
         assert (StandardizerConfig(a=1, b=2, c=3) | StandardizerConfig(expected)) == expected
+
+
+class TestKBMODV05:
+    """Legacy DECam layout: PRIMARY(header) + science + mask + variance,
+    forced via Standardizer.get(force=...) since the legacy standardizer
+    does not volunteer."""
+
+    def _write_v05(self, path, seed=0, mjd=57130.5, shape=(24, 28)):
+        from kbmod_tpu.geom.time_utils import mjd_to_datetime
+
+        rng = np.random.default_rng(seed)
+        primary = fits_io.ImageHDU(name="PRIMARY")
+        primary.header.update({
+            "DATE-AVG": mjd_to_datetime(mjd).strftime("%Y-%m-%dT%H:%M:%S.%f"),
+            "FILTER": "g",
+            "EXPID": 7 + seed,
+            "OBSID": f"legacy_{seed}",
+        })
+        wcs = make_fake_wcs(210.0, -5.0, shape[0], shape[1], 0.26 / 3600.0)
+        sci = fits_io.ImageHDU(
+            data=rng.normal(10, 2, shape).astype(np.float32), name="SCI"
+        )
+        for k, v in wcs.to_header().items():
+            sci.header[k] = v
+        mask_data = np.zeros(shape, dtype=np.int32)
+        mask_data[3, 4] = 1
+        mask = fits_io.ImageHDU(data=mask_data, name="MSK")
+        var = fits_io.ImageHDU(
+            data=rng.uniform(1, 2, shape).astype(np.float32), name="VAR"
+        )
+        fits_io.HDUList([primary, sci, mask, var]).writeto(path)
+        return path
+
+    def test_standardize(self):
+        from kbmod_tpu.standardizers import KBMODV0_5
+
+        with tempfile.TemporaryDirectory() as tmp:
+            path = self._write_v05(os.path.join(tmp, "legacy.fits"))
+            can, _ = KBMODV0_5.resolveTarget(path)
+            assert can
+            std = Standardizer.get(path, force=KBMODV0_5)
+            meta = std.standardizeMetadata()
+            assert abs(meta["mjd"][0] - 57130.5) < 1e-5
+            assert meta["FILTER"][0] == "g"
+            layered = std.toLayeredImage()
+            assert len(layered) == 1
+            assert layered[0].sci.shape == (24, 28)
+            # Masked pixel propagates.
+            assert layered[0].mask[3, 4]
+
+    def test_does_not_volunteer(self):
+        from kbmod_tpu.standardizers import KBMODV0_5
+
+        assert not KBMODV0_5.can_volunteer
+
+    def test_rejects_short_hdulist(self):
+        from kbmod_tpu.standardizers import KBMODV0_5
+
+        with tempfile.TemporaryDirectory() as tmp:
+            path = write_rubin_style_fits(os.path.join(tmp, "r.fits"))
+            # Rubin-style file has a different extension layout but 4 HDUs;
+            # resolveTarget keys on DATE-AVG + shapes, which it satisfies,
+            # so instead test a 2-HDU file.
+            p2 = os.path.join(tmp, "short.fits")
+            fits_io.HDUList([
+                fits_io.ImageHDU(name="PRIMARY"),
+                fits_io.ImageHDU(data=np.zeros((4, 4), dtype=np.float32)),
+            ]).writeto(p2)
+            can, _ = KBMODV0_5.resolveTarget(p2)
+            assert not can
