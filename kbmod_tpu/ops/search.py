@@ -635,10 +635,15 @@ def core_search(
     vy_arr[filled] = np.asarray(vys, dtype=np.float32)[kidx[filled]]
 
     # Re-evaluate the winners exactly for flux / obs_count (and the sigma-G
-    # clipped scores when enabled).
+    # clipped scores when enabled). Slots whose kernel lh already fails the
+    # min_lh cut are skipped: every caller (stack_search.cpp:262-266
+    # semantics) filters them out immediately after, so their flux/obs are
+    # never observed — and at survey scale this cuts the winner re-scoring
+    # from every (pixel, K) slot to just the survivors.
     flux = np.zeros(len(kidx), dtype=np.float32)
     obs = np.zeros(len(kidx), dtype=np.int32)
     lh = klh.copy()
+    filled &= klh >= float(min_lh)
     if filled.any():
         f_idx = np.nonzero(filled)[0]
         stats = evaluate_trajectories(
