@@ -128,6 +128,41 @@ def evaluate_trajectories(psi, phi, valid, times, xs, ys, vxs, vys, chunk=262144
     return out
 
 
+def _curves_and_stats(psi, phi, valid, times, xs, ys, vxs, vys, chunk=262144):
+    """One chunked gather serving both the trajectory statistics (identical
+    ops to evaluate_trajectories) and the per-time curves + validity needed
+    by the sigma-G re-scoring — the sigma-G assembly previously gathered
+    the same curves three times."""
+    xs = np.asarray(xs, dtype=np.int32)
+    ys = np.asarray(ys, dtype=np.int32)
+    n = len(xs)
+    T = len(np.asarray(times))
+    psi_c = np.zeros((n, T), dtype=np.float32)
+    phi_c = np.zeros((n, T), dtype=np.float32)
+    ok_c = np.zeros((n, T), dtype=np.float32)
+    out = {k: np.zeros(n, dtype=np.float32) for k in ("psi_sum", "phi_sum", "lh", "flux")}
+    out["obs_count"] = np.zeros(n, dtype=np.int32)
+    for lo in range(0, n, chunk):
+        hi = min(lo + chunk, n)
+        dxs, dys = trajectory_offsets(vxs[lo:hi], vys[lo:hi], times)
+        psi_v, phi_v, ok = _gather_curves(
+            psi, phi, valid, jnp.asarray(xs[lo:hi]), jnp.asarray(ys[lo:hi]), jnp.asarray(dxs), jnp.asarray(dys)
+        )
+        psi_sum = np.asarray(jnp.sum(psi_v, axis=1))
+        phi_sum = np.asarray(jnp.sum(phi_v, axis=1))
+        obs = np.asarray(jnp.sum(ok, axis=1, dtype=jnp.int32))
+        good = phi_sum > 0
+        out["psi_sum"][lo:hi] = psi_sum
+        out["phi_sum"][lo:hi] = phi_sum
+        out["obs_count"][lo:hi] = obs
+        out["lh"][lo:hi] = np.where(good, psi_sum / np.sqrt(phi_sum, where=good, out=np.ones_like(phi_sum)), -1.0)
+        out["flux"][lo:hi] = np.where(good, psi_sum / np.where(good, phi_sum, 1.0), -1.0)
+        psi_c[lo:hi] = np.asarray(psi_v)
+        phi_c[lo:hi] = np.asarray(phi_v)
+        ok_c[lo:hi] = np.asarray(ok)
+    return psi_c, phi_c, ok_c, out
+
+
 def extract_psi_phi_curves(psi, phi, valid, times, xs, ys, vxs, vys):
     """Per-time psi/phi curves with 0.0 at invalid samples, matching
     extract_joint_psi_phi_curve (stack_search.cpp:14-31).
@@ -646,25 +681,20 @@ def core_search(
     filled &= klh >= float(min_lh)
     if filled.any():
         f_idx = np.nonzero(filled)[0]
-        stats = evaluate_trajectories(
-            psi, phi, valid, times, xs_all[f_idx], ys_all[f_idx], vx_arr[f_idx], vy_arr[f_idx]
-        )
+        if do_sigmag:
+            # One gather serves the stats and the clipped re-scoring.
+            psi_v, phi_v, okg, stats = _curves_and_stats(
+                psi, phi, valid, times, xs_all[f_idx], ys_all[f_idx], vx_arr[f_idx], vy_arr[f_idx]
+            )
+        else:
+            stats = evaluate_trajectories(
+                psi, phi, valid, times, xs_all[f_idx], ys_all[f_idx], vx_arr[f_idx], vy_arr[f_idx]
+            )
         flux[f_idx] = stats["flux"]
         obs[f_idx] = stats["obs_count"]
         # Use the kernel-pass lh (authoritative for ranking); fall back to the
         # recomputed value for slots the kernel marked as unscored.
         if do_sigmag:
-            psi_v, phi_v = extract_psi_phi_curves(
-                psi, phi, valid, times, xs_all[f_idx], ys_all[f_idx], vx_arr[f_idx], vy_arr[f_idx]
-            )
-            ok = (phi_v != 0.0) | (psi_v != 0.0)
-            # Validity for curves: recompute exactly.
-            _, _, okg = _gather_curves(
-                jnp.asarray(psi), jnp.asarray(phi), jnp.asarray(valid),
-                jnp.asarray(xs_all[f_idx]), jnp.asarray(ys_all[f_idx]),
-                *(jnp.asarray(a) for a in trajectory_offsets(vx_arr[f_idx], vy_arr[f_idx], times)),
-            )
-            okg = np.asarray(okg)
             new_lh, new_flux, _, _ = clipped_sigmag_scores(psi_v, phi_v, okg, sgl_L, sgl_H, sigmag_coeff)
             # Gates before clipping (kernels.cu:201-203): clipping only
             # applies where obs/lh passed; otherwise score is unchanged.
