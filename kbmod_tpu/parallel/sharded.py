@@ -293,6 +293,9 @@ def sharded_core_search(
 
     flux = np.zeros(len(kidx), dtype=np.float32)
     obs = np.zeros(len(kidx), dtype=np.int32)
+    # Match core_search: slots failing the min_lh cut are dropped by every
+    # caller, so their flux/obs stay zero (no re-scoring cost).
+    filled &= klh >= float(min_lh)
     if filled.any():
         f_idx = np.nonzero(filled)[0]
         stats = evaluate_trajectories(
