@@ -266,6 +266,14 @@ class ImageCollection:
     # Output
     # ------------------------------------------------------------------
 
+    def obs_nights_spanned(self):
+        """Number of calendar nights spanned by the observations (inclusive
+        of both endpoints; reference image_collection behavior)."""
+        mjds = np.asarray(self.data["mjd_mid"], dtype=float)
+        if len(mjds) == 0:
+            return 0
+        return int(np.floor(mjds.max()) - np.floor(mjds.min())) + 1
+
     def get_zero_shifted_times(self):
         times = np.asarray(self.data["mjd_mid"], dtype=float)
         return times - times.min()

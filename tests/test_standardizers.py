@@ -351,3 +351,22 @@ class TestKBMODV05:
             ]).writeto(p2)
             can, _ = KBMODV0_5.resolveTarget(p2)
             assert not can
+
+
+class TestObsNightsSpanned:
+    def test_spanned_nights(self):
+        with tempfile.TemporaryDirectory() as tmp:
+            paths = [
+                write_rubin_style_fits(os.path.join(tmp, f"n_{i}.fits"), seed=i)
+                for i in range(10)
+            ]
+            ic = ImageCollection.fromTargets(paths)
+            # Consecutive nights 2023-01-01..2023-01-10 (MJD 59945..59954).
+            ic.data["mjd_mid"] = 59945.0 + np.arange(10)
+            assert ic.obs_nights_spanned() == 10
+            # Repeats out of order across a leap day:
+            # 2024-02-27 (60367) .. 2024-03-03 (60372) spans 6 nights.
+            ic.data["mjd_mid"] = np.array(
+                5 * [60372.3] + 2 * [60367.1] + 3 * [60371.2]
+            )
+            assert ic.obs_nights_spanned() == 6
