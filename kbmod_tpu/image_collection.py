@@ -266,6 +266,160 @@ class ImageCollection:
     # Output
     # ------------------------------------------------------------------
 
+    _supporting_metadata = ("std_name", "std_idx", "ext_idx", "config")
+
+    def remove_column(self, name):
+        """Remove a user column; required/bookkeeping columns are protected
+        (reference image_collection.remove_column behavior)."""
+        import warnings
+
+        if name in self.required_metadata or name in self._supporting_metadata:
+            warnings.warn(
+                f"Column {name} is required metadata for image collection and will not be removed."
+            )
+            return
+        self.data.remove_column(name)
+        if name in self._userColumns:
+            self._userColumns.remove(name)
+
+    def remove_columns(self, names):
+        for name in list(names):
+            self.remove_column(name)
+
+    def reflex_corrected_col(self, col_name, guess_dist):
+        """Name of the reflex-corrected variant of ``col_name`` at
+        ``guess_dist`` (0.0 -> the original column)."""
+        if col_name not in self.data.colnames:
+            raise ValueError(f"Column {col_name} not in ImageCollection")
+        if not isinstance(guess_dist, float):
+            raise ValueError("Reflex-corrected guess distance must be a float")
+        if guess_dist == 0.0:
+            return col_name
+        return f"{col_name}_{guess_dist}"
+
+    def drop_bands(self, bands_to_drop):
+        """Drop rows taken in the given bands (in place)."""
+        if len(self.data) < 1:
+            return
+        col = "band" if "band" in self.data.colnames else "filter"
+        keep = ~np.isin(np.asarray(self.data[col]).astype(str), list(bands_to_drop))
+        self.data = self.data[keep]
+        self.reset_lazy_loading_indices()
+
+    def filter_by_wcs_error(self, max_wcs_error, in_arcsec=True):
+        """Keep rows whose ``wcs_err`` (degrees) is within the given bound."""
+        if "wcs_err" not in self.data.colnames:
+            raise ValueError("Cannot filter ImageCollection by missing wcs_err column.")
+        if max_wcs_error < 0:
+            raise ValueError("max_wcs_error must be positive")
+        if len(self.data) < 1:
+            return
+        bound = max_wcs_error / 3600.0 if in_arcsec else max_wcs_error
+        self.data = self.data[np.asarray(self.data["wcs_err"], dtype=float) <= bound]
+        self.reset_lazy_loading_indices()
+
+    def validate(self):
+        """Check the required metadata columns exist and carry values."""
+        for col in self.required_metadata:
+            if col not in self.data.colnames:
+                raise ValueError(f"Metadata is missing required column {col}.")
+        return True
+
+    def get_wcs(self, idxs):
+        """WCS object(s) for the selected row(s), resolved through the
+        row's standardizer."""
+        if isinstance(idxs, (int, np.integer)):
+            return self.get_standardizer(int(idxs))["std"].standardizeWCS()[
+                int(self.data["ext_idx"][int(idxs)])
+            ]
+        idx_list = range(*idxs.indices(len(self))) if isinstance(idxs, slice) else idxs
+        return [self.get_wcs(int(i)) for i in idx_list]
+
+    def get_bbox(self, idxs):
+        """Footprint corners {(ra, dec), tl, tr, br, bl} for the selected
+        row(s), from corner columns when present, else the row's WCS."""
+        if not isinstance(idxs, (int, np.integer)):
+            idx_list = range(*idxs.indices(len(self))) if isinstance(idxs, slice) else idxs
+            return [self.get_bbox(int(i)) for i in idx_list]
+        i = int(idxs)
+        corner_cols = ["ra_tl", "dec_tl", "ra_tr", "dec_tr", "ra_br", "dec_br", "ra_bl", "dec_bl"]
+        out = {"ra": float(self.data["ra"][i]), "dec": float(self.data["dec"][i])}
+        if all(c in self.data.colnames for c in corner_cols):
+            for c in corner_cols:
+                out[c] = float(self.data[c][i])
+            return out
+        wcs = self.get_wcs(i)
+        h = int(2 * wcs.crpix[1])
+        w = int(2 * wcs.crpix[0])
+        for (x, y), tag in zip(
+            [(0, 0), (w - 1, 0), (w - 1, h - 1), (0, h - 1)], ("tl", "tr", "br", "bl")
+        ):
+            ra, dec = wcs.pixel_to_world_values(float(x), float(y))
+            out[f"ra_{tag}"] = float(ra)
+            out[f"dec_{tag}"] = float(dec)
+        return out
+
+    def bbox(self):
+        """Iterate over per-row footprint corner dicts."""
+        for i in range(len(self)):
+            yield self.get_bbox(i)
+
+    def get_observatory(self):
+        """(lat_deg, lon_deg, elev_m) from the first row's obs_* columns,
+        or None when unavailable."""
+        if len(self.data) == 0:
+            return None
+        cols = ("obs_lat", "obs_lon", "obs_elev")
+        if not all(c in self.data.colnames for c in cols):
+            return None
+        return tuple(float(self.data[c][0]) for c in cols)
+
+    @property
+    def is_packed(self):
+        return bool(self.data.meta.get("is_packed", False))
+
+    def pack(self):
+        """Move columns whose value repeats on every row into table
+        metadata (smaller serialized files); `unpack` restores them."""
+        if len(self.data) == 0:
+            return
+        shared = []
+        for col in list(self.data.colnames):
+            vals = self.data[col]
+            try:
+                first = vals[0]
+                if all(v == first for v in vals):
+                    shared.append(col)
+            except Exception:
+                continue
+        shared = [c for c in shared if c not in self._supporting_metadata]
+        for col in shared:
+            self.data.meta[f"shared_{col}"] = self.data[col][0]
+            self.data.remove_column(col)
+        self.data.meta["shared_cols"] = shared
+        self.data.meta["is_packed"] = True
+        self._userColumns = [c for c in self.data.colnames if c not in self._supporting_metadata]
+
+    def unpack(self):
+        if not self.is_packed:
+            return
+        n = len(self.data)
+        for col in self.data.meta.get("shared_cols", []):
+            self.data[col] = [self.data.meta.pop(f"shared_{col}")] * n
+        self.data.meta.pop("shared_cols", None)
+        self.data.meta["is_packed"] = False
+        self._userColumns = [c for c in self.data.colnames if c not in self._supporting_metadata]
+
+    def toBinTableHDU(self):
+        """The (unpacked) metadata table as a FITS table HDU (inverse of
+        fromBinTableHDU)."""
+        from kbmod_tpu.io.fits_io import TableHDU
+
+        if self.is_packed:
+            self.unpack()
+            self.data.meta.pop("is_packed", None)
+        return TableHDU(self.data, name="IMGCOLL")
+
     def obs_nights_spanned(self):
         """Number of calendar nights spanned by the observations (inclusive
         of both endpoints; reference image_collection behavior)."""

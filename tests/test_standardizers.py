@@ -370,3 +370,83 @@ class TestObsNightsSpanned:
                 5 * [60372.3] + 2 * [60367.1] + 3 * [60371.2]
             )
             assert ic.obs_nights_spanned() == 6
+
+
+class TestImageCollectionMethods:
+    def _ic(self, tmp, n=3):
+        paths = [
+            write_rubin_style_fits(os.path.join(tmp, f"m_{i}.fits"), seed=i, mjd=57130.0 + 0.1 * i)
+            for i in range(n)
+        ]
+        return ImageCollection.fromTargets(paths)
+
+    def test_remove_column_guards(self):
+        with tempfile.TemporaryDirectory() as tmp:
+            ic = self._ic(tmp)
+            ic.data["extra"] = [1, 2, 3]
+            ic.remove_column("extra")
+            assert "extra" not in ic.columns
+            import warnings as _w
+
+            with _w.catch_warnings(record=True) as rec:
+                _w.simplefilter("always")
+                ic.remove_column("mjd_mid")
+            assert "mjd_mid" in ic.columns and len(rec) == 1
+
+    def test_reflex_corrected_col(self):
+        with tempfile.TemporaryDirectory() as tmp:
+            ic = self._ic(tmp)
+            assert ic.reflex_corrected_col("ra", 0.0) == "ra"
+            assert ic.reflex_corrected_col("ra", 5.0) == "ra_5.0"
+            with pytest.raises(ValueError):
+                ic.reflex_corrected_col("nope", 5.0)
+            with pytest.raises(ValueError):
+                ic.reflex_corrected_col("ra", 5)
+
+    def test_drop_bands_and_wcs_error(self):
+        with tempfile.TemporaryDirectory() as tmp:
+            ic = self._ic(tmp)
+            ic.drop_bands(["g"])   # all rows are r-band
+            assert len(ic) == 3
+            ic.data["wcs_err"] = [0.1 / 3600, 0.5 / 3600, 2.0 / 3600]
+            ic.filter_by_wcs_error(1.0)  # arcsec
+            assert len(ic) == 2
+            with pytest.raises(ValueError):
+                ic.filter_by_wcs_error(-1.0)
+            ic.drop_bands(["r"])
+            assert len(ic) == 0
+
+    def test_get_wcs_and_bbox(self):
+        with tempfile.TemporaryDirectory() as tmp:
+            ic = self._ic(tmp)
+            wcs = ic.get_wcs(0)
+            assert wcs is not None
+            wcss = ic.get_wcs([0, 2])
+            assert len(wcss) == 2
+            box = ic.get_bbox(0)
+            for key in ("ra", "dec", "ra_tl", "dec_br"):
+                assert key in box
+            boxes = list(ic.bbox())
+            assert len(boxes) == 3
+
+    def test_pack_unpack_roundtrip(self):
+        with tempfile.TemporaryDirectory() as tmp:
+            ic = self._ic(tmp)
+            before = {c: list(map(str, ic.data[c])) for c in ic.columns}
+            assert not ic.is_packed
+            ic.pack()
+            assert ic.is_packed
+            # The shared filter column moved into metadata.
+            assert "filter" not in ic.columns
+            ic.unpack()
+            assert not ic.is_packed
+            for c in before:
+                assert list(map(str, ic.data[c])) == before[c]
+
+    def test_to_bintable_roundtrip(self):
+        with tempfile.TemporaryDirectory() as tmp:
+            ic = self._ic(tmp)
+            hdu = ic.toBinTableHDU()
+            back = ImageCollection.fromBinTableHDU(hdu)
+            assert len(back) == 3
+            assert ic.validate()
