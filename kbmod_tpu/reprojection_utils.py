@@ -185,3 +185,101 @@ def transform_wcses_to_ebd(wcs_list, width, height, heliocentric_distance, obsti
         ebd_wcs_list.append(ebd_wcs)
         geo_dists.append(dist)
     return ebd_wcs_list, geo_dists
+
+
+def correct_parallax_geometrically(coord, obstime, point_on_earth, barycentric_distance):
+    """Scalar geometric parallax correction (reprojection_utils.py:185-243):
+    alias of correct_parallax, valid for distances beyond the Earth's
+    barycentric radius (~1.02 AU)."""
+    return correct_parallax(coord, obstime, point_on_earth, barycentric_distance)
+
+
+def correct_parallax_with_minimizer(
+    coord, obstime, point_on_earth, barycentric_distance, geocentric_distance=None, **kwargs
+):
+    """Minimizer-based parallax correction (reprojection_utils.py:91-183):
+    finds the observer-object range ``s`` whose implied barycentric radius
+    best matches ``barycentric_distance``. Handles distances inside the
+    Earth's orbit, where the geometric solution has no real root."""
+    from scipy.optimize import minimize_scalar
+
+    if hasattr(coord, "ra_deg"):
+        ra, dec = float(np.asarray(coord.ra_deg)), float(np.asarray(coord.dec_deg))
+    else:
+        ra, dec = coord
+    earth = earth_position_equatorial(float(obstime))
+    u = radec_unit_vector(ra, dec)
+
+    def loss(s):
+        return abs(np.linalg.norm(earth + s * u) - barycentric_distance)
+
+    upper = barycentric_distance + 2.0
+    res = minimize_scalar(loss, bounds=(0.0, upper), method="bounded")
+    s = float(res.x)
+    pos = earth + s * u
+    ra_c, dec_c = unit_vector_radec(pos / np.linalg.norm(pos))
+    out = SkyCoordLite(float(ra_c), float(dec_c))
+    out.distance_au = float(np.linalg.norm(pos))
+    return out, s
+
+
+def image_positions_to_original_icrs(
+    image_indices,
+    positions,
+    reprojected_wcs,
+    original_wcses,
+    all_times,
+    observatory=None,
+    input_format="xy",
+    output_format="xy",
+    filter_in_frame=True,
+    reprojection_frame="original",
+    barycentric_distance=None,
+    geocentric_distances=None,
+    per_image_indices=None,
+    image_locations=None,
+):
+    """Module-level position inverse mapping (reprojection_utils.py:543+):
+    common-frame (possibly EBD) positions back to the original per-image
+    ICRS frames. The WorkUnit method wraps this for its own metadata."""
+    if input_format not in ("xy", "radec"):
+        raise ValueError(f"Input format {input_format} not supported.")
+    if output_format not in ("xy", "radec"):
+        raise ValueError(f"Output format {output_format} not supported.")
+    all_times = np.asarray(all_times, dtype=float)
+    if per_image_indices is None:
+        per_image_indices = [[i] for i in range(len(original_wcses))]
+
+    results = []
+    for idx, pos in zip(np.atleast_1d(image_indices), positions):
+        idx = int(idx)
+        if input_format == "xy":
+            ra, dec = reprojected_wcs.pixel_to_world_values(float(pos[0]), float(pos[1]))
+        else:
+            ra, dec = float(pos.ra_deg), float(pos.dec_deg)
+        ra, dec = float(ra), float(dec)
+
+        if reprojection_frame == "ebd":
+            if barycentric_distance is None:
+                raise ValueError("EBD inversion requires barycentric_distance.")
+            coord = SkyCoordLite(ra, dec)
+            coord.distance_au = float(barycentric_distance)
+            c = SkyCoordLite(np.array([ra]), np.array([dec]))
+            c.distance_au = np.array([float(barycentric_distance)])
+            inv = invert_correct_parallax_vectorized(c, np.array([all_times[idx]]))
+            ra, dec = float(np.asarray(inv.ra_deg)[0]), float(np.asarray(inv.dec_deg)[0])
+
+        entry = None
+        for const in per_image_indices[idx]:
+            wcs = original_wcses[const]
+            if wcs is None:
+                continue
+            x, y = wcs.world_to_pixel_values(ra, dec)
+            h = int(2 * wcs.crpix[1])
+            w = int(2 * wcs.crpix[0])
+            in_frame = 0 <= x < w and 0 <= y < h
+            if in_frame or not filter_in_frame:
+                entry = (float(x), float(y)) if output_format == "xy" else (ra, dec)
+                break
+        results.append(entry)
+    return results

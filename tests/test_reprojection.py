@@ -10,6 +10,7 @@ from kbmod_tpu.geom.wcs import WCS
 from kbmod_tpu.ops.reproject import compute_source_coordinates, resample_layer
 from kbmod_tpu.reprojection import reproject_work_unit
 from kbmod_tpu.reprojection_utils import (
+    correct_parallax_geometrically,
     correct_parallax_geometrically_vectorized,
     invert_correct_parallax_vectorized,
     fit_barycentric_wcs,
@@ -185,3 +186,51 @@ class TestParallaxGoldenValues:
         r = np.linalg.norm(off, axis=-1)
         assert np.all(r < 0.02)
         assert np.any(r > 0.004)
+
+
+class TestScalarParallaxAPIs:
+    def test_geometric_alias(self):
+        out, s = correct_parallax_geometrically((88.74513571, 23.43426475), 60023.6667, None, 50.0)
+        assert abs(float(np.asarray(out.ra_deg)) - 90.0) < 0.01
+        assert 49.0 < s < 51.0
+
+    def test_minimizer_matches_geometric(self):
+        from kbmod_tpu.reprojection_utils import correct_parallax_with_minimizer
+
+        geo, s_geo = correct_parallax_geometrically((88.74513571, 23.43426475), 60023.6667, None, 50.0)
+        mini, s_min = correct_parallax_with_minimizer((88.74513571, 23.43426475), 60023.6667, None, 50.0)
+        np.testing.assert_allclose(float(np.asarray(mini.ra_deg)), float(np.asarray(geo.ra_deg)), atol=1e-4)
+        np.testing.assert_allclose(s_min, s_geo, atol=1e-4)
+
+    def test_minimizer_inside_earth_orbit(self):
+        from kbmod_tpu.reprojection_utils import correct_parallax_with_minimizer
+
+        # d = 0.5 AU has no geometric solution; the minimizer still returns
+        # a best-effort range.
+        out, s = correct_parallax_with_minimizer((90.0, 0.0), 60000.0, None, 0.5)
+        assert np.isfinite(s) and s >= 0.0
+
+    def test_module_level_position_inverse(self):
+        from kbmod_tpu.reprojection_utils import image_positions_to_original_icrs
+        from kbmod_tpu.wcs_utils import make_fake_wcs
+
+        wcs = make_fake_wcs(200.0, -7.0, 64, 64)
+        out = image_positions_to_original_icrs(
+            [0], [(10.0, 20.0)], wcs, [wcs], [60000.0],
+            reprojection_frame="original", output_format="xy",
+        )
+        assert len(out) == 1
+        np.testing.assert_allclose(out[0], (10.0, 20.0), atol=1e-6)
+
+        ebd = image_positions_to_original_icrs(
+            [0], [(10.0, 20.0)], wcs, [wcs], [60000.0],
+            reprojection_frame="ebd", barycentric_distance=40.0,
+            output_format="radec", filter_in_frame=False,
+        )
+        ra, dec = ebd[0]
+        ra0, dec0 = wcs.pixel_to_world_values(10.0, 20.0)
+        assert 0 < abs(ra - float(ra0)) < 1.0
+
+        with pytest.raises(ValueError):
+            image_positions_to_original_icrs([0], [(1, 2)], wcs, [wcs], [60000.0],
+                                             input_format="bananas")
