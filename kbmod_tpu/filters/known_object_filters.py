@@ -90,6 +90,16 @@ class KnownObjsMatcher:
     def get_dec(self, ko_idx):
         return float(self.data[self.dec_col][ko_idx])
 
+    def to_skycoords(self):
+        """The catalog positions as a SkyCoordLite (known_object_filters.py:146)."""
+        from kbmod_tpu.geom.wcs import SkyCoordLite
+        import numpy as np
+
+        return SkyCoordLite(
+            np.asarray(self.data[self.ra_col], dtype=float),
+            np.asarray(self.data[self.dec_col], dtype=float),
+        )
+
     def get_name(self, ko_idx):
         return self.data[self.name_col][ko_idx]
 

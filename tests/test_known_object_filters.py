@@ -79,3 +79,20 @@ class TestKnownObjsMatcher:
         matcher = KnownObjsMatcher(catalog, obstimes, "known", sep_thresh=2.0, time_thresh_s=600.0)
         matcher.match(results, wcs)
         assert results["known"][0] == {}
+
+
+def test_to_skycoords(make_matcher=None):
+    import numpy as np
+    from kbmod_tpu.filters.known_object_filters import KnownObjsMatcher
+    from kbmod_tpu.table import Table
+
+    data = Table({
+        "Name": ["a", "b"],
+        "RA": [200.0, 201.0],
+        "DEC": [-7.0, -6.5],
+        "mjd_mid": [57130.0, 57130.0],
+    })
+    m = KnownObjsMatcher(data, [57130.0], matcher_name="m")
+    sc = m.to_skycoords()
+    np.testing.assert_allclose(np.asarray(sc.ra_deg, dtype=float), [200.0, 201.0])
+    np.testing.assert_allclose(np.asarray(sc.dec_deg, dtype=float), [-7.0, -6.5])
