@@ -231,3 +231,12 @@ class _Angle:
     @property
     def arcsec(self):
         return self._deg * 3600.0
+
+    def __repr__(self):
+        return f"Angle({np.array2string(np.atleast_1d(self._deg), precision=6)} deg)"
+
+    def __float__(self):
+        return float(self._deg)
+
+    def __array__(self, dtype=None):
+        return np.asarray(self._deg, dtype=dtype)
