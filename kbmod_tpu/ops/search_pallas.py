@@ -69,6 +69,23 @@ def _cand_chunk(C, T):
     return max(8, min(int(C), _SMEM_TABLE_BYTES // per_cand))
 
 
+def _cok_table(C, cand_valid, cand_offset, chunk_offset=0):
+    """(C, 2) int32 scalar-prefetch table: [validity, global candidate
+    index]. Carrying the index as int32 keeps it exact for any candidate
+    count (an f32 scalar is exact only to 2^24). cand_offset may be a
+    traced scalar (the sharded path derives it from the mesh axis index);
+    chunk_offset is always a Python int."""
+    ok = (
+        jnp.ones((C,), dtype=jnp.int32)
+        if cand_valid is None
+        else cand_valid.astype(jnp.int32).reshape(C)
+    )
+    idx = jnp.arange(chunk_offset, chunk_offset + C, dtype=jnp.int32)
+    if not (isinstance(cand_offset, int) and cand_offset == 0):
+        idx = idx + jnp.asarray(cand_offset, dtype=jnp.int32)
+    return jnp.stack([ok, idx], axis=1)
+
+
 def _merge_pair(lh_a, idx_a, lh_b, idx_b, K):
     """Stable per-pixel merge of two descending-sorted top-K maps (a's
     candidates arrived first).
@@ -101,8 +118,8 @@ def _merge_pair(lh_a, idx_a, lh_b, idx_b, K):
 def _search_kernel(
     # Scalar-prefetch arrays (SMEM, full arrays indexed by the grid)
     tbl_ref,  # (C, 3T) int32: [source row | x offset | y offset] per time
-    cok_ref,  # (C,) int32: candidate validity (padding = 0)
-    scalars_ref,  # (4,) float32: [min_obs, min_lh, cand_offset, total_rows]
+    cok_ref,  # (C, 2) int32: [validity (padding = 0), global candidate index]
+    scalars_ref,  # (4,) float32: [min_obs, min_lh, unused, total_rows]
     # HBM inputs: zero-padded stacks shaped (rows, W2)
     psi_hbm,
     phi_hbm,
@@ -138,7 +155,6 @@ def _search_kernel(
 
     min_obs = scalars_ref[0]
     min_lh = scalars_ref[1]
-    cand_offset = scalars_ref[2].astype(jnp.int32)
     total_rows = scalars_ref[3].astype(jnp.int32)
 
     TB = TH + 8  # DMA block: TH rows + sublane-alignment slack
@@ -223,13 +239,15 @@ def _search_kernel(
         obs = acc_obs[...]
         lh = jnp.where(phi_sum > 0, psi_sum * lax.rsqrt(jnp.maximum(phi_sum, 1e-30)), -1.0)
 
-        ok = jnp.full((TH, SW), cok_ref[c] != 0)
+        ok = jnp.full((TH, SW), cok_ref[c, 0] != 0)
         if gate_min_obs:
             ok &= obs >= min_obs
         if gate_min_lh:
             ok &= lh >= min_lh
         new = jnp.where(ok, lh, -jnp.inf)
-        newi = jnp.full((TH, SW), cand_offset + c, dtype=jnp.int32)
+        # Global candidate index rides in the int32 table (exact for any C,
+        # unlike an f32 scalar which is exact only to 2^24).
+        newi = jnp.full((TH, SW), cok_ref[c, 1], dtype=jnp.int32)
         # Sorted K-slot insertion as a vectorized rank-insert: the new entry
         # lands at rank p = #(existing >= new); entries below shift down one
         # slot. Likelihoods match the reference bubble (kernels.cu:322-330)
@@ -331,11 +349,7 @@ def search_topk_pallas(
     ox = jnp.int32(x_min) + dxs.astype(jnp.int32)
     rows = pad_rows + t_idx * H + oy  # source row at tile row 0
 
-    cok = (
-        jnp.ones((C,), dtype=jnp.int32)
-        if cand_valid is None
-        else cand_valid.astype(jnp.int32).reshape(C)
-    )
+    cok = _cok_table(C, cand_valid, cand_offset)
 
     kernel = functools.partial(
         _search_kernel,
@@ -346,7 +360,7 @@ def search_topk_pallas(
     CC = _cand_chunk(C, T)
     tbl = jnp.concatenate([rows, ox, oy], axis=1)  # (C, 3T)
 
-    def call_chunk(tbl_c, cok_c, chunk_offset):
+    def call_chunk(tbl_c, cok_c):
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
             grid=(n_ty, tbl_c.shape[0]),
@@ -374,16 +388,11 @@ def search_topk_pallas(
             bytes_accessed=tbl_c.shape[0] * T * bytes_per_step * n_ty,
             transcendentals=tbl_c.shape[0] * SH_pad * SW,
         )
-        # chunk_offset is a Python int: keep the single-chunk jaxpr
-        # identical to the unchunked form (compile-cache stability).
-        co = jnp.float32(cand_offset)
-        if chunk_offset:
-            co = co + jnp.float32(chunk_offset)
         scalars = jnp.stack(
             [
                 jnp.float32(min_obs),
                 jnp.float32(min_lh),
-                co,
+                jnp.float32(0.0),
                 jnp.float32(total_rows),
             ]
         )
@@ -402,19 +411,20 @@ def search_topk_pallas(
         )(tbl_c, cok_c, scalars, psi_r, phi_r, val_r)
 
     if C <= CC:
-        top_lh, top_idx = call_chunk(tbl, cok, 0)
+        top_lh, top_idx = call_chunk(tbl, cok)
     else:
         # Candidate tables exceed the SMEM budget: pad to a whole number of
         # chunks (padding marked invalid) and merge per-pixel top-K maps
-        # chunk by chunk.
+        # chunk by chunk. The cok table carries global indices, so chunks
+        # need no offset bookkeeping.
         n_chunks = pl.cdiv(C, CC)
         pad = n_chunks * CC - C
         tbl_p = jnp.pad(tbl, ((0, pad), (0, 0)))
-        cok_p = jnp.pad(cok, (0, pad))
+        cok_p = jnp.pad(cok, ((0, pad), (0, 0)))
         top_lh = top_idx = None
         for ci in range(n_chunks):
             sl = slice(ci * CC, (ci + 1) * CC)
-            lh_c, idx_c = call_chunk(tbl_p[sl], cok_p[sl], ci * CC)
+            lh_c, idx_c = call_chunk(tbl_p[sl], cok_p[sl])
             if top_lh is None:
                 top_lh, top_idx = lh_c, idx_c
             else:
@@ -425,8 +435,8 @@ def search_topk_pallas(
 
 def _search_kernel_encoded(
     tbl_ref,  # (C, 3T) int32: [source word-row | x offset | y offset] per time
-    cok_ref,  # (C,) int32 candidate validity
-    scalars_ref,  # (8,) f32: [min_obs, min_lh, cand_offset, total_rows,
+    cok_ref,  # (C, 2) int32: [validity, global candidate index]
+    scalars_ref,  # (8,) f32: [min_obs, min_lh, unused, total_rows,
     #              psi_min, psi_scale, phi_min, phi_scale]
     words_hbm,  # (rows, W4) int32: interleaved psi/phi codes
     *refs,  # COLS lh outputs, COLS idx outputs, then scratch
@@ -480,7 +490,6 @@ def _search_kernel_encoded(
 
     min_obs = scalars_ref[0]
     min_lh = scalars_ref[1]
-    cand_offset = scalars_ref[2].astype(jnp.int32)
     total_rows = scalars_ref[3].astype(jnp.int32)
     psi_min = scalars_ref[4]
     psi_scale = scalars_ref[5]
@@ -562,13 +571,13 @@ def _search_kernel_encoded(
             psi_sum = psi_scale * acc_psi[k].astype(jnp.float32) + (psi_min - psi_scale) * obs
             phi_sum = phi_scale * acc_phi[k].astype(jnp.float32) + (phi_min - phi_scale) * obs
             lh = jnp.where(phi_sum > 0, psi_sum * lax.rsqrt(jnp.maximum(phi_sum, 1e-30)), -1.0)
-            ok = jnp.full((TH, SW4), cok_ref[c] != 0)
+            ok = jnp.full((TH, SW4), cok_ref[c, 0] != 0)
             if gate_min_obs:
                 ok &= obs >= min_obs
             if gate_min_lh:
                 ok &= lh >= min_lh
             new = jnp.where(ok, lh, -jnp.inf)
-            newi = jnp.full((TH, SW4), cand_offset + c, dtype=jnp.int32)
+            newi = jnp.full((TH, SW4), cok_ref[c, 1], dtype=jnp.int32)
             top = out_lh[k][...]
             topi = out_idx[k][...]
             p = jnp.sum((top >= new[None]).astype(jnp.int32), axis=0)
@@ -635,6 +644,41 @@ def search_topk_pallas_encoded(
     else:
         raise ValueError(f"encoded search needs uint8/uint16 codes, got {psi_codes.dtype}")
 
+    cok = _cok_table(C, cand_valid, cand_offset)
+    em = jnp.asarray(encode_meta, dtype=jnp.float32).reshape(4)
+
+    if _use_paired(psi_codes.dtype, T):
+        # uint8 fast path: dual-parity streams + packed 16-bit sums.
+        SW4 = pl.cdiv(SW, 2)
+        W4 = _round_up(max(pl.cdiv(W, 2), SW4), 128)
+        if row_tile is None:
+            row_tile = _paired_row_tile(SH, SW4, W4, K, min(int(T), 4))
+        TH = int(row_tile)
+        n_ty = pl.cdiv(SH, TH)
+        SH_pad = n_ty * TH
+        pad_rows = _round_up(SH_pad + H + 16, 8)
+        ROWS1 = _round_up(T * H + 2 * pad_rows, 8)
+        extra = ROWS1 - (T * H + 2 * pad_rows)
+
+        s0, s1 = _interleave_words_paired(psi_codes, phi_codes, W4)
+        z_lo = jnp.zeros((pad_rows, W4), dtype=jnp.int32)
+        z_hi = jnp.zeros((pad_rows + extra, W4), dtype=jnp.int32)
+        words_r = jnp.concatenate(
+            [z_lo, s0.reshape(T * H, W4), z_hi, z_lo, s1.reshape(T * H, W4), z_hi],
+            axis=0,
+        )
+
+        t_idx = jnp.arange(T, dtype=jnp.int32)[None, :]
+        oy = jnp.int32(y_min) + dys.astype(jnp.int32)
+        ox = jnp.int32(x_min) + dxs.astype(jnp.int32)
+        rows = pad_rows + t_idx * H + oy
+        return _run_paired_search(
+            words_r, rows, ox, oy, cok, em, min_obs, min_lh,
+            T=T, H=H, W=W, W4=W4, TH=TH, SW4=SW4, K=K,
+            SH=SH, SW=SW, SH_pad=SH_pad, n_ty=n_ty, ROWS1=ROWS1,
+            gate_min_obs=gate_min_obs, gate_min_lh=gate_min_lh, interpret=interpret,
+        )
+
     SW4 = pl.cdiv(SW, COLS)
     W4 = _round_up(max(pl.cdiv(W, COLS), SW4), 128)
     Wp = W4 * COLS
@@ -658,14 +702,8 @@ def search_topk_pallas_encoded(
     ox = jnp.int32(x_min) + dxs.astype(jnp.int32)
     rows = pad_rows + t_idx * H + oy
 
-    cok = (
-        jnp.ones((C,), dtype=jnp.int32)
-        if cand_valid is None
-        else cand_valid.astype(jnp.int32).reshape(C)
-    )
-    em = jnp.asarray(encode_meta, dtype=jnp.float32).reshape(4)
     return _run_encoded_search(
-        words_r, rows, ox, oy, cok, em, min_obs, min_lh, cand_offset,
+        words_r, rows, ox, oy, cok, em, min_obs, min_lh,
         T=T, H=H, W=W, W4=W4, COLS=COLS, BITS=BITS, TH=TH, SW4=SW4, K=K,
         SH=SH, SW=SW, SH_pad=SH_pad, n_ty=n_ty, pad_rows=pad_rows,
         gate_min_obs=gate_min_obs, gate_min_lh=gate_min_lh, interpret=interpret,
@@ -691,7 +729,7 @@ def _interleave_words(psi_codes, phi_codes, W4, COLS):
 
 
 def _run_encoded_search(
-    words_r, rows, ox, oy, cok, em, min_obs, min_lh, cand_offset,
+    words_r, rows, ox, oy, cok, em, min_obs, min_lh,
     *, T, H, W, W4, COLS, BITS, TH, SW4, K, SH, SW, SH_pad, n_ty, pad_rows,
     gate_min_obs, gate_min_lh, interpret,
 ):
@@ -708,7 +746,7 @@ def _run_encoded_search(
     CC = _cand_chunk(C, T)
     tbl = jnp.concatenate([rows, ox, oy], axis=1)  # (C, 3T)
 
-    def call_chunk(tbl_c, cok_c, chunk_offset):
+    def call_chunk(tbl_c, cok_c):
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
             grid=(n_ty, tbl_c.shape[0]),
@@ -732,16 +770,13 @@ def _run_encoded_search(
         out_shapes = tuple(
             jax.ShapeDtypeStruct((K, SH_pad, SW4), jnp.float32) for _ in range(COLS)
         ) + tuple(jax.ShapeDtypeStruct((K, SH_pad, SW4), jnp.int32) for _ in range(COLS))
-        co = jnp.float32(cand_offset)
-        if chunk_offset:
-            co = co + jnp.float32(chunk_offset)
         scalars = jnp.concatenate(
             [
                 jnp.stack(
                     [
                         jnp.float32(min_obs),
                         jnp.float32(min_lh),
-                        co,
+                        jnp.float32(0.0),
                         jnp.float32(total_rows),
                     ]
                 ),
@@ -766,16 +801,337 @@ def _run_encoded_search(
         return lh_i, idx_i
 
     if C <= CC:
-        top_lh, top_idx = call_chunk(tbl, cok, 0)
+        top_lh, top_idx = call_chunk(tbl, cok)
     else:
         n_chunks = pl.cdiv(C, CC)
         pad = n_chunks * CC - C
         tbl_p = jnp.pad(tbl, ((0, pad), (0, 0)))
-        cok_p = jnp.pad(cok, (0, pad))
+        cok_p = jnp.pad(cok, ((0, pad), (0, 0)))
         top_lh = top_idx = None
         for ci in range(n_chunks):
             sl = slice(ci * CC, (ci + 1) * CC)
-            lh_c, idx_c = call_chunk(tbl_p[sl], cok_p[sl], ci * CC)
+            lh_c, idx_c = call_chunk(tbl_p[sl], cok_p[sl])
+            if top_lh is None:
+                top_lh, top_idx = lh_c, idx_c
+            else:
+                top_lh, top_idx = _merge_pair(top_lh, top_idx, lh_c, idx_c, K)
+
+    return top_lh[:, :SH, :SW], top_idx[:, :SH, :SW]
+
+
+def _use_paired(dtype, T):
+    """uint8 stacks with T <= 257 route to the paired kernel (packed
+    16-bit field sums stay exact while T * 255 <= 65535). Opt out with
+    KB_PAIRED_KERNEL=0 (read at trace time)."""
+    import os
+
+    return (
+        dtype == jnp.uint8
+        and int(T) <= 257
+        and os.environ.get("KB_PAIRED_KERNEL", "1") != "0"
+    )
+
+
+def _search_kernel_paired(
+    tbl_ref,  # (C, 3T) int32: [source word-row | x offset | y offset] per time
+    cok_ref,  # (C, 2) int32: [validity, global candidate index]
+    scalars_ref,  # (8,) f32: [min_obs, min_lh, unused, unused,
+    #              psi_min, psi_scale, phi_min, phi_scale]
+    words_hbm,  # (2*ROWS1, W4) int32: parity-0 stream, then the stream
+    #             shifted one column (parity-1)
+    out_lh0,
+    out_lh1,
+    out_idx0,
+    out_idx1,
+    word_buf,  # (DD, TH+8, W4) int32 scratch
+    sems,  # DMA sems (DD,)
+    *,
+    T,
+    H,
+    W,
+    W4,
+    TH,
+    SW4,
+    K,
+    DD,
+    ROWS1,
+    gate_min_obs,
+    gate_min_lh,
+):
+    """uint8 fast path: dual-parity streams + 16-bit-field packed sums.
+
+    Improvements over _search_kernel_encoded (measured VPU-issue-bound):
+
+    * The word stream is stored twice, the second copy shifted one image
+      column (2x HBM for the codes — still 8x smaller than the float
+      path). Any column shift ox then reads stream (ox mod 2) rolled by
+      floor(ox / 2) whole words: ONE dynamic lane roll per time step
+      instead of one per column class, and no in-register byte swizzle.
+    * psi codes for two adjacent columns are summed as packed 16-bit
+      fields of one int32 (likewise phi and the obs indicator): one add
+      covers two columns. Field sums stay exact while T * 255 <= 65535,
+      i.e. T <= 257 (the wrapper falls back to the classic kernel above
+      that).
+    * Validity is free: the packer zeroes BOTH codes of a pair when
+      either is 0 (the reference gates on psi AND phi valid,
+      kernels.cu:184), so masked samples self-exclude from the packed
+      sums and the obs indicator derives from the psi field alone.
+
+    Output layout matches the classic COLS=2 kernel: class-packed
+    (even/odd output columns), interleaved back by the host wrapper.
+    """
+    ty = pl.program_id(0)
+    c = pl.program_id(1)
+    tile_row0 = ty * TH
+
+    @pl.when(c == 0)
+    def _init_topk():
+        for ref in (out_lh0, out_lh1):
+            ref[...] = jnp.full((K, TH, SW4), -FLT_MAX, dtype=jnp.float32)
+        for ref in (out_idx0, out_idx1):
+            ref[...] = jnp.full((K, TH, SW4), -1, dtype=jnp.int32)
+
+    min_obs = scalars_ref[0]
+    min_lh = scalars_ref[1]
+    psi_min = scalars_ref[4]
+    psi_scale = scalars_ref[5]
+    phi_min = scalars_ref[6]
+    phi_scale = scalars_ref[7]
+
+    TB = TH + 8
+
+    def row_for(t):
+        ox = tbl_ref[c, T + t]
+        par = lax.rem(lax.rem(ox, 2) + 2, 2)  # floor mod: 0 or 1
+        r = jnp.clip(tbl_ref[c, t] + tile_row0, 0, ROWS1 - TB) + par * ROWS1
+        r8 = pl.multiple_of((r // 8) * 8, 8)
+        return r8, r - r8
+
+    def dma(slot, t):
+        r8, _ = row_for(t)
+        return pltpu.make_async_copy(
+            words_hbm.at[pl.ds(r8, TB), :], word_buf.at[slot], sems.at[slot]
+        )
+
+    ii = lax.broadcasted_iota(jnp.int32, (TH, SW4), 0)
+    # Even output column per word: j0 = 2 * w (class 1 is j0 + 1).
+    jj0 = 2 * lax.broadcasted_iota(jnp.int32, (TH, SW4), 1)
+
+    PAIR_ONES = jnp.int32(0x00FF00FF)
+    FIELD_ONES = jnp.int32(0x00010001)
+    LO16 = jnp.int32(0x0000FFFF)
+    HI16 = jnp.int32(-65536)  # 0xFFFF0000
+
+    def run(acc_psi, acc_phi, acc_obs):
+        acc_psi[...] = jnp.zeros((TH, SW4), dtype=jnp.int32)
+        acc_phi[...] = jnp.zeros((TH, SW4), dtype=jnp.int32)
+        acc_obs[...] = jnp.zeros((TH, SW4), dtype=jnp.int32)
+
+        for d in range(DD - 1):
+            dma(d, d).start()
+
+        def tbody(t, _):
+            slot = t % DD
+
+            @pl.when(t + DD - 1 < T)
+            def _prefetch():
+                dma((t + DD - 1) % DD, t + DD - 1).start()
+
+            dma(slot, t).wait()
+
+            oy = tbl_ref[c, 2 * T + t] + tile_row0
+            ox = tbl_ref[c, T + t]
+            par = lax.rem(lax.rem(ox, 2) + 2, 2)
+            # Stream-1 word w holds columns (2w-1, 2w), so odd shifts roll
+            # by (ox+1)/2 words; even shifts use stream 0 and ox/2. Exact:
+            # ox + par is even.
+            dw = (ox + par) // 2
+            _, rshift = row_for(t)
+            pw = pltpu.roll(word_buf[slot], TB - rshift, 0)[:TH]
+            wk = pltpu.roll(pw, -dw, 1)[:, :SW4]
+            # Bounds mask, int32 per 16-bit field: output column j valid
+            # iff 0 <= j + ox < W and its source row is inside the image.
+            # Masked pairs are already zero in the stream, so bounds are
+            # the ONLY mask needed.
+            row_ok = (ii >= -oy) & (ii < H - oy)
+            v0 = (jj0 >= -ox) & (jj0 < W - ox)
+            v1 = (jj0 >= -ox - 1) & (jj0 < W - ox - 1)
+            m = jnp.where(v0 & row_ok, LO16, 0) | jnp.where(v1 & row_ok, HI16, 0)
+            wm = wk & m
+            pv = wm & PAIR_ONES  # psi codes: bits 0-7 and 16-23
+            fv = lax.shift_right_logical(wm, 8) & PAIR_ONES  # phi codes
+            acc_psi[...] = acc_psi[...] + pv
+            acc_phi[...] = acc_phi[...] + fv
+            # Per-field valid indicator: (v + 255) has bit 8 set iff v > 0.
+            ind = lax.shift_right_logical(pv + PAIR_ONES, 8) & FIELD_ONES
+            acc_obs[...] = acc_obs[...] + ind
+            return 0
+
+        lax.fori_loop(0, T, tbody, 0)
+
+        for k, (lh_ref, idx_ref) in enumerate(((out_lh0, out_idx0), (out_lh1, out_idx1))):
+            if k == 0:
+                psi_c = acc_psi[...] & LO16
+                phi_c = acc_phi[...] & LO16
+                obs_i = acc_obs[...] & LO16
+            else:
+                psi_c = lax.shift_right_logical(acc_psi[...], 16)
+                phi_c = lax.shift_right_logical(acc_phi[...], 16)
+                obs_i = lax.shift_right_logical(acc_obs[...], 16)
+            obs = obs_i.astype(jnp.float32)
+            psi_sum = psi_scale * psi_c.astype(jnp.float32) + (psi_min - psi_scale) * obs
+            phi_sum = phi_scale * phi_c.astype(jnp.float32) + (phi_min - phi_scale) * obs
+            lh = jnp.where(phi_sum > 0, psi_sum * lax.rsqrt(jnp.maximum(phi_sum, 1e-30)), -1.0)
+            ok = jnp.full((TH, SW4), cok_ref[c, 0] != 0)
+            if gate_min_obs:
+                ok &= obs >= min_obs
+            if gate_min_lh:
+                ok &= lh >= min_lh
+            new = jnp.where(ok, lh, -jnp.inf)
+            newi = jnp.full((TH, SW4), cok_ref[c, 1], dtype=jnp.int32)
+            top = lh_ref[...]
+            topi = idx_ref[...]
+            p = jnp.sum((top >= new[None]).astype(jnp.int32), axis=0)
+            kidx = lax.broadcasted_iota(jnp.int32, (K, TH, SW4), 0)
+            shifted = jnp.concatenate([top[:1], top[:-1]], axis=0)
+            shiftedi = jnp.concatenate([topi[:1], topi[:-1]], axis=0)
+            at_p = kidx == p[None]
+            below = kidx > p[None]
+            lh_ref[...] = jnp.where(at_p, new[None], jnp.where(below, shifted, top))
+            idx_ref[...] = jnp.where(at_p, newi[None], jnp.where(below, shiftedi, topi))
+
+    pl.run_scoped(
+        run,
+        acc_psi=pltpu.VMEM((TH, SW4), jnp.int32),
+        acc_phi=pltpu.VMEM((TH, SW4), jnp.int32),
+        acc_obs=pltpu.VMEM((TH, SW4), jnp.int32),
+    )
+
+
+def _interleave_words_paired(psi_codes, phi_codes, W4):
+    """(T, H, W) uint8 psi/phi codes -> two (T, H, W4) int32 streams:
+    parity-0 word w packs columns (2w, 2w+1); parity-1 word w packs
+    (2w-1, 2w) — shifted DOWN one column so that for odd shifts ox every
+    needed (odd, even) source pair, including the one containing column
+    0, exists in the stream. When stream 1 would need one word beyond W4
+    (even W with W/2 == W4), its overflow pair (W-1, W) is OR-folded onto
+    word 0's leading zero bytes — the kernel's cyclic lane roll reads
+    word W/2 as word 0, and the bounds masks ensure each byte class of
+    word 0 is only ever read in the role that holds real data. Pairs
+    where either code is 0 are zeroed entirely (the search gates on psi
+    AND phi valid, kernels.cu:184)."""
+    T, H, W = psi_codes.shape
+    both = (psi_codes != 0) & (phi_codes != 0)
+    psi_m = jnp.where(both, psi_codes, 0).astype(jnp.uint8)
+    phi_m = jnp.where(both, phi_codes, 0).astype(jnp.uint8)
+
+    def pack(p, f):
+        Wc = p.shape[2]
+        inter = jnp.stack([p, f], axis=-1).reshape(T, H, 2 * Wc)
+        total = 4 * W4  # bytes per row
+        if 2 * Wc <= total:
+            inter = jnp.pad(inter, ((0, 0), (0, 0), (0, total - 2 * Wc)))
+        else:
+            # Wrap overflow bytes onto the leading zeros (cyclic roll).
+            head = inter[..., :total]
+            tail = inter[..., total:]
+            tail = jnp.pad(tail, ((0, 0), (0, 0), (0, total - tail.shape[-1])))
+            inter = head | tail
+        return lax.bitcast_convert_type(inter.reshape(T, H, W4, 4), jnp.int32)
+
+    s0 = pack(psi_m, phi_m)
+    zcol = jnp.zeros((T, H, 1), dtype=jnp.uint8)
+    s1 = pack(
+        jnp.concatenate([zcol, psi_m], axis=2),
+        jnp.concatenate([zcol, phi_m], axis=2),
+    )
+    return s0, s1
+
+
+def _paired_row_tile(SH, SW4, W4, K, DD):
+    budget = 7 * 1024 * 1024
+    # Outputs: 2 classes x (lh + idx) x (K, TH, SW4) f32/i32; DMA ring
+    # DD x (TH+8, W4) i32; 3 packed accumulators (TH, SW4) i32.
+    per_row = 2 * 2 * K * SW4 * 4 + DD * W4 * 4 + 3 * SW4 * 4
+    return max(8, min(_round_up(SH, 8), (budget // per_row) // 8 * 8, 256))
+
+
+def _run_paired_search(
+    words_r, rows, ox, oy, cok, em, min_obs, min_lh,
+    *, T, H, W, W4, TH, SW4, K, SH, SW, SH_pad, n_ty, ROWS1,
+    gate_min_obs, gate_min_lh, interpret,
+):
+    C = rows.shape[0]
+    DD = min(int(T), 4)
+    kernel = functools.partial(
+        _search_kernel_paired,
+        T=T, H=H, W=W, W4=W4, TH=TH, SW4=SW4, K=K, DD=DD, ROWS1=ROWS1,
+        gate_min_obs=gate_min_obs, gate_min_lh=gate_min_lh,
+    )
+
+    CC = _cand_chunk(C, T)
+    tbl = jnp.concatenate([rows, ox, oy], axis=1)  # (C, 3T)
+
+    def call_chunk(tbl_c, cok_c):
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(n_ty, tbl_c.shape[0]),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
+            out_specs=tuple(
+                pl.BlockSpec((K, TH, SW4), lambda ty, c, *prefetch: (0, ty, 0))
+                for _ in range(4)
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((DD, TH + 8, W4), jnp.int32),
+                pltpu.SemaphoreType.DMA((DD,)),
+            ],
+        )
+        cost = pl.CostEstimate(
+            flops=2 * tbl_c.shape[0] * T * SH_pad * SW,
+            bytes_accessed=tbl_c.shape[0] * T * TH * W4 * 4 * n_ty,
+            transcendentals=tbl_c.shape[0] * SH_pad * SW,
+        )
+        out_shapes = tuple(
+            jax.ShapeDtypeStruct((K, SH_pad, SW4), jnp.float32) for _ in range(2)
+        ) + tuple(jax.ShapeDtypeStruct((K, SH_pad, SW4), jnp.int32) for _ in range(2))
+        scalars = jnp.concatenate(
+            [
+                jnp.stack(
+                    [
+                        jnp.float32(min_obs),
+                        jnp.float32(min_lh),
+                        jnp.float32(0.0),
+                        jnp.float32(0.0),
+                    ]
+                ),
+                em,
+            ]
+        )
+        outs = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=out_shapes,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary", "arbitrary"),
+            ),
+            cost_estimate=cost,
+            interpret=interpret,
+        )(tbl_c, cok_c, scalars, words_r)
+        lh_i = jnp.stack(outs[:2], axis=-1).reshape(K, SH_pad, SW4 * 2)
+        idx_i = jnp.stack(outs[2:], axis=-1).reshape(K, SH_pad, SW4 * 2)
+        return lh_i, idx_i
+
+    if C <= CC:
+        top_lh, top_idx = call_chunk(tbl, cok)
+    else:
+        n_chunks = pl.cdiv(C, CC)
+        pad = n_chunks * CC - C
+        tbl_p = jnp.pad(tbl, ((0, pad), (0, 0)))
+        cok_p = jnp.pad(cok, ((0, pad), (0, 0)))
+        top_lh = top_idx = None
+        for ci in range(n_chunks):
+            sl = slice(ci * CC, (ci + 1) * CC)
+            lh_c, idx_c = call_chunk(tbl_p[sl], cok_p[sl])
             if top_lh is None:
                 top_lh, top_idx = lh_c, idx_c
             else:
@@ -813,6 +1169,35 @@ def pack_psi_phi_words(psi_codes, phi_codes, sw_max=None, sh_max=None, t_chunk=8
     W4 = _round_up(max(pl.cdiv(W, COLS), SW4), 128)
     # Upper bound over any row_tile choice (row tiles cap at 256).
     pad_rows = _round_up(sh_max + 256 + H + 16, 8)
+
+    if _use_paired(psi_codes.dtype, T):
+        # Dual-parity layout for the paired kernel: stream 0, then the
+        # one-column-shifted stream, each zero-padded to ROWS1 rows so
+        # parity selection preserves 8-row DMA alignment. The stream is
+        # assembled with donated in-place updates — peak device memory is
+        # one stream plus one chunk (a concat would double it, which OOMs
+        # at survey scale).
+        ROWS1 = _round_up(T * H + 2 * pad_rows, 8)
+
+        pack = jax.jit(
+            lambda p, f: tuple(
+                s.reshape(-1, W4) for s in _interleave_words_paired(p, f, W4)
+            )
+        )
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def upd2(buf, s0_c, s1_c, row0):
+            buf = lax.dynamic_update_slice(buf, s0_c, (row0, jnp.int32(0)))
+            return lax.dynamic_update_slice(
+                buf, s1_c, (row0 + jnp.int32(ROWS1), jnp.int32(0))
+            )
+
+        words_r = jnp.zeros((2 * ROWS1, W4), dtype=jnp.int32)
+        for t0 in range(0, T, int(t_chunk)):
+            t1 = min(T, t0 + int(t_chunk))
+            s0_c, s1_c = pack(jnp.asarray(psi_codes[t0:t1]), jnp.asarray(phi_codes[t0:t1]))
+            words_r = upd2(words_r, s0_c, s1_c, jnp.int32(pad_rows + t0 * H))
+        return words_r, pad_rows
 
     pack = jax.jit(
         lambda p, f: _interleave_words(p, f, W4, COLS).reshape(-1, W4),
@@ -871,6 +1256,12 @@ def search_topk_pallas_packed(
     BITS = int(bits)
     SW4 = pl.cdiv(SW, COLS)
     W4 = words_r.shape[1]
+
+    # Dual-parity streams (the uint8 paired layout) are twice as tall as
+    # the single-stream layout; detect by row count.
+    base_rows = T * H + 2 * pad_rows
+    paired = BITS == 8 and words_r.shape[0] == 2 * _round_up(base_rows, 8)
+
     if W4 < _round_up(max(pl.cdiv(W, COLS), SW4), 128):
         raise ValueError(
             f"packed stream W4={W4} too narrow for this search window; "
@@ -878,7 +1269,11 @@ def search_topk_pallas_packed(
         )
 
     if row_tile is None:
-        row_tile = _encoded_row_tile(SH, SW4, COLS, W4, K)
+        row_tile = (
+            _paired_row_tile(SH, SW4, W4, K, min(int(T), 4))
+            if paired
+            else _encoded_row_tile(SH, SW4, COLS, W4, K)
+        )
     TH = int(row_tile)
     n_ty = pl.cdiv(SH, TH)
     SH_pad = n_ty * TH
@@ -891,14 +1286,18 @@ def search_topk_pallas_packed(
     oy = jnp.int32(y_min) + dys.astype(jnp.int32)
     ox = jnp.int32(x_min) + dxs.astype(jnp.int32)
     rows = pad_rows + t_idx * H + oy
-    cok = (
-        jnp.ones((C,), dtype=jnp.int32)
-        if cand_valid is None
-        else cand_valid.astype(jnp.int32).reshape(C)
-    )
+    cok = _cok_table(C, cand_valid, cand_offset)
     em = jnp.asarray(encode_meta, dtype=jnp.float32).reshape(4)
+    if paired:
+        return _run_paired_search(
+            words_r, rows, ox, oy, cok, em, min_obs, min_lh,
+            T=T, H=H, W=W, W4=W4, TH=TH, SW4=SW4, K=K,
+            SH=SH, SW=SW, SH_pad=SH_pad, n_ty=n_ty,
+            ROWS1=_round_up(base_rows, 8),
+            gate_min_obs=gate_min_obs, gate_min_lh=gate_min_lh, interpret=interpret,
+        )
     return _run_encoded_search(
-        words_r, rows, ox, oy, cok, em, min_obs, min_lh, cand_offset,
+        words_r, rows, ox, oy, cok, em, min_obs, min_lh,
         T=T, H=H, W=W, W4=W4, COLS=COLS, BITS=BITS, TH=TH, SW4=SW4, K=K,
         SH=SH, SW=SW, SH_pad=SH_pad, n_ty=n_ty, pad_rows=pad_rows,
         gate_min_obs=gate_min_obs, gate_min_lh=gate_min_lh, interpret=interpret,

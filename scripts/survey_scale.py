@@ -50,6 +50,10 @@ dt = time.time() - t0
 print("pallas run", dt, "evals/s", H * W * C / dt, flush=True)
 
 x0, x1, y0, y1 = 2048, 2112, 2048, 2112
+# Free the word stream and full outputs before the XLA reference run —
+# stream + outputs + full code stacks together exceed HBM.
+win_lh = np.asarray(lh[:, y0:y1, x0:x1])
+del lh, idx, words_r
 t0 = time.time()
 psi_j, phi_j = jnp.asarray(psi_c), jnp.asarray(phi_c)
 ref_lh, _ = search_topk_shift(
@@ -59,6 +63,5 @@ ref_lh, _ = search_topk_shift(
 )
 ref_lh = np.asarray(ref_lh)
 print("xla window", time.time() - t0, flush=True)
-win_lh = np.asarray(lh[:, y0:y1, x0:x1])
 np.testing.assert_allclose(win_lh, ref_lh, rtol=1e-5, atol=1e-5)
 print("WINDOW EXACT", flush=True)
