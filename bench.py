@@ -4,10 +4,12 @@ Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 vs_baseline is relative to the BASELINE.json north star of 1e9
 candidate-trajectory evaluations/sec/chip.
 
-Config (overridable by env): a mid-scale stack (BASELINE.md config 3
-scaled to fit the bench budget) searched with the shift-and-accumulate
-kernel. One eval = one (starting pixel, candidate velocity) pair scored
-over all T times.
+Default config = BASELINE.md measurement config 3: a mid-scale fake
+survey of 64 images at 2048x2048, int8-encoded psi/phi, searched with
+the reference's default survey candidate grid (257 velocities x 129
+angles = 33,153 candidates; configuration.py:196-207). One eval = one
+(starting pixel, candidate) pair scored over all T times. All knobs
+overridable by env (KB_BENCH_T/H/W/C/K/KERNEL).
 """
 
 import json
@@ -23,11 +25,12 @@ def main():
 
     from kbmod_tpu.ops.search import search_topk_shift, trajectory_offsets
 
-    T = int(os.environ.get("KB_BENCH_T", 20))
-    H = int(os.environ.get("KB_BENCH_H", 1024))
-    W = int(os.environ.get("KB_BENCH_W", 1024))
-    C = int(os.environ.get("KB_BENCH_C", 512))
+    T = int(os.environ.get("KB_BENCH_T", 64))
+    H = int(os.environ.get("KB_BENCH_H", 2048))
+    W = int(os.environ.get("KB_BENCH_W", 2048))
+    C = int(os.environ.get("KB_BENCH_C", 257 * 129))
     K = int(os.environ.get("KB_BENCH_K", 8))
+    REPS = int(os.environ.get("KB_BENCH_REPS", 3))
     # Kernel: the encoded (uint8 psi/phi codes) Pallas kernel on TPU — the
     # BASELINE.md north-star config is int8 psi/phi on-chip, mirroring the
     # reference's encode_num_bytes survey mode. KB_BENCH_KERNEL selects
@@ -38,43 +41,59 @@ def main():
     )
 
     rng = np.random.default_rng(42)
-    psi = jnp.asarray(rng.normal(0, 1, (T, H, W)).astype(np.float32))
-    phi = jnp.asarray(rng.uniform(0.5, 2.0, (T, H, W)).astype(np.float32))
-    valid = jnp.ones((T, H, W), dtype=jnp.uint8)
 
-    # A survey-style polar velocity grid.
+    # The reference's default survey grid: 257 speeds in [92, 526] px/day x
+    # 129 angles in +-pi/15 around the ecliptic (configuration.py:196-207),
+    # over a plausible 10-night cadence normalized to ~4 days span.
     times = np.linspace(0.0, 4.0, T)
-    vel = rng.uniform(5.0, 120.0, C).astype(np.float32)
-    ang = rng.uniform(-0.3, 0.3, C).astype(np.float32)
-    vxs = (np.cos(ang) * vel).astype(np.float32)
-    vys = (np.sin(ang) * vel).astype(np.float32)
+    n_vel = 257 if C == 257 * 129 else max(1, int(np.sqrt(C)))
+    n_ang = C // n_vel + (1 if C % n_vel else 0)
+    vel = np.linspace(92.0, 526.0, n_vel) / 86.0  # px/time-unit on a 2k frame
+    ang = np.linspace(-np.pi / 15, np.pi / 15, n_ang)
+    vv, aa = np.meshgrid(vel, ang)
+    vxs = (np.cos(aa) * vv).reshape(-1)[:C].astype(np.float32)
+    vys = (np.sin(aa) * vv).reshape(-1)[:C].astype(np.float32)
     dxs, dys = trajectory_offsets(vxs, vys, times)
     dxs = jnp.asarray(dxs)
     dys = jnp.asarray(dys)
 
     if kernel == "pallas_encoded":
-        from kbmod_tpu.ops.search_pallas import search_topk_pallas_encoded
+        from kbmod_tpu.ops.search_pallas import (
+            pack_psi_phi_words,
+            search_topk_pallas_packed,
+        )
 
-        # uint8 psi/phi codes (0 = masked) with a representative scale.
-        psi_c = jnp.asarray(rng.integers(1, 256, (T, H, W), dtype=np.uint8))
-        phi_c = jnp.asarray(rng.integers(1, 256, (T, H, W), dtype=np.uint8))
+        # uint8 psi/phi codes (0 = masked, ~1% masked) with a
+        # representative scale; packed once (the pipeline caches this).
+        psi_c = rng.integers(0, 256, (T, H, W), dtype=np.uint8)
+        phi_c = rng.integers(1, 256, (T, H, W), dtype=np.uint8)
         em = jnp.asarray(np.array([-6.0, 12.0 / 254, 0.1, 4.0 / 254], dtype=np.float32))
+        words_r, pad_rows = pack_psi_phi_words(psi_c, phi_c)
 
         def search(**kw):
-            return search_topk_pallas_encoded(
-                psi_c, phi_c, dxs, dys, jnp.float32(0), jnp.float32(0), em, **kw
+            return search_topk_pallas_packed(
+                words_r, dxs, dys, jnp.float32(10), jnp.float32(0), em,
+                shape=(T, H, W), bits=8, pad_rows=pad_rows, **kw,
             )
     elif kernel == "pallas":
         from kbmod_tpu.ops.search_pallas import search_topk_pallas
 
+        psi = jnp.asarray(rng.normal(0, 1, (T, H, W)).astype(np.float32))
+        phi = jnp.asarray(rng.uniform(0.5, 2.0, (T, H, W)).astype(np.float32))
+        valid = jnp.ones((T, H, W), dtype=jnp.uint8)
+
         def search(**kw):
             return search_topk_pallas(
-                psi, phi, valid, dxs, dys, jnp.float32(0), jnp.float32(0), **kw
+                psi, phi, valid, dxs, dys, jnp.float32(10), jnp.float32(0), **kw
             )
     else:
+        psi = jnp.asarray(rng.normal(0, 1, (T, H, W)).astype(np.float32))
+        phi = jnp.asarray(rng.uniform(0.5, 2.0, (T, H, W)).astype(np.float32))
+        valid = jnp.ones((T, H, W), dtype=jnp.uint8)
+
         def search(**kw):
             return search_topk_shift(
-                psi, phi, valid, dxs, dys, jnp.float32(0), jnp.float32(0), **kw
+                psi, phi, valid, dxs, dys, jnp.float32(10), jnp.float32(0), **kw
             )
 
     def run():
@@ -87,7 +106,7 @@ def main():
     # Best-of-N: robust to transient device contention (the measured
     # steady-state variance is <2%, but a stale process can halve one run).
     elapsed = float("inf")
-    for _ in range(5):
+    for _ in range(REPS):
         start = time.perf_counter()
         run()
         elapsed = min(elapsed, time.perf_counter() - start)
@@ -100,7 +119,7 @@ def main():
                 "metric": "candidate_trajectory_evals_per_sec",
                 "value": evals_per_sec,
                 "unit": (
-                    f"evals/s (T={T}, {H}x{W}, C={C}, K={K}, "
+                    f"evals/s (BASELINE cfg3: T={T}, {H}x{W}, C={C}, K={K}, "
                     f"{'u8' if kernel == 'pallas_encoded' else 'f32'}, {kernel})"
                 ),
                 "vs_baseline": evals_per_sec / 1e9,
