@@ -269,6 +269,172 @@ def clipped_sigmag_scores(psi_v, phi_v, ok, sgl_L, sgl_H, coeff, width=2.0):
     return new_lh, new_flux, new_psi.astype(np.float32), new_phi.astype(np.float32)
 
 
+def _clipped_scores_jnp(psi_v, phi_v, ok, sgl_L, sgl_H, coeff, width=2.0):
+    """jnp twin of clipped_sigmag_scores (identical semantics, traceable):
+    returns (new_lh, new_flux) for (N, T) curves with (N, T) validity."""
+    N, T = psi_v.shape
+    n = jnp.sum(ok, axis=1).astype(jnp.int32)
+    lc = jnp.where(
+        ok & (phi_v != 0),
+        psi_v / jnp.where(phi_v != 0, phi_v, 1.0),
+        jnp.where(ok, 0.0, jnp.inf),
+    )
+    order = jnp.argsort(lc, axis=1, stable=True)
+    vals = jnp.take_along_axis(lc, order, axis=1)
+    psi_sorted = jnp.take_along_axis(jnp.where(ok, psi_v, 0.0), order, axis=1)
+    phi_sorted = jnp.take_along_axis(jnp.where(ok, phi_v, 0.0), order, axis=1)
+
+    sgl_L_c = max(float(sgl_L), 0.0001)
+    sgl_H_c = min(float(sgl_H), 0.9999)
+
+    def pct_idx(q):
+        idx = jnp.floor(jnp.ceil(n * q) + 0.001).astype(jnp.int32) - 1
+        return jnp.clip(idx, 0, jnp.maximum(n - 1, 0))
+
+    iL, iM, iH = pct_idx(sgl_L_c), pct_idx(0.5), pct_idx(sgl_H_c)
+    rows = jnp.arange(N)
+    vL = vals[rows, iL]
+    vM = vals[rows, iM]
+    vH = vals[rows, iH]
+    sigma_g = coeff * (vH - vL)
+    min_value = vM - width * sigma_g
+    max_value = vM + width * sigma_g
+    cols = jnp.arange(T)[None, :]
+    start = jnp.minimum(jnp.sum(vals < min_value[:, None], axis=1), iM)
+    gt_max = (vals > max_value[:, None]) & (cols > iM[:, None])
+    end = jnp.where(gt_max.any(axis=1), jnp.argmax(gt_max, axis=1), jnp.minimum(n, T))
+    end = jnp.minimum(end, n)
+    keep = (cols >= start[:, None]) & (cols < end[:, None])
+    safe = n > 0
+    new_psi = jnp.where(safe, jnp.sum(psi_sorted * keep, axis=1), 0.0)
+    new_phi = jnp.where(safe, jnp.sum(phi_sorted * keep, axis=1), 0.0)
+    good = new_phi > 0
+    new_lh = jnp.where(good, new_psi / jnp.sqrt(jnp.where(good, new_phi, 1.0)), -1.0)
+    new_flux = jnp.where(good, new_psi / jnp.where(good, new_phi, 1.0), -1.0)
+    return new_lh, new_flux
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "x_min", "x_max", "y_min", "y_max", "k_results",
+        "sgl_L", "sgl_H", "width",
+    ),
+)
+def _sigmag_exact_tile(
+    psi, phi, valid, dxs, dys, min_obs, min_lh, sigmag_coeff, cand_idx0,
+    *, x_min, x_max, y_min, y_max, k_results, sgl_L, sgl_H, width=2.0,
+):
+    """Exact in-kernel sigma-G top-K for one pixel tile: every candidate's
+    score is its CLIPPED likelihood (insertion gated on it), exactly the
+    reference GPU flow (kernels.cu:184-241, 318-330). ~T log T per eval —
+    use for modest tiles / opt-in exact mode."""
+    T, H, W = psi.shape
+    SH = y_max - y_min
+    SW = x_max - x_min
+    N = SH * SW
+
+    W2 = max(W, SW)
+    L = SH * W2
+    pad = (SH + H + 2) * W2
+    total = T * H * W2 + 2 * pad
+
+    def flat(a, dtype):
+        a = a.astype(dtype)
+        if W2 > W:
+            a = jnp.pad(a, ((0, 0), (0, 0), (0, W2 - W)))
+        z = jnp.zeros((pad,), dtype=dtype)
+        return jnp.concatenate([z, a.reshape(-1), z])
+
+    psi_f = flat(psi, jnp.float32)
+    phi_f = flat(phi, jnp.float32)
+    val_f = flat(valid, jnp.uint8)
+
+    ii = lax.broadcasted_iota(jnp.int32, (SH, 1), 0)
+    jj = lax.broadcasted_iota(jnp.int32, (1, SW), 1)
+
+    def curves(dy, dx):
+        """(N, T) psi/phi curves + validity for every tile pixel."""
+
+        def one_t(t):
+            oy = jnp.int32(y_min) + dy[t]
+            ox = jnp.int32(x_min) + dx[t]
+            start = jnp.clip(pad + t * H * W2 + oy * W2 + ox, 0, total - L)
+            ps = lax.dynamic_slice(psi_f, (start,), (L,)).reshape(SH, W2)[:, :SW]
+            fs = lax.dynamic_slice(phi_f, (start,), (L,)).reshape(SH, W2)[:, :SW]
+            vs = lax.dynamic_slice(val_f, (start,), (L,)).reshape(SH, W2)[:, :SW]
+            m = (ii >= -oy) & (ii < H - oy) & (jj >= -ox) & (jj < W - ox) & (vs > 0)
+            return jnp.where(m, ps, 0.0), jnp.where(m, fs, 0.0), m
+
+        ps, fs, ms = jax.vmap(one_t)(jnp.arange(T, dtype=jnp.int32))
+        # (T, SH, SW) -> (N, T)
+        return (
+            ps.reshape(T, N).T,
+            fs.reshape(T, N).T,
+            ms.reshape(T, N).T,
+        )
+
+    def cand_step(carry, inp):
+        top_lh, top_idx = carry
+        dy, dx, cidx = inp
+        psi_v, phi_v, okv = curves(dy, dx)
+        psi_sum = jnp.sum(psi_v, axis=1)
+        phi_sum = jnp.sum(phi_v, axis=1)
+        obs = jnp.sum(okv, axis=1).astype(jnp.float32)
+        lh_unclipped = jnp.where(phi_sum > 0, psi_sum / jnp.sqrt(jnp.maximum(phi_sum, 1e-30)), -1.0)
+        clipped_lh, _ = _clipped_scores_jnp(
+            psi_v, phi_v, okv, sgl_L, sgl_H, sigmag_coeff, width
+        )
+        # Pre-gates (kernels.cu:201-203) then the insertion gate on the
+        # clipped score (kernels.cu:318-330).
+        pre = (obs >= min_obs) & (obs > 0) & (lh_unclipped >= min_lh)
+        ins = pre & (clipped_lh >= min_lh)
+        new = jnp.where(ins, clipped_lh, -jnp.inf).reshape(SH, SW)
+        newi = jnp.full((SH, SW), cidx, dtype=jnp.int32)
+        for k in range(k_results):
+            better = new > top_lh[k]
+            cur_lh = top_lh[k]
+            cur_idx = top_idx[k]
+            top_lh = top_lh.at[k].set(jnp.where(better, new, cur_lh))
+            top_idx = top_idx.at[k].set(jnp.where(better, newi, cur_idx))
+            new = jnp.where(better, cur_lh, new)
+            newi = jnp.where(better, cur_idx, newi)
+        return (top_lh, top_idx), None
+
+    C = dxs.shape[0]
+    top_lh0 = jnp.full((k_results, SH, SW), -FLT_MAX, dtype=jnp.float32)
+    top_idx0 = jnp.full((k_results, SH, SW), -1, dtype=jnp.int32)
+    cidx = cand_idx0 + jnp.arange(C, dtype=jnp.int32)
+    (top_lh, top_idx), _ = lax.scan(cand_step, (top_lh0, top_idx0), (dys, dxs, cidx))
+    return top_lh, top_idx
+
+
+def search_topk_sigmag_exact(
+    psi, phi, valid, dxs, dys, min_obs, min_lh, sigmag_coeff,
+    *, x_min, x_max, y_min, y_max, k_results, sgl_L, sgl_H,
+    row_tile=256, cand_offset=0,
+):
+    """Exact-sigma-G top-K over the full search window, row-tiled to bound
+    the per-candidate (N, T) curve memory. Returns (K, SH, SW) arrays with
+    CLIPPED likelihoods, matching the reference GPU kernel bit-for-bit in
+    ranking semantics."""
+    SH = y_max - y_min
+    lhs, idxs = [], []
+    for y0 in range(y_min, y_max, int(row_tile)):
+        y1 = min(y_max, y0 + int(row_tile))
+        lh_t, idx_t = _sigmag_exact_tile(
+            jnp.asarray(psi), jnp.asarray(phi), jnp.asarray(valid),
+            jnp.asarray(dxs), jnp.asarray(dys),
+            jnp.float32(min_obs), jnp.float32(min_lh), jnp.float32(sigmag_coeff),
+            jnp.int32(cand_offset),
+            x_min=int(x_min), x_max=int(x_max), y_min=int(y0), y_max=int(y1),
+            k_results=int(k_results), sgl_L=float(sgl_L), sgl_H=float(sgl_H),
+        )
+        lhs.append(np.asarray(lh_t))
+        idxs.append(np.asarray(idx_t))
+    return np.concatenate(lhs, axis=1), np.concatenate(idxs, axis=1)
+
+
 def sigmag_filtered_indices(values, sgl0, sgl1, sigmag_coeff, width):
     """Test-compat shim mirroring kernel_helpers.cpp:86-106: return the kept
     *original* indices after sigma-G filtering a single value array."""
@@ -561,10 +727,19 @@ def core_search(
     num_cand = len(vxs)
     k = int(results_per_pixel)
 
-    # With sigma-G the clipped lh decides the final top-K, but clipping can
-    # only lower a score; searching with a larger unclipped K and re-ranking
-    # after clipping captures reordering. (Exact for keep >= hits per pixel.)
-    k_search = min(num_cand, 4 * k if do_sigmag else k)
+    # With sigma-G the clipped lh decides the final top-K. The default mode
+    # over-provisions: search the top 4K by UNCLIPPED lh, then re-rank that
+    # pool by clipped lh. This is an APPROXIMATION — clipping away
+    # negative-psi outliers can RAISE a score, so a candidate outside the
+    # unclipped top-4K can in principle belong in the clipped top-K
+    # (kernels.cu:318-330 gates on clipped lh over all candidates). It is
+    # exact whenever <= 4K candidates per pixel pass the min_lh pre-gate or
+    # clipping does not promote past the pool boundary; KB_SIGMAG_MODE=exact
+    # selects the reference-exact (~T log T per eval) kernel instead.
+    # KB_SIGMAG_TOPK_FACTOR tunes the pool size.
+    sigmag_mode = os.environ.get("KB_SIGMAG_MODE", "overprovision") if do_sigmag else ""
+    over = int(os.environ.get("KB_SIGMAG_TOPK_FACTOR", "4"))
+    k_search = min(num_cand, over * k if (do_sigmag and sigmag_mode != "exact") else k)
     k_search = max(k_search, k)
 
     dxs, dys = trajectory_offsets(vxs, vys, times)
@@ -586,7 +761,16 @@ def core_search(
         gate_min_lh=bool(do_sigmag),
         has_masked=has_masked,
     )
-    if encoded:
+    if sigmag_mode == "exact":
+        # Reference-exact in-kernel sigma-G: every candidate scored and
+        # gated by its clipped lh (kernels.cu:184-241). Runs on the decoded
+        # planes (valid for encoded stacks too).
+        top_lh, top_idx = search_topk_sigmag_exact(
+            psi, phi, valid, dxs, dys, min_obs, min_lh, sigmag_coeff,
+            x_min=int(x_min), x_max=int(x_max), y_min=int(y_min), y_max=int(y_max),
+            k_results=int(k_search), sgl_L=sgl_L, sgl_H=sgl_H,
+        )
+    elif encoded:
         # Quantized hot path: stream the uint8/uint16 codes directly.
         args = (
             jnp.asarray(psi_codes),
@@ -652,6 +836,33 @@ def core_search(
             top_lh, top_idx = search_topk_pallas(*args, interpret=interpret, **kernel_kwargs)
         else:
             top_lh, top_idx = search_topk_shift(*args, **kernel_kwargs)
+    return assemble_core_results(
+        top_lh, top_idx, psi, phi, valid, times, vxs, vys,
+        k=k, k_search=k_search, x_min=x_min, y_min=y_min, SH=SH, SW=SW,
+        min_obs=min_obs, min_lh=min_lh, do_sigmag=do_sigmag,
+        sgl_L=sgl_L, sgl_H=sgl_H, sigmag_coeff=sigmag_coeff,
+    )
+
+
+def assemble_core_results(
+    top_lh, top_idx, psi, phi, valid, times, vxs, vys,
+    *, k, k_search, x_min, y_min, SH, SW, min_obs, min_lh,
+    do_sigmag=False, sgl_L=0.25, sgl_H=0.75, sigmag_coeff=-1.0,
+    curves_fn=None, eval_fn=None,
+):
+    """Turn (K', SH, SW) top-K maps into the pixel-major struct-of-arrays
+    result set, re-scoring the winners exactly (flux/obs and, with
+    sigma-G, the clipped likelihoods + per-pixel re-rank back to K).
+
+    ``curves_fn`` / ``eval_fn`` default to the single-device gathers; the
+    sharded path substitutes mesh-sharded versions so the winner
+    re-scoring is not a single-chip bottleneck at survey scale.
+    """
+    if curves_fn is None:
+        curves_fn = _curves_and_stats
+    if eval_fn is None:
+        eval_fn = evaluate_trajectories
+
     top_lh = np.asarray(top_lh)  # (K', SH, SW)
     top_idx = np.asarray(top_idx)
 
@@ -683,11 +894,11 @@ def core_search(
         f_idx = np.nonzero(filled)[0]
         if do_sigmag:
             # One gather serves the stats and the clipped re-scoring.
-            psi_v, phi_v, okg, stats = _curves_and_stats(
+            psi_v, phi_v, okg, stats = curves_fn(
                 psi, phi, valid, times, xs_all[f_idx], ys_all[f_idx], vx_arr[f_idx], vy_arr[f_idx]
             )
         else:
-            stats = evaluate_trajectories(
+            stats = eval_fn(
                 psi, phi, valid, times, xs_all[f_idx], ys_all[f_idx], vx_arr[f_idx], vy_arr[f_idx]
             )
         flux[f_idx] = stats["flux"]

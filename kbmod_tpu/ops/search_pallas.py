@@ -69,6 +69,16 @@ def _cand_chunk(C, T):
     return max(8, min(int(C), _SMEM_TABLE_BYTES // per_cand))
 
 
+def _origins(y_min, x_min, y_origin, x_origin):
+    """Search-window origins for the offset tables. The static y_min/x_min
+    define the output geometry; traced overrides (pixels-mode sharding
+    passes a per-shard row origin derived from the mesh axis index) shift
+    where the window reads without retracing."""
+    oy0 = jnp.int32(y_min) if y_origin is None else jnp.asarray(y_origin, jnp.int32)
+    ox0 = jnp.int32(x_min) if x_origin is None else jnp.asarray(x_origin, jnp.int32)
+    return oy0, ox0
+
+
 def _cok_table(C, cand_valid, cand_offset, chunk_offset=0):
     """(C, 2) int32 scalar-prefetch table: [validity, global candidate
     index]. Carrying the index as int32 keeps it exact for any candidate
@@ -301,6 +311,8 @@ def search_topk_pallas(
     interpret=False,
     cand_offset=0,
     cand_valid=None,
+    x_origin=None,
+    y_origin=None,
 ):
     """Pallas version of ops.search.search_topk_shift — identical outputs.
 
@@ -345,8 +357,9 @@ def search_topk_pallas(
 
     # Per-candidate per-time scalars.
     t_idx = jnp.arange(T, dtype=jnp.int32)[None, :]
-    oy = jnp.int32(y_min) + dys.astype(jnp.int32)  # (C, T)
-    ox = jnp.int32(x_min) + dxs.astype(jnp.int32)
+    oy0, ox0 = _origins(y_min, x_min, y_origin, x_origin)
+    oy = oy0 + dys.astype(jnp.int32)  # (C, T)
+    ox = ox0 + dxs.astype(jnp.int32)
     rows = pad_rows + t_idx * H + oy  # source row at tile row 0
 
     cok = _cok_table(C, cand_valid, cand_offset)
@@ -624,6 +637,8 @@ def search_topk_pallas_encoded(
     interpret=False,
     cand_offset=0,
     cand_valid=None,
+    x_origin=None,
+    y_origin=None,
 ):
     """Pallas search over quantized psi/phi code stacks — identical outputs
     to search_topk_shift with encode_meta (the XLA encoded path).
@@ -669,8 +684,9 @@ def search_topk_pallas_encoded(
         )
 
         t_idx = jnp.arange(T, dtype=jnp.int32)[None, :]
-        oy = jnp.int32(y_min) + dys.astype(jnp.int32)
-        ox = jnp.int32(x_min) + dxs.astype(jnp.int32)
+        oy0, ox0 = _origins(y_min, x_min, y_origin, x_origin)
+        oy = oy0 + dys.astype(jnp.int32)
+        ox = ox0 + dxs.astype(jnp.int32)
         rows = pad_rows + t_idx * H + oy
         return _run_paired_search(
             words_r, rows, ox, oy, cok, em, min_obs, min_lh,
@@ -698,8 +714,9 @@ def search_topk_pallas_encoded(
     words_r = jnp.concatenate([z, words.reshape(T * H, W4), z], axis=0)
 
     t_idx = jnp.arange(T, dtype=jnp.int32)[None, :]
-    oy = jnp.int32(y_min) + dys.astype(jnp.int32)
-    ox = jnp.int32(x_min) + dxs.astype(jnp.int32)
+    oy0, ox0 = _origins(y_min, x_min, y_origin, x_origin)
+    oy = oy0 + dys.astype(jnp.int32)
+    ox = ox0 + dxs.astype(jnp.int32)
     rows = pad_rows + t_idx * H + oy
 
     return _run_encoded_search(
@@ -1242,6 +1259,8 @@ def search_topk_pallas_packed(
     interpret=False,
     cand_offset=0,
     cand_valid=None,
+    x_origin=None,
+    y_origin=None,
 ):
     """search_topk_pallas_encoded over a pre-packed word stream from
     :func:`pack_psi_phi_words` (survey-scale entry: no stack-sized
@@ -1283,8 +1302,9 @@ def search_topk_pallas_packed(
         )
 
     t_idx = jnp.arange(T, dtype=jnp.int32)[None, :]
-    oy = jnp.int32(y_min) + dys.astype(jnp.int32)
-    ox = jnp.int32(x_min) + dxs.astype(jnp.int32)
+    oy0, ox0 = _origins(y_min, x_min, y_origin, x_origin)
+    oy = oy0 + dys.astype(jnp.int32)
+    ox = ox0 + dxs.astype(jnp.int32)
     rows = pad_rows + t_idx * H + oy
     cok = _cok_table(C, cand_valid, cand_offset)
     em = jnp.asarray(encode_meta, dtype=jnp.float32).reshape(4)

@@ -178,7 +178,9 @@ def sharded_search_topk(
         return np.asarray(top_lh), np.asarray(top_idx)
 
     if shard_mode == "pixels":
-        # Shard the output rows; each device scans all candidates.
+        # Shard the output rows; each device scans all candidates over its
+        # row block (Pallas kernels take the per-shard row origin as a
+        # traced value, so one trace serves every shard).
         rows_per = math.ceil(SH / n_dev)
         SH_pad = rows_per * n_dev
 
@@ -191,6 +193,29 @@ def sharded_search_topk(
         )
         def run(psi_r, phi_r, valid_r, dxs_r, dys_r):
             local_y_min = jnp.int32(y_min) + jax.lax.axis_index(AXIS).astype(jnp.int32) * rows_per
+            if kernel == "pallas":
+                from kbmod_tpu.ops.search_pallas import (
+                    search_topk_pallas,
+                    search_topk_pallas_encoded,
+                )
+
+                interpret = jax.default_backend() != "tpu"
+                bounds_p = dict(
+                    x_min=x_min, x_max=x_max, y_min=0, y_max=rows_per,
+                    k_results=k_results,
+                )
+                if encoded:
+                    return search_topk_pallas_encoded(
+                        psi_r, phi_r, dxs_r, dys_r, min_obs, min_lh,
+                        jnp.asarray(np.asarray(encode_meta, dtype=np.float32)),
+                        gate_min_obs=gate_min_obs, gate_min_lh=gate_min_lh,
+                        y_origin=local_y_min, interpret=interpret, **bounds_p,
+                    )
+                return search_topk_pallas(
+                    psi_r, phi_r, valid_r, dxs_r, dys_r, min_obs, min_lh,
+                    gate_min_obs=gate_min_obs, gate_min_lh=gate_min_lh,
+                    y_origin=local_y_min, interpret=interpret, **bounds_p,
+                )
             return search_topk_core(
                 psi_r, phi_r, valid_r, dxs_r, dys_r, min_obs, min_lh,
                 jnp.int32(x_min), local_y_min, jnp.int32(0),
@@ -198,10 +223,14 @@ def sharded_search_topk(
                 gate_min_obs=gate_min_obs, gate_min_lh=gate_min_lh, unroll=unroll,
             )
 
+        if encoded:
+            in0, in1 = jnp.asarray(psi_codes), jnp.asarray(phi_codes)
+            in2 = jnp.zeros((1, 1, 1), jnp.uint8)
+        else:
+            in0, in1, in2 = jnp.asarray(psi), jnp.asarray(phi), jnp.asarray(valid)
         with mesh:
             top_lh, top_idx = jax.jit(run)(
-                jnp.asarray(psi), jnp.asarray(phi), jnp.asarray(valid),
-                jnp.asarray(dxs), jnp.asarray(dys),
+                in0, in1, in2, jnp.asarray(dxs), jnp.asarray(dys),
             )
         return np.asarray(top_lh)[:, :SH, :], np.asarray(top_idx)[:, :SH, :]
 
@@ -241,6 +270,66 @@ def sharded_psi_phi_build(sci, var, psf, mesh):
     return psi[:T], phi[:T], valid[:T]
 
 
+def _sharded_gather_curves(psi, phi, valid, xs, ys, dxs, dys, mesh):
+    """Mesh-sharded twin of ops.search._gather_curves: trajectories are
+    sharded over devices (planes replicated), so the winner re-scoring is
+    not a single-chip bottleneck at survey scale."""
+    from kbmod_tpu.ops.search import _gather_curves
+
+    n_dev = mesh.devices.size
+    n = xs.shape[0]
+    xs_p, _ = _pad_to_multiple(np.asarray(xs, np.int32), n_dev)
+    ys_p, _ = _pad_to_multiple(np.asarray(ys, np.int32), n_dev)
+    dxs_p, _ = _pad_to_multiple(np.asarray(dxs, np.int32), n_dev)
+    dys_p, _ = _pad_to_multiple(np.asarray(dys, np.int32), n_dev)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(AXIS), P(AXIS), P(AXIS), P(AXIS)),
+        out_specs=(P(AXIS), P(AXIS), P(AXIS)),
+        check_rep=False,
+    )
+    def run(psi_r, phi_r, valid_r, xs_s, ys_s, dxs_s, dys_s):
+        return _gather_curves(psi_r, phi_r, valid_r, xs_s, ys_s, dxs_s, dys_s)
+
+    with mesh:
+        psi_v, phi_v, ok = jax.jit(run)(
+            jnp.asarray(psi), jnp.asarray(phi), jnp.asarray(valid),
+            jnp.asarray(xs_p), jnp.asarray(ys_p), jnp.asarray(dxs_p), jnp.asarray(dys_p),
+        )
+    return np.asarray(psi_v)[:n], np.asarray(phi_v)[:n], np.asarray(ok)[:n]
+
+
+def make_sharded_evaluators(mesh):
+    """(curves_fn, eval_fn) drop-ins for assemble_core_results that shard
+    the winner re-scoring gathers over the mesh."""
+
+    def curves_fn(psi, phi, valid, times, xs, ys, vxs, vys):
+        psi_v, phi_v, ok = _sharded_gather_curves(
+            psi, phi, valid, xs, ys, *trajectory_offsets(vxs, vys, times), mesh
+        )
+        okb = ok.astype(bool)
+        psi_sum = np.where(okb, psi_v, 0.0).sum(axis=1, dtype=np.float32)
+        phi_sum = np.where(okb, phi_v, 0.0).sum(axis=1, dtype=np.float32)
+        obs = okb.sum(axis=1).astype(np.int32)
+        good = phi_sum > 0
+        stats = {
+            "psi_sum": psi_sum,
+            "phi_sum": phi_sum,
+            "obs_count": obs,
+            "lh": np.where(good, psi_sum / np.sqrt(np.where(good, phi_sum, 1.0)), -1.0),
+            "flux": np.where(good, psi_sum / np.where(good, phi_sum, 1.0), -1.0),
+        }
+        return psi_v, phi_v, ok, stats
+
+    def eval_fn(psi, phi, valid, times, xs, ys, vxs, vys):
+        _, _, _, stats = curves_fn(psi, phi, valid, times, xs, ys, vxs, vys)
+        return stats
+
+    return curves_fn, eval_fn
+
+
 def sharded_core_search(
     psi,
     phi,
@@ -263,53 +352,46 @@ def sharded_core_search(
     psi_codes=None,
     phi_codes=None,
     encode_meta=None,
+    do_sigmag=False,
+    sgl_L=0.25,
+    sgl_H=0.75,
+    sigmag_coeff=-1.0,
 ):
-    """Sharded equivalent of ops.search.core_search (without the sigma-G
-    refinement pass): returns the pixel-major struct-of-arrays results."""
-    from kbmod_tpu.ops.search import evaluate_trajectories
+    """Sharded equivalent of ops.search.core_search: returns the
+    pixel-major struct-of-arrays results.
+
+    With ``do_sigmag`` the sharded search uses the same over-provisioned
+    top-K + clipped re-rank as the single-device path (each shard keeps
+    its own over-provisioned pool, so the merged pool equals the
+    single-device pool exactly); the winner re-scoring gathers run
+    mesh-sharded. The reference-exact KB_SIGMAG_MODE=exact kernel is
+    single-device only — callers fall back to core_search for it.
+    """
+    import os
+
+    from kbmod_tpu.ops.search import assemble_core_results
+
+    SH, SW = y_max - y_min, x_max - x_min
+    k = int(results_per_pixel)
+    num_cand = len(vxs)
+    over = int(os.environ.get("KB_SIGMAG_TOPK_FACTOR", "4"))
+    k_search = max(min(num_cand, over * k if do_sigmag else k), k)
 
     dxs, dys = trajectory_offsets(vxs, vys, times)
     top_lh, top_idx = sharded_search_topk(
         psi, phi, valid, dxs, dys, mesh,
         x_min=x_min, x_max=x_max, y_min=y_min, y_max=y_max,
-        k_results=int(results_per_pixel), min_obs=float(min_obs), min_lh=float(min_lh),
-        gate_min_obs=gate_min_obs, shard_mode=shard_mode, kernel=kernel,
+        k_results=k_search, min_obs=float(min_obs), min_lh=float(min_lh),
+        gate_min_obs=gate_min_obs, gate_min_lh=bool(do_sigmag),
+        shard_mode=shard_mode, kernel=kernel,
         psi_codes=psi_codes, phi_codes=phi_codes, encode_meta=encode_meta,
     )
 
-    SH, SW = y_max - y_min, x_max - x_min
-    k = int(results_per_pixel)
-    kidx = np.transpose(top_idx, (1, 2, 0)).reshape(-1)
-    klh = np.transpose(top_lh, (1, 2, 0)).reshape(-1)
-    jjg, iig = np.meshgrid(np.arange(SW), np.arange(SH))
-    xs_all = np.repeat((jjg + x_min).reshape(-1), k).astype(np.int32)
-    ys_all = np.repeat((iig + y_min).reshape(-1), k).astype(np.int32)
-
-    filled = kidx >= 0
-    vx_arr = np.zeros(len(kidx), dtype=np.float32)
-    vy_arr = np.zeros(len(kidx), dtype=np.float32)
-    vx_arr[filled] = np.asarray(vxs, dtype=np.float32)[kidx[filled]]
-    vy_arr[filled] = np.asarray(vys, dtype=np.float32)[kidx[filled]]
-
-    flux = np.zeros(len(kidx), dtype=np.float32)
-    obs = np.zeros(len(kidx), dtype=np.int32)
-    # Match core_search: slots failing the min_lh cut are dropped by every
-    # caller, so their flux/obs stay zero (no re-scoring cost).
-    filled &= klh >= float(min_lh)
-    if filled.any():
-        f_idx = np.nonzero(filled)[0]
-        stats = evaluate_trajectories(
-            psi, phi, valid, times, xs_all[f_idx], ys_all[f_idx], vx_arr[f_idx], vy_arr[f_idx]
-        )
-        flux[f_idx] = stats["flux"]
-        obs[f_idx] = stats["obs_count"]
-
-    return {
-        "x": xs_all,
-        "y": ys_all,
-        "vx": vx_arr,
-        "vy": vy_arr,
-        "lh": klh.astype(np.float32),
-        "flux": flux,
-        "obs_count": obs,
-    }
+    curves_fn, eval_fn = make_sharded_evaluators(mesh)
+    return assemble_core_results(
+        top_lh, top_idx, psi, phi, valid, times, vxs, vys,
+        k=k, k_search=k_search, x_min=x_min, y_min=y_min, SH=SH, SW=SW,
+        min_obs=min_obs, min_lh=min_lh, do_sigmag=do_sigmag,
+        sgl_L=sgl_L, sgl_H=sgl_H, sigmag_coeff=sigmag_coeff,
+        curves_fn=curves_fn, eval_fn=eval_fn,
+    )

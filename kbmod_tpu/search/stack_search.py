@@ -267,8 +267,10 @@ class StackSearch:
             gate_min_obs = False
             do_sigmag = False
 
-        # Multi-chip path: when several devices are visible (and the search
-        # has no in-kernel sigma-G), run the candidate-sharded mesh search.
+        # Multi-chip path: when several devices are visible, run the mesh
+        # search (candidate- or pixel-sharded, sigma-G included via the
+        # same over-provisioned pool as single-device). Only the opt-in
+        # KB_SIGMAG_MODE=exact kernel stays single-device.
         # KB_SHARDED=0 disables; KB_SHARD_MODE picks candidates|pixels.
         import os
 
@@ -277,7 +279,7 @@ class StackSearch:
         use_sharded = (
             os.environ.get("KB_SHARDED", "auto") != "0"
             and jax.device_count() > 1
-            and not (on_gpu and p.do_sigmag_filter)
+            and not (do_sigmag and os.environ.get("KB_SIGMAG_MODE") == "exact")
             and (os.environ.get("KB_SHARDED") == "1" or jax.default_backend() == "tpu")
         )
         if use_sharded:
@@ -290,7 +292,7 @@ class StackSearch:
             )
             meta = self.psi_phi_array.meta
             encode_kwargs = {}
-            if kernel == "pallas" and shard_mode == "candidates" and meta.num_bytes in (1, 2):
+            if kernel == "pallas" and meta.num_bytes in (1, 2):
                 encode_kwargs = dict(
                     psi_codes=self.psi_phi_array.psi,
                     phi_codes=self.psi_phi_array.phi,
@@ -307,7 +309,9 @@ class StackSearch:
                 min_obs=p.min_observations, min_lh=p.min_lh,
                 gate_min_obs=gate_min_obs,
                 shard_mode=shard_mode,
-                kernel=kernel if shard_mode == "candidates" else "xla",
+                kernel=kernel,
+                do_sigmag=do_sigmag,
+                sgl_L=p.sgl_L, sgl_H=p.sgl_H, sigmag_coeff=p.sigmag_coeff,
                 **encode_kwargs,
             )
             self.results = TrajectoryList(raw)

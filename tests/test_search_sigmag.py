@@ -76,3 +76,91 @@ class TestSigmaGSearch:
         got = np.where(got <= FLT_MIN / 2, FLT_MIN, got)
         expected = np.where(expected <= FLT_MIN / 2, FLT_MIN, expected)
         np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-4)
+
+
+class TestSigmaGExactMode(TestSigmaGSearch):
+    """KB_SIGMAG_MODE=exact must match the brute force too (and with no
+    over-provisioning pool at all)."""
+
+    def test_exact_mode_matches_brute_force(self, monkeypatch):
+        monkeypatch.setenv("KB_SIGMAG_MODE", "exact")
+        self.test_matches_brute_force()
+
+    def test_exact_kernel_row_tiled(self, monkeypatch):
+        monkeypatch.setenv("KB_SIGMAG_MODE", "exact")
+        from kbmod_tpu.ops.search import search_topk_sigmag_exact
+
+        res = core_search(
+            self.psi_z, self.phi_z, self.valid, self.times, self.vxs, self.vys,
+            0, self.W, 0, self.H, 2,
+            min_obs=4, min_lh=0.5,
+            do_sigmag=True, sgl_L=0.25, sgl_H=0.75, sigmag_coeff=self.coeff,
+        )
+        lh_t, _ = search_topk_sigmag_exact(
+            self.psi_z, self.phi_z, self.valid,
+            *trajectory_offsets(self.vxs, self.vys, self.times),
+            4.0, 0.5, self.coeff,
+            x_min=0, x_max=self.W, y_min=0, y_max=self.H, k_results=2,
+            sgl_L=0.25, sgl_H=0.75, row_tile=5,
+        )
+        got = res["lh"].reshape(self.H * self.W, 2)
+        exp = np.transpose(lh_t, (1, 2, 0)).reshape(self.H * self.W, 2)
+        both = (got > FLT_MIN / 2) & (exp > FLT_MIN / 2)
+        np.testing.assert_allclose(got[both], exp[both], rtol=1e-4, atol=1e-4)
+
+
+class TestSigmaGClipPromotion:
+    """Adversarial case from the round-1 advisor: clipping away a
+    negative-psi outlier RAISES a score, so a candidate outside the
+    unclipped top-pool belongs in the clipped top-K. The exact mode must
+    catch it; the default over-provisioned mode misses it when the pool
+    is smaller than the number of dominating candidates (documented
+    approximation)."""
+
+    def _build(self):
+        T, H, W = 8, 64, 4
+        times = np.arange(T, dtype=np.float64)
+        psi = np.full((T, H, W), 0.01, dtype=np.float32)
+        phi = np.ones((T, H, W), dtype=np.float32)
+        # Candidate X: vy=1 -> pixels (t, t, 0): steady 3s, one big
+        # negative outlier at the last epoch. Clipping drops the outlier
+        # and lifts lh from ~2.1 to ~7.9.
+        for t in range(T):
+            psi[t, t, 0] = 3.0
+        psi[T - 1, T - 1, 0] = -15.0
+        # Candidates A (vy=2..7): steady 2.5 -> unclipped lh ~7.2 beats
+        # X's unclipped 2.1, clipped ~6.6 loses to X's clipped 7.9.
+        for vy in range(2, 8):
+            for t in range(1, T):
+                psi[t, vy * t, 0] = 2.5
+        valid = np.ones((T, H, W), dtype=np.uint8)
+        vxs = np.zeros(7, dtype=np.float32)
+        vys = np.array([1, 2, 3, 4, 5, 6, 7], dtype=np.float32)
+        from kbmod_tpu.filters.sigma_g_filter import SigmaGClipping
+
+        coeff = SigmaGClipping.find_sigma_g_coeff(25, 75)
+        kwargs = dict(
+            min_obs=4, min_lh=0.0, do_sigmag=True,
+            sgl_L=0.25, sgl_H=0.75, sigmag_coeff=coeff,
+        )
+        return psi, phi, valid, times, vxs, vys, kwargs
+
+    def test_exact_mode_catches_promoted_candidate(self, monkeypatch):
+        monkeypatch.setenv("KB_SIGMAG_MODE", "exact")
+        psi, phi, valid, times, vxs, vys, kwargs = self._build()
+        res = core_search(psi, phi, valid, times, vxs, vys, 0, 1, 0, 1, 1, **kwargs)
+        # Winner at pixel (0,0) is candidate X (index 0) by clipped lh.
+        assert res["vy"][0] == 1.0
+        assert res["lh"][0] > 7.5
+
+    def test_overprovision_can_miss_promotion(self, monkeypatch):
+        # With a pool of 4 (factor 4 x K=1) and 6 dominating unclipped
+        # candidates, X never enters the pool: the documented
+        # approximation. A bigger factor recovers it.
+        monkeypatch.delenv("KB_SIGMAG_MODE", raising=False)
+        psi, phi, valid, times, vxs, vys, kwargs = self._build()
+        res = core_search(psi, phi, valid, times, vxs, vys, 0, 1, 0, 1, 1, **kwargs)
+        assert res["vy"][0] != 1.0  # missed: pool held only A candidates
+        monkeypatch.setenv("KB_SIGMAG_TOPK_FACTOR", "8")
+        res = core_search(psi, phi, valid, times, vxs, vys, 0, 1, 0, 1, 1, **kwargs)
+        assert res["vy"][0] == 1.0

@@ -156,3 +156,67 @@ class TestShardedPallas:
             psi_codes=arr.psi, phi_codes=arr.phi, encode_meta=em, **meta
         )
         np.testing.assert_allclose(pal_lh, ref_lh, rtol=1e-5, atol=1e-5)
+
+
+class TestShardedPixelsPallas:
+    @pytest.mark.parametrize("kernel", ["pallas"])
+    def test_pixels_pallas_matches(self, data, kernel):
+        psi, phi, valid, times, vxs, vys, (T, H, W) = data
+        dxs, dys = trajectory_offsets(vxs, vys, times)
+        meta = dict(x_min=0, x_max=W, y_min=0, y_max=H, k_results=3)
+        exp_lh, _ = _expected(data, 3)
+        mesh = build_mesh(8)
+        pal_lh, _ = sharded_search_topk(
+            psi, phi, valid, dxs, dys, mesh, shard_mode="pixels", kernel=kernel, **meta
+        )
+        np.testing.assert_allclose(pal_lh, exp_lh, rtol=1e-5, atol=1e-5)
+
+    def test_pixels_pallas_encoded(self):
+        from kbmod_tpu.ops.psi_phi import PsiPhiArray, fill_psi_phi_array
+
+        rng = np.random.default_rng(23)
+        T, H, W = 4, 40, 32
+        times = np.arange(T) * 0.4
+        psi_l = [rng.normal(0, 1, (H, W)).astype(np.float32) for _ in range(T)]
+        phi_l = [rng.uniform(0.5, 2.0, (H, W)).astype(np.float32) for _ in range(T)]
+        arr = PsiPhiArray()
+        fill_psi_phi_array(arr, 1, psi_l, phi_l, times)
+        m = arr.meta
+        em = np.array([m.psi_min_val, m.psi_scale, m.phi_min_val, m.phi_scale], np.float32)
+        psi_z, phi_z, valid = arr.decoded_psi_phi()
+        vxs = rng.uniform(-3, 3, 5).astype(np.float32)
+        vys = rng.uniform(-3, 3, 5).astype(np.float32)
+        dxs, dys = trajectory_offsets(vxs, vys, times)
+        meta = dict(x_min=0, x_max=W, y_min=0, y_max=H, k_results=3)
+        mesh = build_mesh(8)
+        ref_lh, _ = sharded_search_topk(psi_z, phi_z, valid, dxs, dys, mesh, **meta)
+        pal_lh, _ = sharded_search_topk(
+            psi_z, phi_z, valid, dxs, dys, mesh, shard_mode="pixels", kernel="pallas",
+            psi_codes=arr.psi, phi_codes=arr.phi, encode_meta=em, **meta
+        )
+        np.testing.assert_allclose(pal_lh, ref_lh, rtol=1e-5, atol=1e-5)
+
+
+class TestShardedSigmaG:
+    @pytest.mark.parametrize("shard_mode", ["candidates", "pixels"])
+    def test_sharded_sigmag_matches_single_device(self, data, shard_mode):
+        from kbmod_tpu.filters.sigma_g_filter import SigmaGClipping
+
+        psi_z, phi_z, valid, times, vxs, vys, (T, H, W) = data
+        coeff = SigmaGClipping.find_sigma_g_coeff(25, 75)
+        kwargs = dict(
+            min_obs=3, min_lh=0.2, do_sigmag=True,
+            sgl_L=0.25, sgl_H=0.75, sigmag_coeff=coeff,
+        )
+        exp = core_search(
+            psi_z, phi_z, valid, times, vxs, vys, 0, W, 0, H, 2, **kwargs
+        )
+        mesh = build_mesh(8)
+        got = sharded_core_search(
+            psi_z, phi_z, valid, times, vxs, vys, mesh,
+            x_min=0, x_max=W, y_min=0, y_max=H, results_per_pixel=2,
+            shard_mode=shard_mode, **kwargs,
+        )
+        np.testing.assert_allclose(got["lh"], exp["lh"], rtol=1e-5, atol=1e-5)
+        np.testing.assert_array_equal(got["obs_count"], exp["obs_count"])
+        np.testing.assert_allclose(got["flux"], exp["flux"], rtol=1e-5, atol=1e-5)
