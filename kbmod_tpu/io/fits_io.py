@@ -296,27 +296,53 @@ def _read_hdu(f, primary):
         return None
     naxis = int(header.get("NAXIS", 0))
     data = None
+    heap = b""
+    # Heap area for random-groups / binary tables (fpack CompImageHDUs and
+    # variable-length table columns): GCOUNT * (PCOUNT + product(NAXISn))
+    # bytes per the FITS standard — must be consumed to keep the HDU
+    # stream in sync.
+    pcount = int(header.get("PCOUNT", 0) or 0)
+    gcount = int(header.get("GCOUNT", 1) or 1)
     if naxis > 0:
         shape = tuple(int(header[f"NAXIS{i}"]) for i in range(naxis, 0, -1))
         bitpix = int(header["BITPIX"])
         dtype = _BITPIX_TO_DTYPE[bitpix]
         count = int(np.prod(shape))
         nbytes = count * dtype.itemsize
+        total = gcount * (pcount * abs(bitpix) // 8 + nbytes) if pcount else nbytes
         raw = f.read(nbytes)
         if len(raw) < nbytes:
             raise ValueError("Truncated FITS data.")
-        f.read((-nbytes) % BLOCK)  # skip padding
+        heap = f.read(total - nbytes) if total > nbytes else b""
+        f.read((-total) % BLOCK)  # skip padding
         data = np.frombuffer(raw, dtype=dtype).reshape(shape)
         data = data.astype(dtype.newbyteorder("="))
         bzero = header.get("BZERO", 0)
         bscale = header.get("BSCALE", 1)
         if bscale != 1 or bzero != 0:
-            data = data * bscale + bzero
+            # Upcast before scaling: BITPIX=16 + BZERO=32768 (standard
+            # unsigned-16 images) overflows int16 under NumPy 2 casting.
+            if data.dtype.kind in "iu":
+                if (
+                    float(bscale) == int(bscale)
+                    and float(bzero) == int(bzero)
+                    and data.dtype.itemsize <= 4
+                ):
+                    data = data.astype(np.int64) * int(bscale) + int(bzero)
+                    # Unsigned-int convention: report the natural dtype.
+                    if int(bscale) == 1 and int(bzero) == 1 << (8 * dtype.itemsize - 1):
+                        data = data.astype(f"uint{8 * dtype.itemsize}")
+                else:
+                    data = data.astype(np.float64) * bscale + bzero
+            else:
+                data = data * bscale + bzero
     hdu = ImageHDU(data=data, header=header)
+    hdu.heap = heap  # BINTABLE variable-length-array heap (b"" otherwise)
     if _hdu_is_table(hdu):
         table_hdu = TableHDU(name=hdu.name)
         table_hdu.header = hdu.header
         table_hdu.data = hdu.data
+        table_hdu.heap = heap
         return table_hdu
     return hdu
 

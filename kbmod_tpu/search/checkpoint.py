@@ -35,25 +35,38 @@ logger = logging.getLogger(__name__)
 _RESULT_KEYS = ("x", "y", "vx", "vy", "lh", "flux", "obs_count")
 
 
-def _fingerprint(psi, times, vxs, vys, bounds, rpp, kwargs):
+def _fingerprint(psi, phi, valid, times, vxs, vys, bounds, rpp, kwargs):
     """Cheap content hash binding a checkpoint dir to one search setup.
 
-    Hashes shapes, all scalar parameters, the candidate set, the time stamps
-    and a strided sample of the psi stack — enough to reject a stale
-    checkpoint directory without reading the full multi-GB stack.
+    Hashes shapes, all parameters (scalar AND array-valued — the encoded
+    path passes psi_codes/phi_codes/encode_meta), the candidate set, the
+    time stamps and strided samples of psi, phi and the validity plane —
+    enough to reject a stale checkpoint directory (e.g. a phi-only or
+    mask-only change) without reading the full multi-GB stack.
     """
     h = hashlib.sha256()
-    psi = np.asarray(psi)
-    h.update(np.asarray(psi.shape, dtype=np.int64).tobytes())
-    sample = psi.ravel()[:: max(1, psi.size // 4096)]
-    h.update(np.ascontiguousarray(sample).tobytes())
+
+    def upd_sample(a):
+        a = np.asarray(a)
+        h.update(np.asarray(a.shape, dtype=np.int64).tobytes())
+        sample = a.ravel()[:: max(1, a.size // 4096)]
+        h.update(np.ascontiguousarray(sample).tobytes())
+
+    upd_sample(psi)
+    upd_sample(phi)
+    if valid is not None:
+        upd_sample(valid)
     h.update(np.asarray(times, dtype=np.float64).tobytes())
     h.update(np.asarray(vxs, dtype=np.float32).tobytes())
     h.update(np.asarray(vys, dtype=np.float32).tobytes())
     h.update(np.asarray(bounds, dtype=np.int64).tobytes())
     h.update(np.int64(rpp).tobytes())
-    scalars = {k: v for k, v in sorted(kwargs.items()) if np.isscalar(v)}
-    h.update(json.dumps(scalars, sort_keys=True, default=str).encode())
+    for k, v in sorted(kwargs.items()):
+        if v is None or np.isscalar(v):
+            h.update(json.dumps({k: v}, default=str).encode())
+        else:
+            h.update(k.encode())
+            upd_sample(v)
     return h.hexdigest()
 
 
@@ -72,6 +85,7 @@ def checkpointed_core_search(
     checkpoint_dir,
     tile_rows=256,
     cleanup=False,
+    search_fn=None,
     **core_kwargs,
 ):
     """Run core_search in resumable row tiles.
@@ -82,12 +96,18 @@ def checkpointed_core_search(
       ``manifest.json`` fingerprint. Created if missing.
     * ``tile_rows`` — starting-pixel rows per tile (the unit of resume).
     * ``cleanup`` — delete the checkpoint directory contents on success.
+    * ``search_fn`` — per-tile search with core_search's positional
+      signature; defaults to core_search. The sharded path passes a
+      mesh-sharded adapter so checkpointing composes with multi-chip
+      searches.
 
     Returns the same pixel-major SoA dict as ``core_search``.
     """
+    if search_fn is None:
+        search_fn = search_ops.core_search
     os.makedirs(checkpoint_dir, exist_ok=True)
     bounds = (int(x_min), int(x_max), int(y_min), int(y_max))
-    fp = _fingerprint(psi, times, vxs, vys, bounds, results_per_pixel, core_kwargs)
+    fp = _fingerprint(psi, phi, valid, times, vxs, vys, bounds, results_per_pixel, core_kwargs)
 
     manifest_path = os.path.join(checkpoint_dir, "manifest.json")
     stale = False
@@ -119,7 +139,7 @@ def checkpointed_core_search(
                 parts.append({k: z[k] for k in _RESULT_KEYS})
             n_loaded += 1
             continue
-        part = search_ops.core_search(
+        part = search_fn(
             psi, phi, valid, times, vxs, vys,
             x_min, x_max, y0, y1, results_per_pixel, **core_kwargs,
         )

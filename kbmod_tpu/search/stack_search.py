@@ -301,12 +301,8 @@ class StackSearch:
                     ),
                 )
             psi, phi, valid = self._decoded()
-            raw = sharded_core_search(
-                psi, phi, valid, self._zeroed_times, vxs, vys, build_mesh(),
-                x_min=p.x_start_min, x_max=p.x_start_max,
-                y_min=p.y_start_min, y_max=p.y_start_max,
-                results_per_pixel=rpp,
-                min_obs=p.min_observations, min_lh=p.min_lh,
+            mesh = build_mesh()
+            sharded_kwargs = dict(
                 gate_min_obs=gate_min_obs,
                 shard_mode=shard_mode,
                 kernel=kernel,
@@ -314,6 +310,36 @@ class StackSearch:
                 sgl_L=p.sgl_L, sgl_H=p.sgl_H, sigmag_coeff=p.sigmag_coeff,
                 **encode_kwargs,
             )
+            ckpt_dir = getattr(self, "_checkpoint_dir", None)
+            if ckpt_dir:
+                from kbmod_tpu.search.checkpoint import checkpointed_core_search
+
+                def _sharded_tile(psi_, phi_, valid_, times_, vxs_, vys_,
+                                  x0, x1, y0, y1, rpp_, **kw):
+                    return sharded_core_search(
+                        psi_, phi_, valid_, times_, vxs_, vys_, mesh,
+                        x_min=x0, x_max=x1, y_min=y0, y_max=y1,
+                        results_per_pixel=rpp_, **kw,
+                    )
+
+                raw = checkpointed_core_search(
+                    psi, phi, valid, self._zeroed_times, vxs, vys,
+                    p.x_start_min, p.x_start_max, p.y_start_min, p.y_start_max,
+                    rpp, ckpt_dir,
+                    tile_rows=getattr(self, "_checkpoint_tile_rows", 256),
+                    search_fn=_sharded_tile,
+                    min_obs=p.min_observations, min_lh=p.min_lh,
+                    **sharded_kwargs,
+                )
+            else:
+                raw = sharded_core_search(
+                    psi, phi, valid, self._zeroed_times, vxs, vys, mesh,
+                    x_min=p.x_start_min, x_max=p.x_start_max,
+                    y_min=p.y_start_min, y_max=p.y_start_max,
+                    results_per_pixel=rpp,
+                    min_obs=p.min_observations, min_lh=p.min_lh,
+                    **sharded_kwargs,
+                )
             self.results = TrajectoryList(raw)
             self.results.filter_by_likelihood(p.min_lh)
             self.results.filter_by_obs_count(p.min_observations)

@@ -82,3 +82,80 @@ class TestFitsRoundtrip:
             hdus["NOPE"]
         assert "PRIMARY" in hdus
         assert "NOPE" not in hdus
+
+
+def _card(key, value=None, string=False):
+    if value is None:
+        return f"{key:<80}"[:80].encode()
+    if string:
+        v = f"'{value}'"
+        return f"{key:<8}= {v:<20}"[:80].ljust(80).encode()
+    if isinstance(value, bool):
+        value = "T" if value else "F"
+    return f"{key:<8}= {value:>20}"[:80].ljust(80).encode()
+
+
+def _pad_block(b):
+    return b + b" " * ((-len(b)) % 2880)
+
+
+def _pad_data(b):
+    return b + b"\0" * ((-len(b)) % 2880)
+
+
+class TestForeignFitsFiles:
+    """Files the reference tools produce (astropy conventions) must read
+    correctly: unsigned-16-bit images (BZERO=32768) and heap-bearing
+    binary tables must not desync the HDU stream (round-1 advisor)."""
+
+    def test_unsigned_int16_bzero(self, tmp_path):
+        import numpy as np
+        from kbmod_tpu.io.fits_io import read_fits
+
+        vals = np.array([[0, 1, 32767], [32768, 40000, 65535]], dtype=np.uint16)
+        stored = (vals.astype(np.int64) - 32768).astype(">i2")
+        hdr = (
+            _card("SIMPLE", True) + _card("BITPIX", 16) + _card("NAXIS", 2)
+            + _card("NAXIS1", 3) + _card("NAXIS2", 2)
+            + _card("BZERO", 32768) + _card("BSCALE", 1) + _card("END")
+        )
+        path = tmp_path / "u16.fits"
+        path.write_bytes(_pad_block(hdr) + _pad_data(stored.tobytes()))
+        hdus = read_fits(str(path))
+        out = np.asarray(hdus[0].data)
+        assert out.dtype == np.uint16
+        np.testing.assert_array_equal(out, vals)
+
+    def test_heap_bintable_keeps_stream_in_sync(self, tmp_path):
+        import numpy as np
+        from kbmod_tpu.io.fits_io import read_fits
+
+        # Primary (no data) + BINTABLE with a 100-byte heap + IMAGE HDU.
+        primary = _pad_block(
+            _card("SIMPLE", True) + _card("BITPIX", 8) + _card("NAXIS", 0)
+            + _card("EXTEND", True) + _card("END")
+        )
+        row_bytes, nrows, heap_len = 8, 3, 100
+        table_data = bytes(range(row_bytes)) * nrows
+        heap = b"\x55" * heap_len
+        bintable = _pad_block(
+            _card("XTENSION", "BINTABLE", string=True) + _card("BITPIX", 8)
+            + _card("NAXIS", 2) + _card("NAXIS1", row_bytes) + _card("NAXIS2", nrows)
+            + _card("PCOUNT", heap_len) + _card("GCOUNT", 1) + _card("TFIELDS", 1)
+            + _card("TFORM1", "8B", string=True) + _card("TTYPE1", "blob", string=True)
+            + _card("END")
+        ) + _pad_data(table_data + heap)
+        img = np.arange(6, dtype=">f4").reshape(2, 3)
+        image = _pad_block(
+            _card("XTENSION", "IMAGE", string=True) + _card("BITPIX", -32)
+            + _card("NAXIS", 2) + _card("NAXIS1", 3) + _card("NAXIS2", 2)
+            + _card("PCOUNT", 0) + _card("GCOUNT", 1)
+            + _card("EXTNAME", "SCI_0", string=True) + _card("END")
+        ) + _pad_data(img.tobytes())
+        path = tmp_path / "mixed.fits"
+        path.write_bytes(primary + bintable + image)
+        hdus = read_fits(str(path))
+        assert len(hdus) == 3
+        assert hdus[2].name == "SCI_0"
+        np.testing.assert_array_equal(np.asarray(hdus[2].data), img.astype("=f4"))
+        assert hdus[1].heap == heap

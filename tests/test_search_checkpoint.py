@@ -116,3 +116,65 @@ class TestCheckpointedSearch:
         for key in plain:
             np.testing.assert_array_equal(tiled[key], plain[key], err_msg=key)
             np.testing.assert_array_equal(resumed[key], plain[key], err_msg=key)
+
+
+class TestFingerprintCoverage:
+    def test_phi_only_change_rejects_checkpoint(self, setup, tmp_path):
+        """A stack whose phi changed (same psi sample) must NOT resume from
+        stale tiles (round-1 advisor finding)."""
+        psi, phi, valid, times, vxs, vys, _ = setup
+        ck = str(tmp_path / "ck_phi")
+        checkpointed_core_search(
+            psi, phi, valid, times, vxs, vys, 0, 56, 0, 48, 2,
+            checkpoint_dir=ck, tile_rows=16,
+        )
+        phi2 = np.asarray(phi) * 1.7
+        out = checkpointed_core_search(
+            psi, phi2, valid, times, vxs, vys, 0, 56, 0, 48, 2,
+            checkpoint_dir=ck, tile_rows=16,
+        )
+        ref = core_search(psi, phi2, valid, times, vxs, vys, 0, 56, 0, 48, 2)
+        for key in ref:
+            np.testing.assert_array_equal(out[key], ref[key])
+
+    def test_valid_only_change_rejects_checkpoint(self, setup, tmp_path):
+        psi, phi, valid, times, vxs, vys, _ = setup
+        ck = str(tmp_path / "ck_valid")
+        checkpointed_core_search(
+            psi, phi, valid, times, vxs, vys, 0, 56, 0, 48, 2,
+            checkpoint_dir=ck, tile_rows=16,
+        )
+        valid2 = np.asarray(valid).copy()
+        valid2[:, ::3, ::3] = 0.0
+        # psi/phi stay identical; the validity plane itself must trip
+        # the fingerprint.
+        out = checkpointed_core_search(
+            psi, phi, valid2, times, vxs, vys, 0, 56, 0, 48, 2,
+            checkpoint_dir=ck, tile_rows=16,
+        )
+        ref = core_search(psi, phi, valid2, times, vxs, vys, 0, 56, 0, 48, 2)
+        for key in ref:
+            np.testing.assert_array_equal(out[key], ref[key])
+
+    def test_sharded_stack_search_checkpointing(self, setup, tmp_path, monkeypatch):
+        """Checkpointing composes with the mesh-sharded search path."""
+        monkeypatch.setenv("KB_SHARDED", "1")
+        _, _, _, _, vxs, vys, stack = setup
+        cands = [Trajectory(vx=vx, vy=vy) for vx, vy in zip(vxs, vys)]
+
+        def run(ck=None):
+            s = StackSearch(stack.sci, stack.var, stack.psfs, stack.zeroed_times, -1)
+            s.set_min_obs(3)
+            if ck:
+                s.enable_search_checkpointing(ck, tile_rows=16)
+            s.search_all(cands, True)
+            return s.results.get_arrays()
+
+        plain = run()
+        ck = str(tmp_path / "ck_sharded")
+        tiled = run(ck)
+        assert any(n.startswith("tile_") for n in os.listdir(ck))
+        resumed = run(ck)
+        for key in plain:
+            np.testing.assert_array_equal(tiled[key], plain[key], err_msg=key)
+            np.testing.assert_array_equal(resumed[key], plain[key], err_msg=key)
