@@ -179,6 +179,56 @@ def _hdu_is_table(hdu):
     return bool(hdu.header.get("KBTABLE", False))
 
 
+class BinTableHDU:
+    """A standard FITS BINTABLE HDU (astropy-interoperable layout).
+
+    ``columns`` maps column name -> numpy array / list of strings / list
+    of variable-length numpy arrays (see io.fits_bintable). This is the
+    layout the reference uses for IMG_META, kbmod_config and compressed
+    image layers (work_unit.py:1242-1283, configuration.py:584-598).
+    """
+
+    def __init__(self, columns=None, header=None, name=None, nrows=None):
+        self.columns = dict(columns) if columns else {}
+        self.header = dict(header) if header else {}
+        if name is not None:
+            self.header["EXTNAME"] = str(name)
+        if nrows is None and self.columns:
+            first = next(iter(self.columns.values()))
+            nrows = len(first)
+        self.nrows = int(nrows or 0)
+        self.data = None  # raw row bytes (set on read)
+        self.heap = b""
+
+    @property
+    def name(self):
+        return self.header.get("EXTNAME", "")
+
+    def as_table(self):
+        from kbmod_tpu.table import Table
+
+        data = {}
+        for name, col in self.columns.items():
+            if isinstance(col, np.ndarray):
+                data[name] = col
+            else:
+                data[name] = np.array(col, dtype=object)
+        return Table(data)
+
+
+def make_comp_image_hdu(data, name=None, compression_type="RICE_1",
+                        quantize_level=-0.01, tile_rows=1, header_extra=None):
+    """Build a CompImageHDU-layout BinTableHDU from a 2D image."""
+    from kbmod_tpu.io.comp_image import compress_image
+
+    cards, columns = compress_image(
+        data, extname=name, compression_type=compression_type,
+        quantize_level=quantize_level, tile_rows=tile_rows,
+        header_extra=header_extra,
+    )
+    return BinTableHDU(columns=columns, header=cards, nrows=len(columns["COMPRESSED_DATA"]))
+
+
 class HDUList(list):
     """An ordered list of HDUs with name lookup, mirroring astropy's."""
 
@@ -249,6 +299,41 @@ def _data_bytes(data):
     return raw + b"\x00" * pad
 
 
+def _bintable_bytes(hdu):
+    """Header + data blocks for a BinTableHDU (standard layout)."""
+    from kbmod_tpu.io.fits_bintable import serialize_bintable
+
+    cards_req, data, heap = serialize_bintable(hdu.columns, hdu.nrows)
+    cards = [
+        _format_card("XTENSION", "BINTABLE"),
+        _format_card("BITPIX", 8),
+        _format_card("NAXIS", 2),
+        _format_card("NAXIS1", cards_req["NAXIS1"]),
+        _format_card("NAXIS2", cards_req["NAXIS2"]),
+        _format_card("PCOUNT", cards_req["PCOUNT"]),
+        _format_card("GCOUNT", 1),
+        _format_card("TFIELDS", cards_req["TFIELDS"]),
+    ]
+    for i in range(1, cards_req["TFIELDS"] + 1):
+        cards.append(_format_card(f"TTYPE{i}", cards_req[f"TTYPE{i}"]))
+        cards.append(_format_card(f"TFORM{i}", cards_req[f"TFORM{i}"]))
+    skip = {
+        "XTENSION", "BITPIX", "NAXIS", "NAXIS1", "NAXIS2", "PCOUNT", "GCOUNT",
+        "TFIELDS", "THEAP", "END",
+    }
+    skip.update(f"TTYPE{i}" for i in range(1, 1000))
+    skip.update(f"TFORM{i}" for i in range(1, 1000))
+    for key, value in hdu.header.items():
+        if key.upper() in skip:
+            continue
+        cards.append(_format_card(key, value))
+    cards.append(f"{'END':<{CARD}}")
+    text = "".join(cards)
+    header = (text + " " * ((-len(text)) % BLOCK)).encode("ascii")
+    payload = data + heap
+    return header + payload + b"\x00" * ((-len(payload)) % BLOCK)
+
+
 def write_fits(filename, hdus, overwrite=True):
     """Write a list of HDUs (the first becomes the primary)."""
     path = Path(filename)
@@ -256,6 +341,11 @@ def write_fits(filename, hdus, overwrite=True):
         raise FileExistsError(f"File {filename} already exists.")
     with open(path, "wb") as f:
         for i, hdu in enumerate(hdus):
+            if isinstance(hdu, BinTableHDU):
+                if i == 0:
+                    raise ValueError("A BINTABLE cannot be the primary HDU.")
+                f.write(_bintable_bytes(hdu))
+                continue
             f.write(_header_bytes(hdu, primary=(i == 0)))
             f.write(_data_bytes(hdu.data))
 
@@ -336,6 +426,29 @@ def _read_hdu(f, primary):
                     data = data.astype(np.float64) * bscale + bzero
             else:
                 data = data * bscale + bzero
+    if str(header.get("XTENSION", "")).strip().upper() == "BINTABLE":
+        from kbmod_tpu.io.fits_bintable import parse_bintable
+
+        raw_rows = b"" if data is None else np.ascontiguousarray(data, dtype=np.uint8).tobytes()
+        try:
+            columns = parse_bintable(header, raw_rows, heap)
+        except ValueError:
+            columns = {}  # exotic TFORMs: keep raw bytes accessible
+        bt = BinTableHDU(columns=columns, header=header,
+                         nrows=int(header.get("NAXIS2", 0) or 0))
+        bt.data = data
+        bt.heap = heap
+        if header.get("ZIMAGE", False) and columns:
+            # Tiled-image compression (astropy CompImageHDU): decompress
+            # into a plain image HDU transparently.
+            from kbmod_tpu.io.comp_image import decompress_image
+
+            img, img_header = decompress_image(header, columns)
+            hdu = ImageHDU(data=img, header=img_header)
+            hdu.heap = b""
+            return hdu
+        return bt
+
     hdu = ImageHDU(data=data, header=header)
     hdu.heap = heap  # BINTABLE variable-length-array heap (b"" otherwise)
     if _hdu_is_table(hdu):
