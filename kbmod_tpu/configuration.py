@@ -278,14 +278,16 @@ class SearchConfiguration:
 
     @classmethod
     def from_table(cls, table):
-        """Build from a single-row table whose one entry is a YAML dump
-        (reference configuration.py:540-560 behavior)."""
+        """Build from a single-row table: either one column per parameter
+        with YAML-dumped cells (the reference layout,
+        configuration.py:530-553) or a single 'yaml' column holding the
+        whole dump."""
         if len(table) != 1:
             raise ValueError(f"Expected a single-row table. Received {len(table)} rows.")
-        yaml_str = table["yaml"][0] if "yaml" in table.colnames else None
-        if yaml_str is None:
-            raise ValueError("Table is missing the yaml column.")
-        return cls.from_yaml(yaml_str)
+        if "yaml" in table.colnames:
+            return cls.from_yaml(table["yaml"][0])
+        params = {name: yaml.safe_load(str(table[name][0])) for name in table.colnames}
+        return cls.from_dict(params)
 
     def to_table(self):
         from kbmod_tpu.table import Table
@@ -294,7 +296,16 @@ class SearchConfiguration:
 
     @classmethod
     def from_hdu(cls, hdu):
-        """Build from a FITS HDU whose header carries the YAML dump."""
+        """Build from a FITS HDU: the reference's one-row BINTABLE with
+        YAML-dumped per-parameter columns (configuration.py:568-577), or
+        kbmod_tpu's header-embedded YAML dump."""
+        from kbmod_tpu.io.fits_io import BinTableHDU
+
+        if isinstance(hdu, BinTableHDU):
+            from kbmod_tpu.table import Table
+
+            data = {k: list(v) if not isinstance(v, list) else v for k, v in hdu.columns.items()}
+            return cls.from_table(Table(data))
         return cls.from_yaml(hdu.get_long_string("YAMLCFG"))
 
     def to_hdu(self):
@@ -303,3 +314,14 @@ class SearchConfiguration:
         hdu = ImageHDU(name="kbmod_config")
         hdu.set_long_string("YAMLCFG", self.to_yaml())
         return hdu
+
+    def to_reference_hdu(self):
+        """The reference layout: a one-row BINTABLE, one column per
+        parameter, each cell a YAML dump (configuration.py:584-598)."""
+        from kbmod_tpu.io.fits_io import BinTableHDU
+
+        cols = {
+            key: [yaml.safe_dump(val, default_flow_style=True).strip()]
+            for key, val in self._params.items()
+        }
+        return BinTableHDU(columns=cols, name="KBMOD_CONFIG", nrows=1)

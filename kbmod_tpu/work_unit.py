@@ -18,6 +18,7 @@ from kbmod_tpu.configuration import SearchConfiguration
 from kbmod_tpu.core.image_stack_py import ImageStackPy, LayeredImagePy
 from kbmod_tpu.io import fits_io
 from kbmod_tpu.table import Table
+from kbmod_tpu.geom.wcs import WCS as WCS_TYPE
 from kbmod_tpu.wcs_utils import (
     calc_ecliptic_angle,
     serialize_wcs,
@@ -345,13 +346,207 @@ class WorkUnit:
         psf = fits_io.ImageHDU(np.asarray(stack.psfs[idx], dtype=np.float32), name=f"PSF_{idx}")
         return [sci, var, psf]
 
-    def to_fits(self, filename, overwrite=False):
-        """Write the whole WorkUnit to a single FITS file."""
+    # --- reference (astropy/CFITSIO) single-file layout -----------------
+
+    def _reference_metadata_hdul(self):
+        """PRIMARY + KBMOD_CONFIG + IMG_META in the reference's layout
+        (work_unit.py:899-936)."""
+        from kbmod_tpu.geom.geodesy import geocentric_to_geodetic
+        from kbmod_tpu.io.fits_io import BinTableHDU
+
+        hdus = fits_io.HDUList()
+        pri = fits_io.ImageHDU(name="PRIMARY")
+        pri.header["NUMIMG"] = int(self.im_stack.num_times)
+        pri.header["NCON"] = int(self.n_constituents)
+        pri.header["REPRJCTD"] = bool(self.reprojected)
+        pri.header["REPFRAME"] = self.reprojection_frame if self.reprojection_frame else ""
+        pri.header["BARY"] = (
+            float(self.barycentric_distance) if self.barycentric_distance is not None else -1.0
+        )
+        lat, lon, elev = geocentric_to_geodetic(*self.observatory)
+        pri.header["OBS_LAT"] = lat
+        pri.header["OBS_LON"] = lon
+        pri.header["OBS_ELEV"] = elev
+        # Exact geocentric coordinates as extra cards (the geodetic
+        # inversion is only defined for near-surface points; the upstream
+        # reader ignores these).
+        pri.header["OBSX"] = float(self.observatory[0])
+        pri.header["OBSY"] = float(self.observatory[1])
+        pri.header["OBSZ"] = float(self.observatory[2])
+        if self.wcs is not None:
+            wcs_cards = self.wcs.to_header()
+            # A dataless primary header cannot carry NAXIS1/2; the
+            # reference smuggles the shape through DIMM1/DIMM2
+            # (wcs_utils.py:99-121).
+            n1 = wcs_cards.pop("NAXIS1", None)
+            n2 = wcs_cards.pop("NAXIS2", None)
+            if n1 is not None:
+                pri.header["DIMM1"] = n1
+                pri.header["DIMM2"] = n2
+            pri.header.update(wcs_cards)
+        hdus.append(pri)
+
+        hdus.append(self.config.to_reference_hdu())
+
+        # IMG_META: string columns, WCS under _WCSSTR_ (reference
+        # work_unit.py:1242-1283).
+        cols = {}
+        meta = self.org_img_meta
+        for name in meta.colnames:
+            vals = list(meta[name])
+            if all(v is None for v in vals):
+                continue
+            if any(isinstance(v, WCS_TYPE) for v in vals if v is not None):
+                cols[f"_WCSSTR_{name}"] = [serialize_wcs(v) if v is not None else "" for v in vals]
+            else:
+                cols[name] = [str(v) for v in vals]
+        if not cols:
+            cols = {"data_loc": [""] * max(self.n_constituents, 1)}
+        hdus.append(BinTableHDU(columns=cols, name="IMG_META"))
+        return hdus
+
+    def _reference_image_hdus(self, idx, compression_type, quantize_level):
+        """SCI/VAR (tile-compressed) + MSK/PSF HDUs for one image
+        (reference add_image_data_to_hdul, work_unit.py:1062-1147)."""
+        from kbmod_tpu.io.fits_io import make_comp_image_hdu
+
+        stack = self.im_stack
+        sci = np.asanyarray(stack.sci[idx], dtype=np.float32)
+        var = np.asanyarray(stack.var[idx], dtype=np.float32)
+        obstime = float(stack.times[idx])
+
+        wcs_cards = {}
+        wcs = self.get_wcs(idx)
+        if wcs is not None:
+            wcs_cards = {k: v for k, v in wcs.to_header().items() if not k.startswith("NAXIS")}
+
+        extra = dict(MJD=obstime, **wcs_cards)
+        sci_hdu = make_comp_image_hdu(
+            sci, name=f"SCI_{idx}", compression_type=compression_type,
+            quantize_level=quantize_level, header_extra=extra,
+        )
+        c_indices = self._per_image_indices[idx]
+        sci_hdu.header["NIND"] = len(c_indices)
+        for j, ci in enumerate(c_indices):
+            sci_hdu.header[f"IND_{j}"] = int(ci)
+        var_hdu = make_comp_image_hdu(
+            var, name=f"VAR_{idx}", compression_type=compression_type,
+            quantize_level=quantize_level, header_extra=extra,
+        )
+        mask_full = (np.asanyarray(stack.get_mask(idx)) > 0) | ~np.isfinite(sci) | ~np.isfinite(var)
+        msk_hdu = fits_io.ImageHDU(mask_full.astype(np.uint8), name=f"MSK_{idx}")
+        msk_hdu.header["MJD"] = obstime
+        msk_hdu.header.update(wcs_cards)
+        psf_hdu = fits_io.ImageHDU(
+            np.asanyarray(stack.psfs[idx], dtype=np.float32), name=f"PSF_{idx}"
+        )
+        return [sci_hdu, var_hdu, msk_hdu, psf_hdu]
+
+    def to_fits(self, filename, overwrite=False, format="reference",
+                compression_type="GZIP_1", quantize_level=-0.01):
+        """Write the whole WorkUnit to a single FITS file.
+
+        ``format="reference"`` (default) produces the reference's layout
+        (PRIMARY metadata + KBMOD_CONFIG/IMG_META BINTABLEs + compressed
+        SCI_i/VAR_i + MSK_i/PSF_i; work_unit.py:610-682) — readable by
+        the upstream astropy-based loader. GZIP_1 keeps the pixel data
+        lossless; pass compression_type="RICE_1" for the reference's
+        (quantized, lossy) default. ``format="kbmod_tpu"`` keeps this
+        package's self-contained dialect.
+        """
         logger.info(f"Writing WorkUnit to {filename}")
-        hdus = self.metadata_to_hdul()
-        for idx in range(self.im_stack.num_times):
-            hdus.extend(self._image_hdus(idx))
+        if format == "reference":
+            hdus = self._reference_metadata_hdul()
+            for idx in range(self.im_stack.num_times):
+                hdus.extend(self._reference_image_hdus(idx, compression_type, quantize_level))
+        else:
+            hdus = self.metadata_to_hdul()
+            for idx in range(self.im_stack.num_times):
+                hdus.extend(self._image_hdus(idx))
         hdus.writeto(filename, overwrite=overwrite)
+
+    @classmethod
+    def _from_reference_hdul(cls, hdus):
+        """Load from the reference's single-file layout
+        (work_unit.py:489-608)."""
+        from kbmod_tpu.geom.geodesy import geodetic_to_geocentric
+        from kbmod_tpu.io.fits_io import BinTableHDU
+
+        pri = hdus[0].header
+        num_img = int(pri["NUMIMG"])
+        n_con = int(pri.get("NCON", num_img))
+
+        config = (
+            SearchConfiguration.from_hdu(hdus["KBMOD_CONFIG"])
+            if "KBMOD_CONFIG" in hdus
+            else SearchConfiguration()
+        )
+
+        img_meta = None
+        if "IMG_META" in hdus and isinstance(hdus["IMG_META"], BinTableHDU):
+            cols = {}
+            for name, vals in hdus["IMG_META"].columns.items():
+                if name.startswith("_WCSSTR_"):
+                    cols[name[8:]] = np.array(
+                        [deserialize_wcs(v) if v else None for v in vals], dtype=object
+                    )
+                else:
+                    vals = list(vals) if not isinstance(vals, np.ndarray) else vals
+                    try:
+                        cols[name] = np.asarray(vals, dtype=float)
+                    except (TypeError, ValueError):
+                        cols[name] = np.array(vals, dtype=object)
+            img_meta = Table(cols) if cols else None
+
+        wcs = None
+        if "CRVAL1" in pri and "CRPIX1" in pri:
+            from kbmod_tpu.geom.wcs import WCS as _WCS
+
+            wcs = _WCS.from_header(pri)
+
+        bary = pri.get("BARY", None)
+        observatory = None
+        if "OBSX" in pri:
+            observatory = (float(pri["OBSX"]), float(pri["OBSY"]), float(pri["OBSZ"]))
+        elif "OBS_LAT" in pri:
+            observatory = geodetic_to_geocentric(
+                pri["OBS_LAT"], pri["OBS_LON"], pri.get("OBS_ELEV", 0.0)
+            )
+
+        stack = ImageStackPy()
+        per_image_indices = []
+        for idx in range(num_img):
+            sci_hdu = hdus[f"SCI_{idx}"]
+            sci = np.asarray(sci_hdu.data, dtype=np.float32)
+            var = np.asarray(hdus[f"VAR_{idx}"].data, dtype=np.float32)
+            if f"MSK_{idx}" in hdus:
+                mask = np.asarray(hdus[f"MSK_{idx}"].data)
+                sci[mask > 0] = np.nan
+                var[mask > 0] = np.nan
+            psf = (
+                np.asarray(hdus[f"PSF_{idx}"].data, dtype=np.float32)
+                if f"PSF_{idx}" in hdus
+                else np.array([[1.0]], dtype=np.float32)
+            )
+            stack.append_image(
+                time=float(sci_hdu.header.get("MJD", idx)), sci=sci, var=var, psf=psf
+            )
+            n_ind = int(sci_hdu.header.get("NIND", 0) or 0)
+            per_image_indices.append(
+                [int(sci_hdu.header[f"IND_{j}"]) for j in range(n_ind)] or [idx]
+            )
+
+        return cls(
+            im_stack=stack,
+            config=config,
+            wcs=wcs,
+            reprojected=bool(pri.get("REPRJCTD", False)),
+            reprojection_frame=(pri.get("REPFRAME") or None),
+            barycentric_distance=None if bary is None or bary < 0 else float(bary),
+            per_image_indices=per_image_indices,
+            org_image_meta=img_meta if img_meta is not None and len(img_meta) == n_con else None,
+            observatory=observatory,
+        )
 
     @classmethod
     def _from_metadata_hdul(cls, hdus):
@@ -388,9 +583,13 @@ class WorkUnit:
 
     @classmethod
     def from_fits(cls, filename, show_progress=None):
-        """Read a WorkUnit from a single FITS file."""
+        """Read a WorkUnit from a single FITS file (auto-detects the
+        reference layout — NUMIMG in the primary header — vs this
+        package's dialect, which keeps NUMIMG on a METADATA HDU)."""
         logger.info(f"Reading WorkUnit from {filename}")
         hdus = fits_io.read_fits(filename)
+        if "NUMIMG" in hdus[0].header:
+            return cls._from_reference_hdul(hdus)
         meta = cls._from_metadata_hdul(hdus)
         num_img = meta.pop("num_img")
 

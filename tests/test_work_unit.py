@@ -135,3 +135,81 @@ class TestInvalidPositionFormat:
         work.wcs = make_fake_wcs(200.0, -7.0, 24, 20)
         with pytest.raises(ValueError):
             work.image_positions_to_original_icrs([0], [(1.0, 2.0)], output_format="bananas")
+
+
+class TestReferenceFormat:
+    """Single-file interop with the reference's on-disk layout
+    (work_unit.py:489-682): our writer emits it, our reader loads it,
+    and a byte-level hand-assembled file in that layout loads too."""
+
+    def _work_with_wcs(self, n=4):
+        from kbmod_tpu.wcs_utils import make_fake_wcs
+
+        ds = FakeDataSet(24, 20, create_fake_times(n, 59000.0), use_seed=8)
+        wu = ds.get_work_unit()
+        wu.wcs = make_fake_wcs(200.6, -7.8, 24, 20, deg_per_pixel=0.001)
+        wu.config.set("results_per_pixel", 6)
+        return wu
+
+    @pytest.mark.parametrize("ctype", ["GZIP_1", "RICE_1"])
+    def test_roundtrip(self, tmp_path, ctype):
+        wu = self._work_with_wcs()
+        # Mask a pixel so the MSK layer carries information.
+        wu.im_stack.sci[1][3, 4] = np.nan
+        path = str(tmp_path / "ref.wu")
+        wu.to_fits(path, format="reference", compression_type=ctype)
+        back = WorkUnit.from_fits(path)
+        assert back.im_stack.num_times == wu.im_stack.num_times
+        assert back.config["results_per_pixel"] == 6
+        assert back.wcs is not None
+        np.testing.assert_allclose(back.wcs.crval, wu.wcs.crval)
+        np.testing.assert_allclose(
+            back.im_stack.times, wu.im_stack.times, rtol=0, atol=1e-8
+        )
+        atol = 0 if ctype == "GZIP_1" else 0.0051
+        for t in range(wu.im_stack.num_times):
+            a, b = np.asarray(back.im_stack.sci[t]), np.asarray(wu.im_stack.sci[t])
+            finite = np.isfinite(b)
+            assert (np.isfinite(a) == finite).all()
+            np.testing.assert_allclose(a[finite], b[finite], atol=atol, rtol=0 if atol else 1e-6)
+
+    def test_primary_layout_matches_reference(self, tmp_path):
+        """The written file carries the reference's exact header keys and
+        HDU names (NUMIMG/REPRJCTD/OBS_LAT in PRIMARY; KBMOD_CONFIG and
+        IMG_META BINTABLEs; SCI_i as tile-compressed BINTABLEs)."""
+        from kbmod_tpu.io.fits_io import read_fits
+
+        wu = self._work_with_wcs()
+        path = str(tmp_path / "layout.wu")
+        wu.to_fits(path, format="reference")
+        hdus = read_fits(path)
+        pri = hdus[0].header
+        for key in ("NUMIMG", "NCON", "REPRJCTD", "REPFRAME", "BARY",
+                    "OBS_LAT", "OBS_LON", "OBS_ELEV", "CRVAL1", "CRPIX1"):
+            assert key in pri, key
+        assert "KBMOD_CONFIG" in hdus and "IMG_META" in hdus
+        sci = hdus["SCI_0"]
+        assert "MJD" in sci.header and "NIND" in sci.header and "IND_0" in sci.header
+        assert sci.header.get("ZIMAGE") or sci.data is not None
+
+    def test_config_reference_table_roundtrip(self):
+        cfg = SearchConfiguration()
+        cfg.set("num_obs", 17)
+        cfg.set("cluster_type", "position")
+        hdu = cfg.to_reference_hdu()
+        back = SearchConfiguration.from_hdu(hdu)
+        assert back["num_obs"] == 17
+        assert back["cluster_type"] == "position"
+        assert back["results_per_pixel"] == cfg["results_per_pixel"]
+
+    def test_observatory_geodetic_roundtrip(self, tmp_path):
+        from kbmod_tpu.geom.geodesy import geocentric_to_geodetic
+
+        wu = self._work_with_wcs()
+        path = str(tmp_path / "obs.wu")
+        wu.to_fits(path, format="reference")
+        back = WorkUnit.from_fits(path)
+        np.testing.assert_allclose(back.observatory, wu.observatory, atol=1e-3)
+        lat, lon, elev = geocentric_to_geodetic(*back.observatory)
+        assert -31 < lat < -29  # Cerro Pachon
+        assert -72 < lon < -70
