@@ -42,7 +42,9 @@ def initialize_distributed(coordinator_address=None, num_processes=None, process
     hosts.
     """
     global _initialized
-    if _initialized or jax.process_count() > 1:
+    # NOTE: do NOT probe jax.process_count() here — it initializes the
+    # XLA backend, after which jax.distributed.initialize refuses to run.
+    if _initialized or jax.distributed.is_initialized():
         _initialized = True
         return
 

@@ -287,11 +287,18 @@ def _sharded_gather_curves(psi, phi, valid, xs, ys, dxs, dys, mesh):
         shard_map,
         mesh=mesh,
         in_specs=(P(), P(), P(), P(AXIS), P(AXIS), P(AXIS), P(AXIS)),
-        out_specs=(P(AXIS), P(AXIS), P(AXIS)),
+        out_specs=(P(), P(), P()),
         check_rep=False,
     )
     def run(psi_r, phi_r, valid_r, xs_s, ys_s, dxs_s, dys_s):
-        return _gather_curves(psi_r, phi_r, valid_r, xs_s, ys_s, dxs_s, dys_s)
+        psi_v, phi_v, ok = _gather_curves(psi_r, phi_r, valid_r, xs_s, ys_s, dxs_s, dys_s)
+        # Replicate the (small) winner curves so every process can fetch
+        # them — P(AXIS) outputs are non-addressable across hosts.
+        return (
+            jax.lax.all_gather(psi_v, AXIS, axis=0, tiled=True),
+            jax.lax.all_gather(phi_v, AXIS, axis=0, tiled=True),
+            jax.lax.all_gather(ok, AXIS, axis=0, tiled=True),
+        )
 
     with mesh:
         psi_v, phi_v, ok = jax.jit(run)(

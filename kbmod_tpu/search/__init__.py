@@ -133,10 +133,17 @@ def kb_has_gpu():
 
 
 # Flags mirroring the reference build flags (bindings.cpp:20-30). HAS_CUDA
-# here reports accelerator availability; HAS_OMP reports nothing meaningful
-# on TPU and is kept False for API parity.
-HAS_CUDA = kb_has_gpu()
+# here reports accelerator availability (resolved lazily via module
+# __getattr__ below — probing devices at import time would initialize the
+# XLA backend, breaking jax.distributed.initialize in multi-host runs);
+# HAS_OMP reports nothing meaningful on TPU and is kept False for parity.
 HAS_OMP = False
+
+
+def __getattr__(name):
+    if name == "HAS_CUDA":
+        return kb_has_gpu()
+    raise AttributeError(f"module 'kbmod_tpu.search' has no attribute {name}")
 
 
 # Assumed HBM when the runtime exposes no memory stats (e.g. remote/
