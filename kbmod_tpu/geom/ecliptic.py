@@ -178,3 +178,78 @@ def ecliptic_vec_to_equatorial_vec(vec):
 def earth_position_equatorial(mjd):
     """Heliocentric equatorial (x, y, z) of the Earth in AU at MJD."""
     return ecliptic_vec_to_equatorial_vec(earth_position_ecliptic(mjd))
+
+
+# ----------------------------------------------------------------------
+# Topocentric observer position (site offset in the J2000 frame)
+# ----------------------------------------------------------------------
+
+def gmst_deg(mjd):
+    """Greenwich Mean Sidereal Time in degrees (IAU 1982, UT1 ~ UTC)."""
+    mjd = np.asarray(mjd, dtype=float)
+    d = mjd + 2400000.5 - 2451545.0
+    T = d / 36525.0
+    gmst = (
+        280.46061837
+        + 360.98564736629 * d
+        + 0.000387933 * T**2
+        - T**3 / 38710000.0
+    )
+    return gmst % 360.0
+
+
+def _precession_angles_rad(T):
+    """Lieske (1977) equatorial precession angles (zeta, z, theta) in
+    radians for T Julian centuries since J2000."""
+    as2r = math.radians(1.0 / 3600.0)
+    zeta = (2306.2181 * T + 0.30188 * T**2 + 0.017998 * T**3) * as2r
+    z = (2306.2181 * T + 1.09468 * T**2 + 0.018203 * T**3) * as2r
+    theta = (2004.3109 * T - 0.42665 * T**2 - 0.041833 * T**3) * as2r
+    return zeta, z, theta
+
+
+def _rot_z(angle, vec):
+    c, s = np.cos(angle), np.sin(angle)
+    x = c * vec[..., 0] - s * vec[..., 1]
+    y = s * vec[..., 0] + c * vec[..., 1]
+    return np.stack([x, y, vec[..., 2]], axis=-1)
+
+
+def _rot_y(angle, vec):
+    c, s = np.cos(angle), np.sin(angle)
+    x = c * vec[..., 0] + s * vec[..., 2]
+    z = -s * vec[..., 0] + c * vec[..., 2]
+    return np.stack([x, vec[..., 1], z], axis=-1)
+
+
+def itrs_to_j2000(vec_itrs, mjd):
+    """Rotate an Earth-fixed (ITRS) vector into the J2000 equatorial
+    frame: Earth rotation (GMST) then precession (mean-of-date ->
+    J2000). Nutation/polar motion (< 20 arcsec of orientation, sub-km on
+    an Earth-radius lever) are neglected — well under the parallax error
+    budget at survey distances."""
+    mjd = np.atleast_1d(np.asarray(mjd, dtype=float))
+    vec = np.broadcast_to(np.asarray(vec_itrs, dtype=float), mjd.shape + (3,))
+    tod = _rot_z(np.deg2rad(gmst_deg(mjd)), vec)
+    T = (mjd + 2400000.5 - 2451545.0) / 36525.0
+    zeta, z, theta = _precession_angles_rad(T)
+    # Active rotations: J2000 -> mean-of-date is Az(z) Ay(-theta) Az(zeta)
+    # (the passive Rz(-z) Ry(theta) Rz(-zeta) of the standard texts);
+    # invert for mean-of-date -> J2000.
+    out = _rot_z(-zeta, tod)
+    out = _rot_y(theta, out)
+    out = _rot_z(-z, out)
+    return out
+
+
+def observer_position_equatorial(mjd, point_on_earth_m=None):
+    """Barycentric J2000 equatorial position of an observer (AU): the
+    Earth's center plus the rotated geocentric site offset. With
+    ``point_on_earth_m=None`` returns the geocenter (the reference's
+    correct_parallax takes the site as an EarthLocation,
+    reprojection_utils.py:25-120)."""
+    earth = earth_position_equatorial(mjd)
+    if point_on_earth_m is None:
+        return earth
+    site_au = np.asarray(point_on_earth_m, dtype=float) / AU_KM / 1000.0
+    return earth + itrs_to_j2000(site_au, mjd).reshape(earth.shape)

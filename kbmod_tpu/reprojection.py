@@ -83,6 +83,7 @@ def reproject_work_unit(
             stack.height,
             work_unit.barycentric_distance,
             obstimes,
+            point_on_earth=work_unit.observatory,
             npoints=10,
             seed=101,
         )

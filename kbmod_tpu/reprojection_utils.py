@@ -21,15 +21,19 @@ Note: the Earth position comes from the self-contained barycentric
 ephemeris (kbmod_tpu.geom.ecliptic: geometric J2000 solar series plus the
 Keplerian giant-planet Sun-barycenter offset), validated against the
 reference's astropy/DE432s golden values to ~0.1 arcsec
-(tests/test_reprojection.py::TestParallaxGoldenValues). The observer is
-the geocenter rather than the reference's topocentric site — a < 4.3e-5 AU
-offset, ~1e-6 rad at survey distances.
+(tests/test_reprojection.py::TestParallaxGoldenValues). When a
+``point_on_earth`` site is given (geocentric meters, e.g.
+WorkUnit.observatory) the observer is topocentric: the ITRS site vector
+is rotated into J2000 via GMST + precession
+(kbmod_tpu.geom.ecliptic.observer_position_equatorial) — the diurnal
+parallax this captures is up to ~8.8 arcsec/d_AU.
 """
 
 import numpy as np
 
 from kbmod_tpu.geom.ecliptic import (
     earth_position_equatorial,
+    observer_position_equatorial,
     radec_unit_vector,
     unit_vector_radec,
 )
@@ -45,7 +49,9 @@ def correct_parallax_geometrically_vectorized(ra, dec, mjds, heliocentric_distan
     ra, dec : array (N,) degrees — observed positions.
     mjds : array (N,) MJD times.
     heliocentric_distance : float — assumed barycentric distance (AU).
-    point_on_earth : ignored (geocentric approximation).
+    point_on_earth : (x, y, z) geocentric meters or None
+        The observing site (the reference passes an EarthLocation,
+        reprojection_utils.py:25-120); None uses the geocenter.
 
     Returns
     -------
@@ -59,7 +65,7 @@ def correct_parallax_geometrically_vectorized(ra, dec, mjds, heliocentric_distan
     if len(mjds) == 1 and len(ra) > 1:
         mjds = np.full(len(ra), mjds[0])
 
-    earth = earth_position_equatorial(mjds)  # (N, 3)
+    earth = observer_position_equatorial(mjds, point_on_earth)  # (N, 3)
     los = radec_unit_vector(ra, dec)  # (N, 3)
 
     e_dot_u = np.sum(earth * los, axis=-1)
@@ -114,7 +120,7 @@ def invert_correct_parallax_vectorized(coords, obstimes, point_on_earth=None):
         mjds = np.full(len(ra), mjds[0])
 
     obj = dist[..., None] * radec_unit_vector(ra, dec)  # barycentric position
-    earth = earth_position_equatorial(mjds)
+    earth = observer_position_equatorial(mjds, point_on_earth)
     rel = obj - earth
     out_ra, out_dec = unit_vector_radec(rel)
     return SkyCoordLite(out_ra, out_dec)

@@ -483,7 +483,9 @@ def append_positions_to_results(workunit, results):
             for time_idx in range(num_times):
                 coords = SkyCoordLite(ra[:, time_idx], dec[:, time_idx])
                 coords.distance_au = np.full(num_results, workunit.barycentric_distance)
-                original = invert_correct_parallax_vectorized(coords, obstimes=obstimes[time_idx])
+                original = invert_correct_parallax_vectorized(
+                    coords, obstimes=obstimes[time_idx], point_on_earth=workunit.observatory
+                )
                 all_ra[:, time_idx] = original.ra_deg
                 all_dec[:, time_idx] = original.dec_deg
         else:

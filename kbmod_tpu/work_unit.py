@@ -286,7 +286,9 @@ class WorkUnit:
             if self.reprojected and self.reprojection_frame == "ebd":
                 coords = SkyCoordLite(np.atleast_1d(ra), np.atleast_1d(dec))
                 coords.distance_au = np.atleast_1d(self.barycentric_distance)
-                inv = invert_correct_parallax_vectorized(coords, obstimes=[obstimes[idx]])
+                inv = invert_correct_parallax_vectorized(
+                    coords, obstimes=[obstimes[idx]], point_on_earth=self.observatory
+                )
                 ra, dec = float(inv.ra_deg[0]), float(inv.dec_deg[0])
             if output_format == "radec":
                 results.append((ra, dec))

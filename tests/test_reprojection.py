@@ -234,3 +234,90 @@ class TestScalarParallaxAPIs:
         with pytest.raises(ValueError):
             image_positions_to_original_icrs([0], [(1, 2)], wcs, [wcs], [60000.0],
                                              input_format="bananas")
+
+
+class TestTopocentricParallax:
+    """Topocentric observer support: GMST against the Meeus 12.a golden,
+    precession against the textbook 100-year star drift, diurnal parallax
+    magnitude, and exact correct/invert round-trips with a site."""
+
+    def test_gmst_meeus_golden(self):
+        from kbmod_tpu.geom.ecliptic import gmst_deg
+
+        # Meeus, Astronomical Algorithms, example 12.a:
+        # 1987 April 10, 0h UT -> GMST = 13h 10m 46.3668s.
+        got = gmst_deg(46895.0)
+        exp = (13 + 10 / 60 + 46.3668 / 3600) * 15.0
+        assert abs(got - exp) * 3600 < 0.01  # arcsec
+
+    def test_precession_star_drift(self):
+        from kbmod_tpu.geom.ecliptic import itrs_to_j2000, gmst_deg
+
+        # A vector pinned in the rotating frame at the reference epoch,
+        # mapped to J2000 at epoch ~2100, must show the classic precession
+        # drift: ra ~ +1.2816 deg, dec ~ +0.5566 deg for a J2000 (0, 0)
+        # star viewed from the mean-of-date frame (inverse direction).
+        mjd = 88069.0  # ~2100.0
+        # Invert GMST so only precession remains.
+        g = np.deg2rad(gmst_deg(mjd))
+        v_tod = np.array([np.cos(-g), np.sin(-g), 0.0])
+        out = itrs_to_j2000(v_tod, mjd)[0]
+        ra = np.degrees(np.arctan2(out[1], out[0])) % 360
+        dec = np.degrees(np.arcsin(out[2]))
+        # TOD x-axis seen in J2000: ra ~ -1.2816 + 360, dec ~ -0.5566.
+        assert abs(ra - (360 - 1.2816)) < 0.01
+        assert abs(dec - (-0.5566)) < 0.01
+
+    def test_diurnal_parallax_magnitude(self):
+        from kbmod_tpu.reprojection_utils import correct_parallax_geometrically_vectorized
+        from kbmod_tpu.geom.wcs import SkyCoordLite
+
+        mjd = 60000.25
+        ra, dec = 150.0, -20.0
+        d = 5.0
+        geo, s_geo = correct_parallax_geometrically_vectorized([ra], [dec], [mjd], d, None)
+        site = (6378137.0, 0.0, 0.0)  # equatorial site
+        topo, s_topo = correct_parallax_geometrically_vectorized([ra], [dec], [mjd], d, site)
+        sep = SkyCoordLite(geo.ra_deg, geo.dec_deg).separation_deg(
+            SkyCoordLite(topo.ra_deg, topo.dec_deg)
+        )[0] * 3600
+        # Same observed LOS interpreted from two observer positions ~1
+        # Earth radius apart: the barycentric positions differ by up to
+        # R_earth / distance ~ 8.8"/d = 1.76" at 5 AU (zero only if the
+        # offset is parallel to the LOS).
+        assert 0.05 < sep < 2.0
+        # And the two corrections differ from each other measurably.
+        assert abs(float(s_geo[0]) - float(s_topo[0])) < 0.01  # AU, tiny range change
+
+    def test_topocentric_roundtrip(self):
+        from kbmod_tpu.reprojection_utils import (
+            correct_parallax_geometrically_vectorized,
+            invert_correct_parallax_vectorized,
+        )
+        from kbmod_tpu.work_unit import RUBIN_LOCATION_M
+        from kbmod_tpu.geom.wcs import SkyCoordLite
+
+        rng = np.random.default_rng(5)
+        ra = rng.uniform(0, 360, 20)
+        dec = rng.uniform(-80, 80, 20)
+        mjds = rng.uniform(59000, 61000, 20)
+        corr, dists = correct_parallax_geometrically_vectorized(
+            ra, dec, mjds, 8.0, RUBIN_LOCATION_M
+        )
+        back = invert_correct_parallax_vectorized(corr, mjds, RUBIN_LOCATION_M)
+        sep = SkyCoordLite(ra, dec).separation_deg(back) * 3600
+        assert np.nanmax(sep) < 1e-6  # arcsec: exact inverse with same site
+
+    def test_site_changes_inversion(self):
+        from kbmod_tpu.reprojection_utils import (
+            correct_parallax_geometrically_vectorized,
+            invert_correct_parallax_vectorized,
+        )
+        from kbmod_tpu.work_unit import RUBIN_LOCATION_M
+        from kbmod_tpu.geom.wcs import SkyCoordLite
+
+        corr, _ = correct_parallax_geometrically_vectorized([10.0], [5.0], [60123.6], 3.0, RUBIN_LOCATION_M)
+        with_site = invert_correct_parallax_vectorized(corr, [60123.6], RUBIN_LOCATION_M)
+        without = invert_correct_parallax_vectorized(corr, [60123.6], None)
+        sep = with_site.separation_deg(without) * 3600
+        assert sep[0] > 0.05  # the topocentric term is material
