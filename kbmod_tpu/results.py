@@ -404,7 +404,7 @@ class Results:
     def _build_meta(self):
         meta = {}
         if self.wcs is not None:
-            from kbmod_tpu.geom.wcs_utils import serialize_wcs
+            from kbmod_tpu.wcs_utils import serialize_wcs
 
             meta["wcs"] = serialize_wcs(self.wcs)
         if self.mjd_mid is not None:
@@ -418,7 +418,7 @@ class Results:
     def _parse_table_metadata(meta):
         wcs = None
         if meta.get("wcs"):
-            from kbmod_tpu.geom.wcs_utils import deserialize_wcs
+            from kbmod_tpu.wcs_utils import deserialize_wcs
 
             wcs = deserialize_wcs(meta["wcs"])
         mjd_mid = np.asarray(meta["mjd_mid"], dtype=float) if meta.get("mjd_mid") else None

@@ -223,3 +223,101 @@ class TestPlottingExtras:
         wcs_list = [make_fake_wcs(200.0 + i, -7.0, 32, 32) for i in range(2)]
         fig, ax = plot_wcs_on_sky(wcs_list, labels=["a", "b"])
         assert fig is not None
+
+
+class TestFakeInfo:
+    """The reference's per-fake analysis object (analyze_fakes.py:13-282):
+    WorkUnit join, trajectory fit, stamps, and the fakes-file loader."""
+
+    def _workunit(self, T=6, H=40, W=48):
+        import matplotlib
+
+        matplotlib.use("Agg")
+        from kbmod_tpu.fake_data.fake_data_creator import FakeDataSet, create_fake_times
+        from kbmod_tpu.wcs_utils import make_fake_wcs
+
+        times = create_fake_times(T, t0=57130.0, obs_per_day=3)
+        ds = FakeDataSet(H, W, times, use_seed=5)
+        wu = ds.get_work_unit()
+        wu.wcs = make_fake_wcs(25.0, -10.0, H, W, deg_per_pixel=0.01)
+        return wu
+
+    def _fake_on_trajectory(self, wu, x0=10.0, y0=12.0, vx=3.0, vy=-1.0):
+        import numpy as np
+
+        times = np.asarray(wu.get_all_obstimes())
+        zeroed = times - times[0]
+        xs = x0 + vx * zeroed
+        ys = y0 + vy * zeroed
+        ra, dec = wu.wcs.pixel_to_world_values(xs, ys)
+        from kbmod_tpu.analysis.analyze_fakes import FakeInfo
+
+        return FakeInfo(times, ra, dec, mag=np.full(len(times), 22.5), name="fk1"), (xs, ys)
+
+    def test_join_with_workunit(self):
+        import numpy as np
+
+        wu = self._workunit()
+        fake, (xs, ys) = self._fake_on_trajectory(wu)
+        fake.join_with_workunit(wu, radius=3)
+        np.testing.assert_allclose(fake.x_pos_fakes, xs, atol=1e-6)
+        np.testing.assert_allclose(fake.y_pos_fakes, ys, atol=1e-6)
+        assert fake.num_times_seen == len(fake)
+        assert abs(fake.trj.vx - 3.0) < 0.05
+        assert abs(fake.trj.vy - (-1.0)) < 0.05
+        assert fake.compute_fit_mse() < 0.5
+        assert fake.xy_stamps.shape == (len(fake), 7, 7)
+        assert fake.trj_stamps.shape == (len(fake), 7, 7)
+
+    def test_out_of_bounds_counted(self):
+        import numpy as np
+
+        wu = self._workunit()
+        fake, _ = self._fake_on_trajectory(wu, x0=44.0, vx=5.0)  # walks off chip
+        fake.join_with_workunit(wu, radius=0)
+        assert fake.num_times_seen < len(fake)
+        assert fake.xy_stamps is None  # radius=0 skips stamps
+
+    def test_duplicate_times_dropped_and_sorted(self):
+        import numpy as np
+        from kbmod_tpu.analysis.analyze_fakes import FakeInfo
+
+        f = FakeInfo(
+            times=[57131.0, 57130.0, 57131.0],
+            ra=[10.1, 10.0, 10.1],
+            dec=[5.1, 5.0, 5.1],
+        )
+        assert len(f) == 2
+        assert f.times[0] == 57130.0
+
+    def test_load_fake_info_from_ecsv(self, tmp_path):
+        import numpy as np
+        from kbmod_tpu.analysis.analyze_fakes import load_fake_info_from_ecsv
+
+        path = tmp_path / "fakes.ecsv"
+        path.write_text(
+            "# comment line\n"
+            "ORBITID RA DEC mjd_mid MAG\n"
+            "101 10.0 5.0 57130.0 22.0\n"
+            "101 10.1 5.1 57131.0 22.1\n"
+            "202 50.0 -5.0 57130.0 23.0\n"
+        )
+        fakes = load_fake_info_from_ecsv(str(path), time_adjust=0.0)
+        assert len(fakes) == 2
+        by_name = {f.name: f for f in fakes}
+        assert len(by_name["101"]) == 2
+        np.testing.assert_allclose(by_name["101"].mag, [22.0, 22.1])
+        assert len(by_name["202"]) == 1
+
+    def test_plot_methods_run(self):
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        wu = self._workunit()
+        fake, _ = self._fake_on_trajectory(wu)
+        fake.join_with_workunit(wu, radius=2)
+        fake.plot_summary()
+        fake.compare_stamps(inds=[0, 1])
+        plt.close("all")
