@@ -270,7 +270,9 @@ def _read_hdf5(filepath):
 def write_table(table, filepath):
     filepath = Path(filepath)
     suffix = filepath.suffix
-    if suffix == ".ecsv":
+    if suffix in (".ecsv", ".collection"):
+        # .collection is the reference's ImageCollection extension; the
+        # payload is ecsv (image_collection.py write format).
         _write_ecsv(table, filepath)
     elif suffix in (".parquet", ".parq"):
         _write_parquet(table, filepath)
@@ -283,7 +285,7 @@ def write_table(table, filepath):
 def read_table(filepath):
     filepath = Path(filepath)
     suffix = filepath.suffix
-    if suffix == ".ecsv":
+    if suffix in (".ecsv", ".collection"):
         return _read_ecsv(filepath)
     if suffix in (".parquet", ".parq"):
         return _read_parquet(filepath)

@@ -296,10 +296,14 @@ class RegionSearch:
         if isinstance(patch, (int, np.integer)):
             patch = self.get_patch(int(patch))
         polys = self._chip_polygons(guess_dist if guess_dist else None)
-        hits = [i for i in range(len(polys)) if patch.measure_overlap(polys[i]) > min_overlap]
+        overlaps = np.array([patch.measure_overlap(p) for p in polys])
+        hits = np.nonzero(overlaps > min_overlap)[0]
         if max_images is not None:
             hits = hits[:max_images]
         sub = self.ic[np.asarray(hits, dtype=int)]
+        # Per-chip overlap area with the patch (deg^2) — the reference's
+        # per-patch analysis sums this column (region_searcher.py:183-222).
+        sub.data["overlap_deg"] = overlaps[hits]
         sub.reset_lazy_loading_indices()
         return sub
 

@@ -284,3 +284,61 @@ class TestResultMatcherBatch:
         # but far less than a degree.
         d = np.abs(np.asarray(out["ra_30.0"]) - np.asarray(out["RA"]))
         assert np.all(d > 1e-5) and np.all(d < 0.5)
+
+
+class TestRegionSearcherCli:
+    """The reference region-searcher flow (region_searcher.py:223-333):
+    patch sweep, per-patch collection export with recycling, error CSV,
+    and the per-patch analysis table."""
+
+    def test_full_flow(self, tmp_path, capsys):
+        import csv as _csv
+
+        from test_standardizers import write_rubin_style_fits
+        from kbmod_tpu.cmdline import region_searcher as rs_tool
+        from kbmod_tpu.image_collection import ImageCollection
+
+        # Two sky clusters of images -> at least two matched patches.
+        paths = []
+        for i in range(3):
+            paths.append(write_rubin_style_fits(
+                str(tmp_path / f"a{i}.fits"), seed=i, mjd=57130.0 + 0.05 * i,
+                ra=200.0, dec=-7.0))
+        for i in range(2):
+            paths.append(write_rubin_style_fits(
+                str(tmp_path / f"b{i}.fits"), seed=10 + i, mjd=57131.0 + 0.05 * i,
+                ra=210.0, dec=-7.0))
+        ic = ImageCollection.fromTargets(paths)
+        ic_path = str(tmp_path / "base.collection")
+        ic.write(ic_path)
+
+        out_dir = str(tmp_path / "out")
+        argv = [
+            "--ic-path", ic_path, "--guess-distances", "0.0",
+            "--patch-side-len", "120", "--pixel-scale", "0.26",
+            "--bands-to-drop", "u", "--max-wcs-err", "60.0",
+            "--out-dir", out_dir,
+        ]
+        run_main(rs_tool, argv)
+        out = capsys.readouterr().out
+        assert "Finished!" in out
+
+        tag_dir = os.path.join(out_dir, "0.0_120X120")
+        collections = [f for f in os.listdir(tag_dir) if f.endswith(".collection")]
+        assert len(collections) >= 2
+        # Analysis table sorted by overlap with the expected columns.
+        with open(os.path.join(tag_dir, "overlap_0.0_120X120.csv")) as f:
+            rows = list(_csv.reader(f))
+        assert rows[0] == ["patch_id", "overlap_deg2", "visit_count", "unique_mjds", "obs_nights_spanned"]
+        overlaps = [float(r[1]) for r in rows[1:]]
+        assert overlaps == sorted(overlaps, reverse=True)
+        assert os.path.exists(os.path.join(tag_dir, "errors.csv"))
+
+        # A patch collection reloads and carries the overlap column + meta.
+        sub = ImageCollection.read(os.path.join(tag_dir, collections[0]))
+        assert "overlap_deg" in sub.columns
+        assert "patch_id" in sub.data.meta
+
+        # Second run recycles everything from disk.
+        run_main(rs_tool, argv)
+        assert "Recycled" in capsys.readouterr().out
