@@ -20,7 +20,9 @@ logger = logging.getLogger(__name__)
 
 __all__ = [
     "generate_injection_catalog",
+    "generate_ic_injection_catalog",
     "inject_sources_into_work_unit",
+    "inject_sources_into_ic",
     "match_injection_results",
 ]
 
@@ -99,6 +101,203 @@ def generate_injection_catalog(
             "mjd0": np.full(num_objects, float(mjd0)),
         }
     )
+
+
+def generate_ic_injection_catalog(
+    ic,
+    search_config,
+    global_wcs,
+    n_objs_per_ic=50,
+    guess_distance=None,
+    mag_range=(19.0, 26.0),
+    source_type="Star",
+    seed=None,
+):
+    """Generate a per-epoch injection catalog for an ImageCollection, the
+    input to :func:`inject_sources_into_ic` (reference injection.py:31-203).
+
+    Trajectories are drawn from the search's own candidate generator at
+    the image's ecliptic angle with sub-pixel / sub-velocity-resolution
+    jitter, propagated linearly in the global WCS frame across the
+    collection's unique obstimes; with ``guess_distance`` the positions
+    are inverse-parallax-corrected so the injected (original-frame)
+    sources move in straight lines after EBD resampling.
+
+    Returns a Table with injection_id / ra / dec / mag / guess_distance /
+    source_type / obj_ids / obstime / plot_x / plot_y (+ ra_<d>/dec_<d>
+    straight-line columns when a guess distance is given).
+    """
+    from kbmod_tpu.trajectory_generator import create_trajectory_generator
+    from kbmod_tpu.wcs_utils import calc_ecliptic_angle
+
+    rng = np.random.default_rng(seed)
+    n = int(n_objs_per_ic)
+
+    eclip_angle = calc_ecliptic_angle(global_wcs)
+    gen_config = search_config["generator_config"] if hasattr(search_config, "__getitem__") else search_config
+    trjgen = create_trajectory_generator(gen_config, given_ecliptic=eclip_angle)
+    candidates = list(trjgen)
+    picks = rng.integers(0, len(candidates), n)
+    vx_arr = np.array([candidates[i].vx for i in picks], dtype=float)
+    vy_arr = np.array([candidates[i].vy for i in picks], dtype=float)
+
+    # Sub-velocity-resolution jitter (mean grid spacing per axis).
+    unique_vx = np.unique([t.vx for t in candidates])
+    unique_vy = np.unique([t.vy for t in candidates])
+    dvx = float(np.diff(unique_vx).mean()) if len(unique_vx) > 1 else 0.0
+    dvy = float(np.diff(unique_vy).mean()) if len(unique_vy) > 1 else 0.0
+    if dvx > 0:
+        vx_arr += rng.uniform(0, dvx, n)
+    if dvy > 0:
+        vy_arr += rng.uniform(0, dvy, n)
+
+    # Starting pixels inside the global frame, with sub-pixel jitter.
+    if global_wcs.pixel_shape is not None:
+        max_x, max_y = int(global_wcs.pixel_shape[0]), int(global_wcs.pixel_shape[1])
+    elif global_wcs.array_shape is not None:
+        max_y, max_x = (int(s) for s in global_wcs.array_shape)
+    else:
+        raise ValueError(
+            "WCS does not have sufficient information to compute pixel "
+            "boundaries (missing array_shape or pixel_shape)."
+        )
+    xs = rng.integers(0, max(max_x, 1), n) + rng.uniform(0, 1, n)
+    ys = rng.integers(0, max(max_y, 1), n) + rng.uniform(0, 1, n)
+
+    obstimes = np.sort(np.asarray(ic["mjd_mid"], dtype=float))
+    unique_obstimes = np.unique(obstimes)
+    dts = unique_obstimes - unique_obstimes[0]
+    xs_t = xs[:, None] + dts[None, :] * vx_arr[:, None]
+    ys_t = ys[:, None] + dts[None, :] * vy_arr[:, None]
+
+    ra_orig, dec_orig = global_wcs.pixel_to_world_values(xs_t.ravel(), ys_t.ravel())
+
+    if guess_distance is None:
+        ra_inj, dec_inj = ra_orig, dec_orig
+    else:
+        from kbmod_tpu.geom.geodesy import geodetic_to_geocentric
+        from kbmod_tpu.geom.wcs import SkyCoordLite
+        from kbmod_tpu.reprojection_utils import invert_correct_parallax_vectorized
+
+        loc = ic.get_observatory()
+        if loc is None:
+            raise ValueError("Observatory location not found in ImageCollection.")
+        site = geodetic_to_geocentric(*loc)
+        coords = SkyCoordLite(ra_orig, dec_orig)
+        coords.distance_au = np.full(ra_orig.size, float(guess_distance))
+        t_all = np.tile(unique_obstimes, n)
+        inverted = invert_correct_parallax_vectorized(coords, t_all, site)
+        ra_inj, dec_inj = inverted.ra_deg, inverted.dec_deg
+
+    n_epochs = len(unique_obstimes)
+    mags = np.repeat(rng.uniform(mag_range[0], mag_range[1], n), n_epochs)
+    catalog = {
+        "injection_id": np.arange(n * n_epochs),
+        "ra": ra_inj,
+        "dec": dec_inj,
+        "mag": mags,
+        "guess_distance": np.full(n * n_epochs, np.nan if guess_distance is None else guess_distance),
+        "source_type": np.array([source_type] * (n * n_epochs), dtype=object),
+        "obj_ids": np.repeat(np.arange(n), n_epochs),
+        "obstime": np.tile(unique_obstimes, n),
+        "plot_x": xs_t.ravel(),
+        "plot_y": ys_t.ravel(),
+    }
+    if guess_distance is not None:
+        catalog[f"ra_{float(guess_distance)}"] = ra_orig
+        catalog[f"dec_{float(guess_distance)}"] = dec_orig
+    return Table(catalog)
+
+
+def inject_sources_into_ic(ic, catalog, butler, inject_config=None, inject_task=None):
+    """Inject simulated objects into the exposures behind a Butler-backed
+    ImageCollection via the (LSST) VisitInjectTask and rebuild the
+    collection from the injected exposures (reference injection.py:204-322).
+
+    ``inject_task`` may supply a task instance directly (tests use a mock
+    of VisitInjectTask); otherwise the real LSST task is constructed —
+    requiring the LSST Science Pipelines.
+
+    Returns (new ImageCollection, stacked output catalogs).
+    """
+    import copy
+    import warnings
+
+    from kbmod_tpu.image_collection import ImageCollection
+
+    required_cols = ["dataId", "mjd_mid"]
+    missing = [c for c in required_cols if c not in ic.data.colnames]
+    if missing:
+        raise ValueError(
+            "inject_sources_into_ic requires a Butler-backed ImageCollection "
+            f"with columns: {required_cols}. Missing: {missing}"
+        )
+
+    if inject_task is None:
+        try:
+            from lsst.source.injection import VisitInjectConfig, VisitInjectTask
+        except ImportError as err:
+            raise ImportError("LSST Science Pipelines must be installed to inject sources.") from err
+        inject_task = VisitInjectTask(config=inject_config or VisitInjectConfig())
+
+    obstime = np.asarray(catalog["obstime"], dtype=float)
+    empty_catalog = {name: np.asarray(catalog[name])[:0] for name in catalog.colnames}
+
+    references, exposures, injected_cats = [], [], []
+    injected_cnt = 0
+    for i in range(len(ic)):
+        mjd_mid = float(ic.data["mjd_mid"][i])
+        entry = ic.get_standardizer(i, butler=butler)
+        std = entry["std"]
+        imdiff = std.exposure
+        ref = std.ref
+
+        mask = obstime == mjd_mid
+        if not mask.any():
+            exposures.append(imdiff)
+            injected_cats.append(Table(dict(empty_catalog)))
+            references.append(ref)
+            continue
+        srccat = catalog[np.nonzero(mask)[0].tolist()]
+        try:
+            result = inject_task.run(
+                injection_catalogs=srccat,
+                input_exposure=imdiff,
+                psf=imdiff.getPsf(),
+                photo_calib=getattr(imdiff, "photoCalib", None),
+                wcs=imdiff.getWcs(),
+            )
+            exposures.append(result.output_exposure)
+            injected_cats.append(result.output_catalog)
+            injected_cnt += 1
+        except RuntimeError:
+            warnings.warn(
+                f"Exposure {i}/{len(ic)} had no objects successfully rendered within bounds."
+            )
+            exposures.append(imdiff)
+            injected_cats.append(Table(dict(empty_catalog)))
+        references.append(ref)
+
+    if injected_cnt == 0:
+        warnings.warn("No objects were successfully rendered within bounds.")
+    else:
+        logger.info(f"Successfully injected sources into {injected_cnt}/{len(ic)} exposures.")
+
+    from kbmod_tpu.table import vstack as _vstack
+
+    stacked = _vstack(injected_cats) if injected_cats else Table({})
+
+    new_standardizers = []
+    for i in range(len(ic)):
+        std = ic.get_standardizer(i, butler=butler)["std"]
+        new_std = copy.deepcopy(std)
+        new_std.exposure = exposures[i]
+        new_std.processable = [exposures[i]]
+        new_std.ref = references[i]
+        new_standardizers.append(new_std)
+
+    new_ic = ImageCollection.fromStandardizers(new_standardizers)
+    return new_ic, stacked
 
 
 def _mag_to_flux(mag, zero_point=27.0):

@@ -97,6 +97,9 @@ class ButlerStandardizer(Standardizer):
             "bbox": self.standardizeBBox(),
             "filter": [self.exposure.getFilter().bandLabel if self.exposure.getFilter() else None],
             "visit": [getattr(self.ref, "dataId", {}).get("visit", None) if hasattr(self.ref, "dataId") else None],
+            # The Butler dataset id (uuid) — inject_sources_into_ic and
+            # the reference's Butler workflows key on this column.
+            "dataId": [str(getattr(self.ref, "id", self.ref))],
         }
 
     def standardizeScienceImage(self):
