@@ -56,7 +56,8 @@ def plot_multiple_images(images, labels=None, columns=3, norm=True, figure=None,
         plot_image(img, ax=ax, norm=norm, title=label, cmap=cmap)
         ax.set_xticks([])
         ax.set_yticks([])
-    figure.tight_layout()
+    if hasattr(figure, "tight_layout"):  # SubFigures have no tight_layout
+        figure.tight_layout()
     return figure
 
 
@@ -104,41 +105,76 @@ def plot_image_bounds(wcs_list, shapes, ax=None, figure=None, labels=None):
     return ax
 
 
+def _row_lightcurve(row):
+    """(lc, valid): the psi/phi flux curve with the validity mask the
+    reference uses (phi != 0, finite, obs_valid; plotting.py:555-565)."""
+    psi = np.asanyarray(row["psi_curve"], dtype=float)
+    phi = np.asanyarray(row["phi_curve"], dtype=float)
+    valid = (phi != 0) & np.isfinite(psi) & np.isfinite(phi)
+    if "obs_valid" in row:
+        valid = valid & np.asanyarray(row["obs_valid"], dtype=bool)
+    lc = np.zeros(psi.shape)
+    lc[valid] = psi[valid] / phi[valid]
+    return lc, valid
+
+
 def plot_result_row(row, times=None, coadd_col="stamp", figure=None):
-    """Summary figure for one result row: coadd stamp + psi/phi/likelihood
-    curves."""
+    """One result row: coadded stamp + light curve on top, the per-time
+    stamp gallery on the bottom (reference plotting.py:527-580)."""
     plt = _get_plt()
-    figure = figure or plt.figure(figsize=(10, 6))
+    figure = figure or plt.figure(layout="constrained")
+    fig_top, fig_bot = figure.subfigures(2, 1)
 
-    ax_stamp = figure.add_subplot(2, 2, 1)
-    if coadd_col in row:
-        plot_image(row[coadd_col], ax=ax_stamp, title=coadd_col)
+    ax_stamp, ax_lc = fig_top.subplots(1, 2)
+    if coadd_col in row and row[coadd_col] is not None:
+        plot_image(row[coadd_col], ax=ax_stamp, figure=fig_top, norm=True, title="Coadded Stamp")
     else:
-        ax_stamp.text(0.5, 0.5, "no stamp", ha="center")
+        ax_stamp.text(0.5, 0.5, "No Stamp", ha="center")
 
-    obs_valid = np.asanyarray(row["obs_valid"]) if "obs_valid" in row else None
-    if "psi_curve" in row:
-        ax_psi = figure.add_subplot(2, 2, 2)
-        plot_time_series(row["psi_curve"], times=times, indices=obs_valid, ax=ax_psi, title="psi")
-    if "phi_curve" in row:
-        ax_phi = figure.add_subplot(2, 2, 3)
-        plot_time_series(row["phi_curve"], times=times, indices=obs_valid, ax=ax_phi, title="phi")
     if "psi_curve" in row and "phi_curve" in row:
-        psi = np.asanyarray(row["psi_curve"], dtype=float)
-        phi = np.asanyarray(row["phi_curve"], dtype=float)
-        lh = np.where(phi > 0, psi / np.sqrt(np.where(phi > 0, phi, 1.0)), 0.0)
-        ax_lh = figure.add_subplot(2, 2, 4)
-        plot_time_series(lh, times=times, indices=obs_valid, ax=ax_lh, title="likelihood")
+        lc, valid = _row_lightcurve(row)
+        plot_time_series(lc, times, indices=valid, ax=ax_lc, figure=fig_top, title="Light curve")
+    else:
+        ax_lc.text(0.5, 0.5, "No Lightcurve", ha="center")
 
-    title = f"x={row['x']} y={row['y']} vx={row['vx']:.2f} vy={row['vy']:.2f} lh={row['likelihood']:.2f}"
-    figure.suptitle(title)
-    figure.tight_layout()
+    if "all_stamps" in row and row["all_stamps"] is not None:
+        labels = [f"T={t}" for t in times] if times is not None else None
+        plot_multiple_images(row["all_stamps"], figure=fig_bot, columns=5, labels=labels)
+    else:
+        ax = fig_bot.add_axes([0, 0, 1, 1])
+        ax.text(0.5, 0.5, "No Individual Stamps", ha="center")
     return figure
 
 
-def plot_result_row_summary(results, idx, times=None, figure=None):
-    """Summary figure for results.table row ``idx``."""
-    return plot_result_row(results.table[idx], times=times, figure=figure)
+def plot_result_row_summary(row, idx=None, times=None, figure=None):
+    """Result-row summary: light curve + its histogram on top, the four
+    coadd variants on the bottom (reference plotting.py:615-655).
+
+    Accepts a table row directly (the reference signature) or a Results
+    object plus ``idx``.
+    """
+    plt = _get_plt()
+    if idx is not None and hasattr(row, "table"):
+        row = row.table[int(idx)]
+    figure = figure or plt.figure(layout="constrained")
+    fig_top, fig_bot = figure.subfigures(2, 1)
+
+    ax_curves = fig_top.subplots(1, 2)
+    if "psi_curve" in row and "phi_curve" in row:
+        lc, valid = _row_lightcurve(row)
+        plot_time_series(lc, times, indices=valid, ax=ax_curves[0], figure=fig_top, title="Psi/Phi")
+        counts, bins = compute_lightcurve_histogram(row)
+        ax_curves[1].stairs(counts, bins)
+        ax_curves[1].set_title("Light curve histogram")
+
+    ax_stamps = fig_bot.subplots(1, 4)
+    for col, name in enumerate(["coadd_sum", "coadd_mean", "coadd_median", "coadd_weighted"]):
+        if name in row and row[name] is not None:
+            plot_image(row[name], ax=ax_stamps[col], figure=fig_bot, norm=True,
+                       title=name, show_counts=False)
+        else:
+            ax_stamps[col].text(0.5, 0.5, f"No {name}", ha="center")
+    return figure
 
 
 # --- field / footprint helpers (reference plotting.py:37-299) ---

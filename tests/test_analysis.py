@@ -321,3 +321,39 @@ class TestFakeInfo:
         fake.plot_summary()
         fake.compare_stamps(inds=[0, 1])
         plt.close("all")
+
+
+class TestResultRowPlots:
+    def _row(self, with_coadds=True):
+        import matplotlib
+
+        matplotlib.use("Agg")
+        rng = np.random.default_rng(9)
+        from kbmod_tpu.fake_data.fake_result_creator import make_fake_results
+
+        res = make_fake_results(6, 64, 64, 3, rng=rng)
+        res.table["stamp"] = rng.normal(0, 1, (3, 9, 9)).astype(np.float32)
+        res.table["all_stamps"] = rng.normal(0, 1, (3, 6, 9, 9)).astype(np.float32)
+        if with_coadds:
+            for name in ("coadd_sum", "coadd_mean", "coadd_median", "coadd_weighted"):
+                res.table[name] = rng.normal(0, 1, (3, 9, 9)).astype(np.float32)
+        return res
+
+    def test_plot_result_row_with_all_stamps(self):
+        import matplotlib.pyplot as plt
+        from kbmod_tpu.analysis.plotting import plot_result_row
+
+        res = self._row()
+        fig = plot_result_row(res.table[0], times=np.arange(6) * 0.1)
+        assert fig is not None
+        plt.close("all")
+
+    def test_plot_result_row_summary_both_signatures(self):
+        import matplotlib.pyplot as plt
+        from kbmod_tpu.analysis.plotting import plot_result_row_summary
+
+        res = self._row()
+        fig1 = plot_result_row_summary(res.table[1], times=np.arange(6) * 0.1)
+        fig2 = plot_result_row_summary(res, 1, times=np.arange(6) * 0.1)
+        assert fig1 is not None and fig2 is not None
+        plt.close("all")
