@@ -88,8 +88,16 @@ def rice_decode(data, npix, bytepix=4):
     """Decode a RICE_1 stream into ``npix`` signed integers.
 
     Returns an int32 numpy array (int8/int16 semantics wrap naturally via
-    the two's-complement difference arithmetic).
+    the two's-complement difference arithmetic). Uses the native (C)
+    codec when available — the pure-Python path below is the semantic
+    reference and the compiler-less fallback.
     """
+    from kbmod_tpu import native
+
+    if native.available():
+        out = native.rice_decode(data, npix, bytepix)
+        if out is not None:
+            return out
     p = _PARAMS[int(bytepix)]
     fsbits, fsmax, bbits = p["fsbits"], p["fsmax"], p["bbits"]
     out = np.zeros(npix, dtype=np.int64)
@@ -141,7 +149,14 @@ def rice_decode(data, npix, bytepix=4):
 
 def rice_encode(values, bytepix=4):
     """Encode signed integers as a RICE_1 stream (bit-identical decoding
-    contract with CFITSIO's fits_rcomp)."""
+    contract with CFITSIO's fits_rcomp). Native (C) fast path when
+    available; pure-Python reference below."""
+    from kbmod_tpu import native
+
+    if native.available():
+        out = native.rice_encode(values, bytepix)
+        if out is not None:
+            return out
     p = _PARAMS[int(bytepix)]
     fsbits, fsmax, bbits = p["fsbits"], p["fsmax"], p["bbits"]
     vals = np.asarray(values, dtype=np.int64)
@@ -163,11 +178,8 @@ def rice_encode(values, bytepix=4):
     mapped = np.where(d < 0, (-d << 1) - 1, d << 1)
     diffs = np.concatenate([[0], mapped])
 
-    i = 1  # first pixel stored verbatim; block loop starts at pixel 1? No:
-    # CFITSIO encodes the first pixel raw and then blocks of NBLOCK diffs
-    # starting from pixel 0 with diff[0] relative to the raw value = 0.
-    # We mirror the decoder above: blocks cover pixels [0, npix) and the
-    # first diff is 0.
+    # Blocks cover pixels [0, npix); the first pixel is stored verbatim in
+    # the header, so its in-block diff is 0.
     i = 0
     while i < npix:
         imax = min(i + NBLOCK, npix)

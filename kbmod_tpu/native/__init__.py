@@ -63,6 +63,22 @@ def _load():
                 ctypes.c_int32,
                 ctypes.POINTER(ctypes.c_float),
             ]
+            lib.rice_decode.restype = ctypes.c_int
+            lib.rice_decode.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.c_int64,
+                ctypes.c_int64,
+                ctypes.c_int32,
+                ctypes.POINTER(ctypes.c_int32),
+            ]
+            lib.rice_encode.restype = ctypes.c_int64
+            lib.rice_encode.argtypes = [
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.c_int64,
+                ctypes.c_int32,
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.c_int64,
+            ]
             _lib = lib
         except Exception as err:  # pragma: no cover - compiler-less envs
             logger.warning(f"Native library unavailable ({err}); using Python fallbacks.")
@@ -132,3 +148,40 @@ def extract_stamps(imgs, xs, ys, radius):
         _ptr(out, ctypes.c_float),
     )
     return out
+
+
+def rice_decode(data, npix, bytepix):
+    """Decode a RICE_1 stream via the native codec; None when the native
+    library is unavailable (the caller falls back to io/rice.py)."""
+    lib = _load()
+    if lib is None:
+        return None
+    buf = np.frombuffer(bytes(data), dtype=np.uint8)
+    out = np.empty(int(npix), dtype=np.int32)
+    rc = lib.rice_decode(
+        _ptr(buf, ctypes.c_uint8), len(buf), int(npix), int(bytepix),
+        _ptr(out, ctypes.c_int32),
+    )
+    if rc != 0:
+        raise ValueError("Corrupt RICE stream (native decoder).")
+    return out
+
+
+def rice_encode(values, bytepix):
+    """Encode int values as a RICE_1 stream via the native codec; None
+    when the native library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    vals = np.ascontiguousarray(values, dtype=np.int32)
+    # Worst case: every block verbatim -> bytepix + fsbits bits overhead
+    # per block plus bbits per value; 2x + 64 covers all of it.
+    cap = 2 * vals.size * int(bytepix) + vals.size // 4 + 64
+    out = np.empty(cap, dtype=np.uint8)
+    n = lib.rice_encode(
+        _ptr(vals, ctypes.c_int32), vals.size, int(bytepix),
+        _ptr(out, ctypes.c_uint8), cap,
+    )
+    if n < 0:
+        raise ValueError("RICE encode buffer overflow (native encoder).")
+    return out[:n].tobytes()

@@ -158,3 +158,46 @@ class TestBinTableFile:
         finite = np.isfinite(img)
         assert np.isnan(np.asarray(sci.data)[~finite]).all()
         np.testing.assert_allclose(np.asarray(sci.data)[finite], img[finite], atol=0.0051)
+
+
+class TestNativeRiceCodec:
+    """The C codec must produce bit-identical streams/decodes to the
+    pure-Python reference implementation."""
+
+    def _py_codec(self):
+        import importlib
+
+        import kbmod_tpu.io.rice as rice_mod
+
+        return rice_mod
+
+    @pytest.mark.parametrize("bytepix", [1, 2, 4])
+    def test_native_matches_python(self, bytepix):
+        from kbmod_tpu import native
+
+        if not native.available():
+            pytest.skip("no compiler for the native library")
+        import kbmod_tpu.io.rice as rice_mod
+
+        rng = np.random.default_rng(17)
+        lim = 2 ** (8 * bytepix - 1)
+        cases = [
+            rng.integers(-lim, lim, 1000).astype(np.int32),
+            np.full(77, 13, np.int32),
+            (np.arange(500) * 7 % (2 * lim) - lim).astype(np.int32),
+            rng.integers(-3, 3, 333).astype(np.int32).cumsum().astype(np.int32),
+        ]
+        for vals in cases:
+            if bytepix < 4:
+                vals = ((vals.astype(np.int64) + lim) % (2 * lim) - lim).astype(np.int32)
+            enc_c = native.rice_encode(vals, bytepix)
+            # Force the pure-Python paths for comparison.
+            import unittest.mock as mock
+
+            with mock.patch.object(native, "available", return_value=False):
+                enc_py = rice_mod.rice_encode(vals, bytepix)
+                dec_py_of_c = rice_mod.rice_decode(enc_c, len(vals), bytepix)
+            assert enc_c == enc_py  # identical bitstreams
+            dec_c_of_py = native.rice_decode(enc_py, len(vals), bytepix)
+            np.testing.assert_array_equal(dec_c_of_py, vals)
+            np.testing.assert_array_equal(dec_py_of_c, vals)
