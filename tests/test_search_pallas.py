@@ -353,3 +353,41 @@ class TestStackSearchPackedPath:
         np.testing.assert_allclose(got["lh"], ref["lh"], rtol=1e-5, atol=1e-5)
         np.testing.assert_array_equal(got["x"], ref["x"])
         np.testing.assert_array_equal(got["y"], ref["y"])
+
+
+class TestPairedKernelLimits:
+    def test_t_beyond_257_uses_classic_kernel_exactly(self):
+        """uint8 stacks taller than the packed-16-bit-sum bound (T > 257)
+        must route to the per-class kernel and stay exact."""
+        import jax.numpy as jnp
+
+        from kbmod_tpu.ops.search import search_topk_shift, trajectory_offsets
+        from kbmod_tpu.ops.search_pallas import _use_paired, search_topk_pallas_encoded
+
+        assert _use_paired(jnp.uint8, 257)
+        assert not _use_paired(jnp.uint8, 258)
+        assert not _use_paired(jnp.uint16, 8)
+
+        rng = np.random.default_rng(5)
+        T, H, W, C = 260, 10, 12, 3
+        psi_c = rng.integers(0, 256, (T, H, W), dtype=np.uint8)
+        phi_c = rng.integers(1, 256, (T, H, W), dtype=np.uint8)
+        em = np.array([-3.0, 6.0 / 254, 0.05, 2.0 / 254], dtype=np.float32)
+        times = np.arange(T) * 0.01
+        dxs, dys = trajectory_offsets(
+            rng.uniform(-2, 2, C).astype(np.float32),
+            rng.uniform(-2, 2, C).astype(np.float32),
+            times,
+        )
+        common = dict(x_min=0, x_max=W, y_min=0, y_max=H, k_results=2)
+        ref_lh, _ = search_topk_shift(
+            jnp.asarray(psi_c), jnp.asarray(phi_c), jnp.zeros((1, 1, 1), jnp.uint8),
+            jnp.asarray(dxs), jnp.asarray(dys), jnp.float32(0), jnp.float32(0),
+            encode_meta=jnp.asarray(em), **common,
+        )
+        pal_lh, _ = search_topk_pallas_encoded(
+            jnp.asarray(psi_c), jnp.asarray(phi_c), jnp.asarray(dxs), jnp.asarray(dys),
+            jnp.float32(0), jnp.float32(0), jnp.asarray(em),
+            interpret=True, row_tile=8, **common,
+        )
+        np.testing.assert_allclose(np.asarray(pal_lh), np.asarray(ref_lh), rtol=2e-5, atol=2e-5)
