@@ -268,8 +268,10 @@ def _search_kernel(
         topi = top_idx_ref[...]
         p = jnp.sum((top >= new[None]).astype(jnp.int32), axis=0)  # (TH, SW)
         kidx = lax.broadcasted_iota(jnp.int32, (K, TH, SW), 0)
-        shifted = jnp.concatenate([top[:1], top[:-1]], axis=0)
-        shiftedi = jnp.concatenate([topi[:1], topi[:-1]], axis=0)
+        # K == 1 has no slots to displace (and top[:-1] would be a
+        # zero-size vector, which Mosaic rejects).
+        shifted = top if K == 1 else jnp.concatenate([top[:1], top[:-1]], axis=0)
+        shiftedi = topi if K == 1 else jnp.concatenate([topi[:1], topi[:-1]], axis=0)
         at_p = kidx == p[None]
         below = kidx > p[None]
         top_lh_ref[...] = jnp.where(at_p, new[None], jnp.where(below, shifted, top))
@@ -595,8 +597,8 @@ def _search_kernel_encoded(
             topi = out_idx[k][...]
             p = jnp.sum((top >= new[None]).astype(jnp.int32), axis=0)
             kidx = lax.broadcasted_iota(jnp.int32, (K, TH, SW4), 0)
-            shifted = jnp.concatenate([top[:1], top[:-1]], axis=0)
-            shiftedi = jnp.concatenate([topi[:1], topi[:-1]], axis=0)
+            shifted = top if K == 1 else jnp.concatenate([top[:1], top[:-1]], axis=0)
+            shiftedi = topi if K == 1 else jnp.concatenate([topi[:1], topi[:-1]], axis=0)
             at_p = kidx == p[None]
             below = kidx > p[None]
             out_lh[k][...] = jnp.where(at_p, new[None], jnp.where(below, shifted, top))
@@ -1010,8 +1012,8 @@ def _search_kernel_paired(
             topi = idx_ref[...]
             p = jnp.sum((top >= new[None]).astype(jnp.int32), axis=0)
             kidx = lax.broadcasted_iota(jnp.int32, (K, TH, SW4), 0)
-            shifted = jnp.concatenate([top[:1], top[:-1]], axis=0)
-            shiftedi = jnp.concatenate([topi[:1], topi[:-1]], axis=0)
+            shifted = top if K == 1 else jnp.concatenate([top[:1], top[:-1]], axis=0)
+            shiftedi = topi if K == 1 else jnp.concatenate([topi[:1], topi[:-1]], axis=0)
             at_p = kidx == p[None]
             below = kidx > p[None]
             lh_ref[...] = jnp.where(at_p, new[None], jnp.where(below, shifted, top))

@@ -391,3 +391,48 @@ class TestPairedKernelLimits:
             interpret=True, row_tile=8, **common,
         )
         np.testing.assert_allclose(np.asarray(pal_lh), np.asarray(ref_lh), rtol=2e-5, atol=2e-5)
+
+
+class TestKEqualsOne:
+    @pytest.mark.parametrize("encoded", [False, True])
+    def test_k1_matches_xla(self, encoded):
+        """results_per_pixel=1 must work in every kernel variant (the
+        rank-insert displacement slice is empty at K=1)."""
+        import jax.numpy as jnp
+
+        from kbmod_tpu.ops.search import search_topk_shift, trajectory_offsets
+        from kbmod_tpu.ops.search_pallas import (
+            search_topk_pallas,
+            search_topk_pallas_encoded,
+        )
+
+        rng = np.random.default_rng(8)
+        T, H, W, C = 5, 16, 20, 6
+        times = np.arange(T) * 0.4
+        dxs, dys = trajectory_offsets(
+            rng.uniform(-3, 3, C).astype(np.float32),
+            rng.uniform(-3, 3, C).astype(np.float32), times)
+        common = dict(x_min=0, x_max=W, y_min=0, y_max=H, k_results=1)
+        if encoded:
+            psi_c = rng.integers(1, 256, (T, H, W), dtype=np.uint8)
+            phi_c = rng.integers(1, 256, (T, H, W), dtype=np.uint8)
+            em = np.array([-3.0, 6.0 / 254, 0.05, 2.0 / 254], np.float32)
+            ref, _ = search_topk_shift(
+                jnp.asarray(psi_c), jnp.asarray(phi_c), jnp.zeros((1, 1, 1), jnp.uint8),
+                jnp.asarray(dxs), jnp.asarray(dys), jnp.float32(0), jnp.float32(0),
+                encode_meta=jnp.asarray(em), **common)
+            pal, _ = search_topk_pallas_encoded(
+                jnp.asarray(psi_c), jnp.asarray(phi_c), jnp.asarray(dxs), jnp.asarray(dys),
+                jnp.float32(0), jnp.float32(0), jnp.asarray(em),
+                interpret=True, row_tile=8, **common)
+        else:
+            psi = jnp.asarray(rng.normal(0, 1, (T, H, W)).astype(np.float32))
+            phi = jnp.asarray(rng.uniform(0.5, 2.0, (T, H, W)).astype(np.float32))
+            valid = jnp.ones((T, H, W), jnp.uint8)
+            ref, _ = search_topk_shift(
+                psi, phi, valid, jnp.asarray(dxs), jnp.asarray(dys),
+                jnp.float32(0), jnp.float32(0), **common)
+            pal, _ = search_topk_pallas(
+                psi, phi, valid, jnp.asarray(dxs), jnp.asarray(dys),
+                jnp.float32(0), jnp.float32(0), interpret=True, row_tile=8, **common)
+        np.testing.assert_allclose(np.asarray(pal), np.asarray(ref), rtol=1e-5, atol=1e-5)
