@@ -97,21 +97,23 @@ def _cok_table(C, cand_valid, cand_offset, chunk_offset=0):
 
 
 def _merge_pair(lh_a, idx_a, lh_b, idx_b, K):
-    """Stable per-pixel merge of two descending-sorted top-K maps (a's
-    candidates arrived first).
+    """Per-pixel merge of two descending-sorted top-K maps into the
+    canonical (lh desc, candidate-idx asc) order.
 
     Sort-free: both inputs are already sorted, so each element's merged
-    rank is its own index plus the count of strictly-dominating elements
-    in the other list (>= when the other list is a, for stability). K^2
-    elementwise compares beat a (2K, H, W) sort by a wide margin on TPU.
+    rank is its own index plus the count of dominating elements in the
+    other list. Exact likelihood ties rank by ascending candidate index —
+    identical to arrival order when candidates are processed in index
+    order (every ungrouped path), and order-independent for the grouped
+    kernel, whose processing order is a velocity sort. K^2 elementwise
+    compares beat a (2K, H, W) sort by a wide margin on TPU.
     """
     ki = jnp.arange(K, dtype=jnp.int32)
-    rank_a = ki[:, None, None] + jnp.sum(
-        lh_b[None] > lh_a[:, None], axis=1, dtype=jnp.int32
+    b_beats_a = (lh_b[None] > lh_a[:, None]) | (
+        (lh_b[None] == lh_a[:, None]) & (idx_b[None] < idx_a[:, None])
     )
-    rank_b = ki[:, None, None] + jnp.sum(
-        lh_a[None] >= lh_b[:, None], axis=1, dtype=jnp.int32
-    )
+    rank_a = ki[:, None, None] + jnp.sum(b_beats_a, axis=1, dtype=jnp.int32)
+    rank_b = ki[:, None, None] + jnp.sum(~b_beats_a.swapaxes(0, 1), axis=1, dtype=jnp.int32)
     # Scatter-by-onehot: merged ranks are a permutation of 0..2K-1, so each
     # output slot r < K matches exactly one source element.
     hit_a = rank_a[None] == ki[:, None, None, None]  # (r, i, SH, SW)
@@ -1159,6 +1161,475 @@ def _run_paired_search(
     return top_lh[:, :SH, :SW], top_idx[:, :SH, :SW]
 
 
+# ---------------------------------------------------------------------------
+# Grouped paired kernel: candidate-group DMA reuse
+# ---------------------------------------------------------------------------
+#
+# The per-candidate kernels above re-stream the row window for EVERY
+# candidate: at survey scale (4k-wide stacks force a 16-row tile, so each
+# DMA moves TH+8 rows for TH useful ones) the window traffic is the
+# bottleneck. Candidates with similar vy read almost the same rows at every
+# time step, so the grouped kernel sorts candidates by net row motion,
+# packs G of them into a group whose per-time row spread is <= S, and DMAs
+# ONE (TH+8+S)-row window (both column-parity streams) per (tile, group,
+# time) — amortizing the window over G candidates. Each candidate keeps its
+# own (TH, SW4) packed accumulators in VMEM; per-candidate row/parity
+# selection is a single sublane roll over the stacked two-stream buffer.
+#
+# Processing order is the velocity sort, not candidate order, so top-K
+# insertion (and _merge_pair) break exact likelihood ties by ascending
+# global candidate index — equal to arrival order of the per-candidate
+# kernels and the XLA path, making results order-independent.
+
+
+def _plan_groups(dys_np, G, S):
+    """Sort candidates by net row motion and pack consecutive candidates
+    into groups of <= G whose per-time row spread is <= S.
+
+    Returns ``(order, starts)``: ``order`` is the (C,) processing
+    permutation; ``starts`` the first slot of each group within it.
+    """
+    dys_np = np.asarray(dys_np)
+    C, T = dys_np.shape
+    key = dys_np[:, -1]
+    order = np.argsort(key, kind="stable").astype(np.int32)
+    d_last = key[order]
+    # Greedy pass on the last-time offsets: for linear trajectories the
+    # spread at any t is bounded by the last-time spread + 2 (floor
+    # jitter), so a last-time bound of S-2 guarantees S overall.
+    bound = max(int(S) - 2, 0)
+    starts = [0]
+    for i in range(1, C):
+        if i - starts[-1] >= G or d_last[i] - d_last[starts[-1]] > bound:
+            starts.append(i)
+    starts = np.asarray(starts, dtype=np.int64)
+    # Exact verification over every time step (arbitrary dys inputs need
+    # not be linear): split any violating group into singletons.
+    d = dys_np[order]
+    gmin = np.minimum.reduceat(d, starts, axis=0)
+    gmax = np.maximum.reduceat(d, starts, axis=0)
+    bad = (gmax - gmin).max(axis=1) > S
+    if bad.any():
+        ends = np.append(starts[1:], C)
+        new_starts = []
+        for gi in range(len(starts)):
+            if bad[gi]:
+                new_starts.extend(range(int(starts[gi]), int(ends[gi])))
+            else:
+                new_starts.append(int(starts[gi]))
+        starts = np.asarray(new_starts, dtype=np.int64)
+    return order, starts
+
+
+def _grouped_tables(order, starts, G, dxs_np, dys_np, oy0, ox0, pad_rows, H,
+                    cand_valid=None, cand_offset=0):
+    """Build the grouped kernel's host-side tables.
+
+    Returns ``(tbl, grp, cok)``: ``tbl`` (NG*G, 2T) int32 [ox | oy] per
+    slot (padding slots mirror the group's first member so their roll
+    amounts stay in range; their validity bit is 0); ``grp`` (NG, T) the
+    per-group minimum source row; ``cok`` (NG*G, 2) validity + global
+    candidate index.
+    """
+    C, T = dys_np.shape
+    NG = len(starts)
+    ends = np.append(starts[1:], C)
+    sizes = ends - starts
+    # Slot -> source candidate, padding mirroring the first group member.
+    offs = np.arange(G)[None, :]
+    slot_pos = starts[:, None] + np.minimum(offs, sizes[:, None] - 1)
+    src = order[slot_pos]  # (NG, G)
+    slot_ok = (offs < sizes[:, None]).astype(np.int32)
+    if cand_valid is not None:
+        slot_ok = slot_ok * np.asarray(cand_valid).astype(np.int32)[src]
+
+    flat = src.reshape(-1)
+    ox = (int(ox0) + dxs_np[flat].astype(np.int64)).astype(np.int32)  # (NG*G, T)
+    oy = (int(oy0) + dys_np[flat].astype(np.int64)).astype(np.int32)
+    tbl = np.concatenate([ox, oy], axis=1)  # (NG*G, 2T)
+    t_idx = np.arange(T, dtype=np.int64)[None, :]
+    rows = (pad_rows + t_idx * H + oy.astype(np.int64)).astype(np.int32)
+    grp = rows.reshape(NG, G, T).min(axis=1)
+    idxg = (flat.astype(np.int64) + int(cand_offset)).astype(np.int32)
+    cok = np.stack([slot_ok.reshape(-1), idxg], axis=1).astype(np.int32)
+    return tbl, grp, cok
+
+
+def _search_kernel_paired_grouped(
+    tbl_ref,  # (NGC*G, 2T) int32: [x offset | y offset] per slot/time
+    grp_ref,  # (NGC, T) int32: group-minimum source row (no tile offset)
+    cok_ref,  # (NGC*G, 2) int32: [validity, global candidate index]
+    scalars_ref,  # (8,) f32: [min_obs, min_lh, unused, unused,
+    #              psi_min, psi_scale, phi_min, phi_scale]
+    words_hbm,  # (2*ROWS1, W4) int32: parity-0 stream then parity-1 stream
+    out_lh0,
+    out_lh1,
+    out_idx0,
+    out_idx1,
+    word_buf,  # (DD, 2*TBG, W4) int32: both streams' group windows stacked
+    sems,  # DMA sems (DD, 2)
+    *,
+    T,
+    H,
+    W,
+    W4,
+    TH,
+    SW4,
+    K,
+    DD,
+    S,
+    G,
+    ROWS1,
+    pad_rows,
+    gate_min_obs,
+    gate_min_lh,
+):
+    """Candidate-grouped variant of _search_kernel_paired (see the module
+    comment above): one dual-stream window DMA per (tile, group, time)
+    serves G candidates; per-candidate state is G packed accumulator
+    triples. Top-K insertion breaks exact ties by ascending candidate
+    index (reference semantics up to equal-lh ordering, kernels.cu:322-330
+    — identical to the per-candidate kernels' arrival order)."""
+    TBG = TH + 8 + S
+    ty = pl.program_id(0)
+    pg = pl.program_id(1)
+    tile_row0 = ty * TH
+
+    @pl.when(pg == 0)
+    def _init_topk():
+        for ref in (out_lh0, out_lh1):
+            ref[...] = jnp.full((K, TH, SW4), -FLT_MAX, dtype=jnp.float32)
+        for ref in (out_idx0, out_idx1):
+            ref[...] = jnp.full((K, TH, SW4), -1, dtype=jnp.int32)
+
+    min_obs = scalars_ref[0]
+    min_lh = scalars_ref[1]
+    psi_min = scalars_ref[4]
+    psi_scale = scalars_ref[5]
+    phi_min = scalars_ref[6]
+    phi_scale = scalars_ref[7]
+
+    def base_for(t):
+        r = jnp.clip(grp_ref[pg, t] + tile_row0, 0, ROWS1 - TBG)
+        return pl.multiple_of((r // 8) * 8, 8)
+
+    def dma(slot, t):
+        r8 = base_for(t)
+        return [
+            pltpu.make_async_copy(
+                words_hbm.at[pl.ds(r8, TBG), :],
+                word_buf.at[slot, pl.ds(0, TBG)],
+                sems.at[slot, 0],
+            ),
+            pltpu.make_async_copy(
+                words_hbm.at[pl.ds(r8 + ROWS1, TBG), :],
+                word_buf.at[slot, pl.ds(TBG, TBG)],
+                sems.at[slot, 1],
+            ),
+        ]
+
+    ii = lax.broadcasted_iota(jnp.int32, (TH, SW4), 0)
+    jj0 = 2 * lax.broadcasted_iota(jnp.int32, (TH, SW4), 1)
+
+    PAIR_ONES = jnp.int32(0x00FF00FF)
+    FIELD_ONES = jnp.int32(0x00010001)
+    LO16 = jnp.int32(0x0000FFFF)
+    HI16 = jnp.int32(-65536)  # 0xFFFF0000
+
+    def run(acc_psi, acc_phi, acc_obs):
+        for gi in range(G):
+            acc_psi[gi] = jnp.zeros((TH, SW4), dtype=jnp.int32)
+            acc_phi[gi] = jnp.zeros((TH, SW4), dtype=jnp.int32)
+            acc_obs[gi] = jnp.zeros((TH, SW4), dtype=jnp.int32)
+
+        for d in range(DD - 1):
+            for cp in dma(d, d):
+                cp.start()
+
+        def tbody(t, _):
+            slot = t % DD
+
+            @pl.when(t + DD - 1 < T)
+            def _prefetch():
+                for cp in dma((t + DD - 1) % DD, t + DD - 1):
+                    cp.start()
+
+            for cp in dma(slot, t):
+                cp.wait()
+
+            r8 = base_for(t)
+            buf = word_buf[slot]  # (2*TBG, W4)
+            for gi in range(G):
+                ci = pg * G + gi
+                ox = tbl_ref[ci, t]
+                oy = tbl_ref[ci, T + t] + tile_row0
+                par = lax.rem(lax.rem(ox, 2) + 2, 2)
+                row_i = pad_rows + t * H + oy
+                # Start row inside the stacked buffer: the candidate's
+                # residual within the group window, plus TBG to land in
+                # the parity-1 half for odd column shifts. Clipped so the
+                # sublane roll amount stays positive even for windows the
+                # bounds masks fully reject.
+                rshift = jnp.clip(row_i - r8 + par * TBG, 0, 2 * TBG - 1)
+                pw = pltpu.roll(buf, 2 * TBG - rshift, 0)[:TH]
+                dw = (ox + par) // 2
+                wk = pltpu.roll(pw, -dw, 1)[:, :SW4]
+                row_ok = (ii >= -oy) & (ii < H - oy)
+                v0 = (jj0 >= -ox) & (jj0 < W - ox)
+                v1 = (jj0 >= -ox - 1) & (jj0 < W - ox - 1)
+                m = jnp.where(v0 & row_ok, LO16, 0) | jnp.where(v1 & row_ok, HI16, 0)
+                wm = wk & m
+                pv = wm & PAIR_ONES
+                fv = lax.shift_right_logical(wm, 8) & PAIR_ONES
+                acc_psi[gi] = acc_psi[gi] + pv
+                acc_phi[gi] = acc_phi[gi] + fv
+                ind = lax.shift_right_logical(pv + PAIR_ONES, 8) & FIELD_ONES
+                acc_obs[gi] = acc_obs[gi] + ind
+            return 0
+
+        lax.fori_loop(0, T, tbody, 0)
+
+        for gi in range(G):
+            ci = pg * G + gi
+            for k, (lh_ref, idx_ref) in enumerate(
+                ((out_lh0, out_idx0), (out_lh1, out_idx1))
+            ):
+                if k == 0:
+                    psi_c = acc_psi[gi] & LO16
+                    phi_c = acc_phi[gi] & LO16
+                    obs_i = acc_obs[gi] & LO16
+                else:
+                    psi_c = lax.shift_right_logical(acc_psi[gi], 16)
+                    phi_c = lax.shift_right_logical(acc_phi[gi], 16)
+                    obs_i = lax.shift_right_logical(acc_obs[gi], 16)
+                obs = obs_i.astype(jnp.float32)
+                psi_sum = psi_scale * psi_c.astype(jnp.float32) + (psi_min - psi_scale) * obs
+                phi_sum = phi_scale * phi_c.astype(jnp.float32) + (phi_min - phi_scale) * obs
+                lh = jnp.where(phi_sum > 0, psi_sum * lax.rsqrt(jnp.maximum(phi_sum, 1e-30)), -1.0)
+                ok = jnp.full((TH, SW4), cok_ref[ci, 0] != 0)
+                if gate_min_obs:
+                    ok &= obs >= min_obs
+                if gate_min_lh:
+                    ok &= lh >= min_lh
+                new = jnp.where(ok, lh, -jnp.inf)
+                newi = jnp.full((TH, SW4), cok_ref[ci, 1], dtype=jnp.int32)
+                top = lh_ref[...]
+                topi = idx_ref[...]
+                # Rank-insert with the canonical tie rule: existing entries
+                # stay above the newcomer when strictly better OR equal
+                # with a smaller candidate index.
+                above = (top > new[None]) | ((top == new[None]) & (topi < newi[None]))
+                p = jnp.sum(above.astype(jnp.int32), axis=0)
+                kidx = lax.broadcasted_iota(jnp.int32, (K, TH, SW4), 0)
+                shifted = top if K == 1 else jnp.concatenate([top[:1], top[:-1]], axis=0)
+                shiftedi = topi if K == 1 else jnp.concatenate([topi[:1], topi[:-1]], axis=0)
+                at_p = kidx == p[None]
+                below = kidx > p[None]
+                lh_ref[...] = jnp.where(at_p, new[None], jnp.where(below, shifted, top))
+                idx_ref[...] = jnp.where(at_p, newi[None], jnp.where(below, shiftedi, topi))
+
+    pl.run_scoped(
+        run,
+        acc_psi=pltpu.VMEM((G, TH, SW4), jnp.int32),
+        acc_phi=pltpu.VMEM((G, TH, SW4), jnp.int32),
+        acc_obs=pltpu.VMEM((G, TH, SW4), jnp.int32),
+    )
+
+
+def _grouped_row_tile(SH, SW4, W4, K, DD, G, S):
+    """Largest row tile whose grouped-kernel VMEM footprint (double-buffered
+    output blocks + G accumulator triples + the DMA ring) fits."""
+    budget = 13 * 1024 * 1024
+    for TH in (64, 48, 32, 24, 16, 8):
+        TBG = TH + 8 + S
+        total = 2 * 4 * K * TH * SW4 * 4 + 3 * G * TH * SW4 * 4 + DD * 2 * TBG * W4 * 4
+        if total <= budget:
+            return min(TH, _round_up(SH, 8))
+    return 8
+
+
+def _grouped_cand_chunk(NG, T, G):
+    """Groups per kernel call under the SMEM table budget (tbl is lane-
+    padded to 128 columns per slot; cok costs one padded row per slot)."""
+    per_slot = (_round_up_int(2 * int(T), 128) + 128) * 4
+    per_group = G * per_slot + _round_up_int(int(T), 128) * 4
+    return max(1, min(int(NG), _SMEM_TABLE_BYTES // per_group))
+
+
+def search_topk_paired_grouped(
+    words_r,
+    dxs,
+    dys,
+    min_obs,
+    min_lh,
+    encode_meta,
+    *,
+    shape,
+    pad_rows,
+    x_min,
+    x_max,
+    y_min,
+    y_max,
+    k_results,
+    gate_min_obs=True,
+    gate_min_lh=False,
+    row_tile=None,
+    interpret=False,
+    cand_offset=0,
+    cand_valid=None,
+    group_size=8,
+    spread=8,
+):
+    """Candidate-grouped paired search over a pre-packed dual-parity uint8
+    word stream (from :func:`pack_psi_phi_words`). Identical outputs to
+    :func:`search_topk_pallas_packed` (ties ordered by candidate index,
+    which equals that kernel's arrival order). Requires concrete (host)
+    ``dxs``/``dys`` — the grouping plan is data-dependent."""
+    T, H, W = (int(v) for v in shape)
+    dxs_np = np.asarray(dxs, dtype=np.int32)
+    dys_np = np.asarray(dys, dtype=np.int32)
+    C = dxs_np.shape[0]
+    SH = y_max - y_min
+    SW = x_max - x_min
+    K = int(k_results)
+    G = int(group_size)
+    S = int(spread)
+
+    SW4 = pl.cdiv(SW, 2)
+    W4 = words_r.shape[1]
+    base_rows = T * H + 2 * pad_rows
+    ROWS1 = _round_up(base_rows, 8)
+    if words_r.shape[0] != 2 * ROWS1:
+        raise ValueError("grouped search needs the dual-parity uint8 stream")
+    if W4 < _round_up(max(pl.cdiv(W, 2), SW4), 128):
+        raise ValueError(
+            f"packed stream W4={W4} too narrow for this search window; "
+            f"repack with sw_max >= {SW}"
+        )
+
+    DD = max(1, min(int(T), 2))
+    if row_tile is None:
+        row_tile = _grouped_row_tile(SH, SW4, W4, K, DD, G, S)
+    TH = int(row_tile)
+    n_ty = pl.cdiv(SH, TH)
+    SH_pad = n_ty * TH
+    if pad_rows < _round_up(SH_pad + H + 16 + S, 8):
+        raise ValueError(
+            f"packed stream pad_rows={pad_rows} too small; repack with sh_max >= {SH}"
+        )
+
+    order, starts = _plan_groups(dys_np, G, S)
+    tbl, grp, cok = _grouped_tables(
+        order, starts, G, dxs_np, dys_np, int(y_min), int(x_min), pad_rows, H,
+        cand_valid=None if cand_valid is None else np.asarray(cand_valid),
+        cand_offset=int(cand_offset),
+    )
+    NG = grp.shape[0]
+
+    NGC = _grouped_cand_chunk(NG, T, G)
+    n_chunks = pl.cdiv(NG, NGC)
+    # Pad to whole chunks with invalid groups (windows pinned at row 0).
+    gpad = n_chunks * NGC - NG
+    if gpad:
+        tbl = np.concatenate([tbl, np.zeros((gpad * G, 2 * T), np.int32)], axis=0)
+        grp = np.concatenate([grp, np.zeros((gpad, T), np.int32)], axis=0)
+        cok = np.concatenate([cok, np.zeros((gpad * G, 2), np.int32)], axis=0)
+
+    top_lh, top_idx = _paired_grouped_jit(
+        words_r, jnp.asarray(tbl), jnp.asarray(grp), jnp.asarray(cok),
+        jnp.asarray(np.asarray(encode_meta, dtype=np.float32).reshape(4)),
+        jnp.float32(min_obs), jnp.float32(min_lh),
+        T=T, H=H, W=W, W4=W4, TH=TH, SW4=SW4, K=K, DD=DD, S=S, G=G,
+        ROWS1=ROWS1, pad_rows=pad_rows, SH_pad=SH_pad, n_ty=n_ty,
+        NGC=NGC, n_chunks=n_chunks,
+        gate_min_obs=gate_min_obs, gate_min_lh=gate_min_lh, interpret=interpret,
+    )
+    return top_lh[:, :SH, :SW], top_idx[:, :SH, :SW]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "T", "H", "W", "W4", "TH", "SW4", "K", "DD", "S", "G",
+        "ROWS1", "pad_rows", "SH_pad", "n_ty", "NGC", "n_chunks",
+        "gate_min_obs", "gate_min_lh", "interpret",
+    ),
+)
+def _paired_grouped_jit(
+    words_r, tbl, grp, cok, em, min_obs, min_lh,
+    *, T, H, W, W4, TH, SW4, K, DD, S, G, ROWS1, pad_rows, SH_pad, n_ty,
+    NGC, n_chunks, gate_min_obs, gate_min_lh, interpret,
+):
+    kernel = functools.partial(
+        _search_kernel_paired_grouped,
+        T=T, H=H, W=W, W4=W4, TH=TH, SW4=SW4, K=K, DD=DD, S=S, G=G,
+        ROWS1=ROWS1, pad_rows=pad_rows,
+        gate_min_obs=gate_min_obs, gate_min_lh=gate_min_lh,
+    )
+    TBG = TH + 8 + S
+
+    def call_chunk(tbl_c, grp_c, cok_c):
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=4,
+            grid=(n_ty, grp_c.shape[0]),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
+            out_specs=tuple(
+                pl.BlockSpec((K, TH, SW4), lambda ty, c, *prefetch: (0, ty, 0))
+                for _ in range(4)
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((DD, 2 * TBG, W4), jnp.int32),
+                pltpu.SemaphoreType.DMA((DD, 2)),
+            ],
+        )
+        n_slots = grp_c.shape[0] * G
+        cost = pl.CostEstimate(
+            flops=2 * n_slots * T * SH_pad * (SW4 * 2),
+            bytes_accessed=grp_c.shape[0] * T * 2 * TBG * W4 * 4 * n_ty,
+            transcendentals=n_slots * SH_pad * SW4 * 2,
+        )
+        out_shapes = tuple(
+            jax.ShapeDtypeStruct((K, SH_pad, SW4), jnp.float32) for _ in range(2)
+        ) + tuple(jax.ShapeDtypeStruct((K, SH_pad, SW4), jnp.int32) for _ in range(2))
+        scalars = jnp.concatenate(
+            [
+                jnp.stack(
+                    [
+                        jnp.asarray(min_obs, jnp.float32),
+                        jnp.asarray(min_lh, jnp.float32),
+                        jnp.float32(0.0),
+                        jnp.float32(0.0),
+                    ]
+                ),
+                em,
+            ]
+        )
+        outs = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=out_shapes,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary", "arbitrary"),
+            ),
+            cost_estimate=cost,
+            interpret=interpret,
+        )(tbl_c, grp_c, cok_c, scalars, words_r)
+        lh_i = jnp.stack(outs[:2], axis=-1).reshape(K, SH_pad, SW4 * 2)
+        idx_i = jnp.stack(outs[2:], axis=-1).reshape(K, SH_pad, SW4 * 2)
+        return lh_i, idx_i
+
+    top_lh = top_idx = None
+    for ci in range(n_chunks):
+        gsl = slice(ci * NGC, (ci + 1) * NGC)
+        ssl = slice(ci * NGC * G, (ci + 1) * NGC * G)
+        lh_c, idx_c = call_chunk(tbl[ssl], grp[gsl], cok[ssl])
+        if top_lh is None:
+            top_lh, top_idx = lh_c, idx_c
+        else:
+            top_lh, top_idx = _merge_pair(top_lh, top_idx, lh_c, idx_c, K)
+    return top_lh, top_idx
+
+
 def pack_psi_phi_words(psi_codes, phi_codes, sw_max=None, sh_max=None, t_chunk=8):
     """Pack quantized psi/phi code stacks into the kernel's interleaved
     int32 word stream with bounded device memory.
@@ -1231,6 +1702,62 @@ def pack_psi_phi_words(psi_codes, phi_codes, sw_max=None, sh_max=None, t_chunk=8
     return words_r, pad_rows
 
 
+def search_topk_pallas_packed(
+    words_r,
+    dxs,
+    dys,
+    min_obs,
+    min_lh,
+    encode_meta,
+    **kwargs,
+):
+    """Packed-stream search dispatcher: the candidate-grouped paired kernel
+    when it applies (uint8 dual-parity stream, concrete offsets, a grouping
+    plan that actually amortizes the window DMAs), else the per-candidate
+    jitted kernel. Identical outputs either way (exact likelihood ties
+    order by candidate index = the per-candidate kernels' arrival order)."""
+    import os
+
+    use_grouped = (
+        kwargs.get("bits") == 8
+        and os.environ.get("KB_GROUPED", "1") != "0"
+        and kwargs.get("x_origin") is None
+        and kwargs.get("y_origin") is None
+        and not any(
+            isinstance(v, jax.core.Tracer)
+            for v in (dxs, dys, kwargs.get("cand_valid"), kwargs.get("cand_offset", 0))
+        )
+    )
+    if use_grouped:
+        T, H, W = (int(v) for v in kwargs["shape"])
+        base_rows = T * H + 2 * kwargs["pad_rows"]
+        use_grouped = _use_paired(jnp.uint8, T) and words_r.shape[0] == 2 * _round_up(
+            base_rows, 8
+        )
+    if use_grouped:
+        G = int(os.environ.get("KB_GROUP_G", "8"))
+        S = int(os.environ.get("KB_GROUP_S", "8"))
+        dys_np = np.asarray(dys, dtype=np.int32)
+        C = dys_np.shape[0]
+        _, starts = _plan_groups(dys_np, G, S)
+        # Only worth it when groups actually fill (sparse plans would pay
+        # G-way unrolled compute on mostly-invalid slots).
+        if len(starts) * G <= max(1.6 * C, C + 4 * G):
+            kw = {
+                k: v
+                for k, v in kwargs.items()
+                if k not in ("bits", "x_origin", "y_origin")
+            }
+            return search_topk_paired_grouped(
+                words_r, np.asarray(dxs, np.int32), dys_np,
+                min_obs, min_lh, encode_meta,
+                group_size=G, spread=S, **kw,
+            )
+    return _search_topk_pallas_packed_jit(
+        words_r, dxs, dys, min_obs, min_lh, encode_meta, **kwargs
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -1239,7 +1766,7 @@ def pack_psi_phi_words(psi_codes, phi_codes, sw_max=None, sh_max=None, t_chunk=8
         "gate_min_obs", "gate_min_lh", "row_tile", "interpret",
     ),
 )
-def search_topk_pallas_packed(
+def _search_topk_pallas_packed_jit(
     words_r,
     dxs,
     dys,

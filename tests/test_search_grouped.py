@@ -1,0 +1,216 @@
+"""Candidate-grouped paired kernel: exactness vs the per-candidate packed
+kernel (reference semantics per kernels.cu:252-332), including multi-row-tile
+geometry, search windows, exact likelihood ties, sparse grouping plans, and
+the dispatcher's routing decisions."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from kbmod_tpu.ops.search import trajectory_offsets
+from kbmod_tpu.ops.search_pallas import (
+    _plan_groups,
+    _search_topk_pallas_packed_jit,
+    pack_psi_phi_words,
+    search_topk_paired_grouped,
+    search_topk_pallas_packed,
+)
+
+EM = np.array([-6.0, 12.0 / 254, 0.1, 4.0 / 254], dtype=np.float32)
+
+
+def _stack(rng, T, H, W):
+    psi = rng.integers(0, 256, (T, H, W), dtype=np.uint8)
+    phi = rng.integers(0, 256, (T, H, W), dtype=np.uint8)
+    return psi, phi
+
+
+def _both(words_r, pad_rows, shape, dxs, dys, **kw):
+    em = jnp.asarray(EM)
+    ref = _search_topk_pallas_packed_jit(
+        words_r, jnp.asarray(dxs), jnp.asarray(dys),
+        jnp.float32(kw.pop("min_obs", 2)), jnp.float32(0), em,
+        shape=shape, pad_rows=pad_rows, bits=8, interpret=True, **kw,
+    )
+    grp = search_topk_paired_grouped(
+        words_r, dxs, dys, jnp.float32(2), jnp.float32(0), em,
+        shape=shape, pad_rows=pad_rows, interpret=True, **kw,
+    )
+    return ref, grp
+
+
+class TestGroupedKernel:
+    def test_full_frame_exact(self):
+        rng = np.random.default_rng(3)
+        T, H, W, C = 6, 40, 52, 37
+        psi_c, phi_c = _stack(rng, T, H, W)
+        words_r, pad_rows = pack_psi_phi_words(psi_c, phi_c)
+        vxs = rng.uniform(-7, 7, C).astype(np.float32)
+        vys = rng.uniform(-7, 7, C).astype(np.float32)
+        dxs, dys = trajectory_offsets(vxs, vys, np.arange(T) * 0.4)
+        ref, grp = _both(
+            words_r, pad_rows, (T, H, W), dxs, dys,
+            x_min=0, x_max=W, y_min=0, y_max=H, k_results=4,
+        )
+        np.testing.assert_array_equal(np.asarray(ref[0]), np.asarray(grp[0]))
+        np.testing.assert_array_equal(np.asarray(ref[1]), np.asarray(grp[1]))
+
+    def test_multi_row_tile_exact(self):
+        # Forces several row tiles (row_tile=8): the per-candidate oy must
+        # fold the tile origin into both the roll and the bounds masks.
+        rng = np.random.default_rng(4)
+        T, H, W, C = 5, 48, 40, 21
+        psi_c, phi_c = _stack(rng, T, H, W)
+        words_r, pad_rows = pack_psi_phi_words(psi_c, phi_c)
+        vxs = rng.uniform(-5, 5, C).astype(np.float32)
+        vys = rng.uniform(-5, 5, C).astype(np.float32)
+        dxs, dys = trajectory_offsets(vxs, vys, np.arange(T) * 0.5)
+        ref, grp = _both(
+            words_r, pad_rows, (T, H, W), dxs, dys,
+            x_min=0, x_max=W, y_min=0, y_max=H, k_results=3, row_tile=8,
+        )
+        np.testing.assert_array_equal(np.asarray(ref[0]), np.asarray(grp[0]))
+        np.testing.assert_array_equal(np.asarray(ref[1]), np.asarray(grp[1]))
+
+    def test_window_exact(self):
+        rng = np.random.default_rng(5)
+        T, H, W, C = 6, 40, 52, 33
+        psi_c, phi_c = _stack(rng, T, H, W)
+        words_r, pad_rows = pack_psi_phi_words(psi_c, phi_c)
+        vxs = rng.uniform(-6, 6, C).astype(np.float32)
+        vys = rng.uniform(-6, 6, C).astype(np.float32)
+        dxs, dys = trajectory_offsets(vxs, vys, np.arange(T) * 0.4)
+        ref, grp = _both(
+            words_r, pad_rows, (T, H, W), dxs, dys,
+            x_min=5, x_max=33, y_min=7, y_max=31, k_results=3,
+        )
+        np.testing.assert_array_equal(np.asarray(ref[0]), np.asarray(grp[0]))
+        np.testing.assert_array_equal(np.asarray(ref[1]), np.asarray(grp[1]))
+
+    def test_exact_ties_match_arrival_order(self):
+        # Duplicated trajectories produce exactly equal likelihoods; the
+        # grouped kernel processes in velocity-sorted order but must rank
+        # ties by candidate index = the per-candidate kernels' arrival
+        # order (reference insertion semantics up to equal-lh ordering).
+        rng = np.random.default_rng(6)
+        T, H, W = 6, 40, 52
+        psi_c, phi_c = _stack(rng, T, H, W)
+        words_r, pad_rows = pack_psi_phi_words(psi_c, phi_c)
+        base_vx = rng.uniform(-6, 6, 8).astype(np.float32)
+        base_vy = rng.uniform(-6, 6, 8).astype(np.float32)
+        vxs = np.repeat(base_vx, 3)
+        vys = np.repeat(base_vy, 3)
+        dxs, dys = trajectory_offsets(vxs, vys, np.arange(T) * 0.4)
+        ref, grp = _both(
+            words_r, pad_rows, (T, H, W), dxs, dys,
+            x_min=0, x_max=W, y_min=0, y_max=H, k_results=4,
+        )
+        np.testing.assert_array_equal(np.asarray(ref[0]), np.asarray(grp[0]))
+        np.testing.assert_array_equal(np.asarray(ref[1]), np.asarray(grp[1]))
+
+    def test_cand_valid_and_offset(self):
+        rng = np.random.default_rng(7)
+        T, H, W, C = 5, 32, 40, 19
+        psi_c, phi_c = _stack(rng, T, H, W)
+        words_r, pad_rows = pack_psi_phi_words(psi_c, phi_c)
+        vxs = rng.uniform(-4, 4, C).astype(np.float32)
+        vys = rng.uniform(-4, 4, C).astype(np.float32)
+        dxs, dys = trajectory_offsets(vxs, vys, np.arange(T) * 0.5)
+        cand_valid = (np.arange(C) % 3 != 0)
+        kw = dict(x_min=0, x_max=W, y_min=0, y_max=H, k_results=3,
+                  cand_valid=cand_valid, cand_offset=100)
+        em = jnp.asarray(EM)
+        ref = _search_topk_pallas_packed_jit(
+            words_r, jnp.asarray(dxs), jnp.asarray(dys),
+            jnp.float32(1), jnp.float32(0), em,
+            shape=(T, H, W), pad_rows=pad_rows, bits=8, interpret=True,
+            cand_valid=jnp.asarray(cand_valid), cand_offset=100,
+            x_min=0, x_max=W, y_min=0, y_max=H, k_results=3,
+        )
+        grp = search_topk_paired_grouped(
+            words_r, dxs, dys, jnp.float32(1), jnp.float32(0), em,
+            shape=(T, H, W), pad_rows=pad_rows, interpret=True, **kw,
+        )
+        np.testing.assert_array_equal(np.asarray(ref[0]), np.asarray(grp[0]))
+        np.testing.assert_array_equal(np.asarray(ref[1]), np.asarray(grp[1]))
+
+
+class TestGroupPlanning:
+    def test_spread_bound_holds(self):
+        rng = np.random.default_rng(8)
+        C, T = 200, 12
+        dys = np.cumsum(rng.integers(-2, 3, (C, T)), axis=1).astype(np.int32)
+        order, starts = _plan_groups(dys, G=8, S=8)
+        assert sorted(order.tolist()) == list(range(C))
+        d = dys[order]
+        ends = np.append(starts[1:], C)
+        for a, b in zip(starts, ends):
+            assert b - a <= 8
+            assert (d[a:b].max(axis=0) - d[a:b].min(axis=0)).max() <= 8
+
+    def test_singleton_split_on_violation(self):
+        # Candidates whose mid-path spread exceeds the last-time spread.
+        dys = np.array(
+            [[0, 50, 0], [0, -50, 0], [0, 0, 0], [0, 1, 1]], dtype=np.int32
+        )
+        order, starts = _plan_groups(dys, G=4, S=4)
+        d = dys[order]
+        ends = np.append(starts[1:], len(dys))
+        for a, b in zip(starts, ends):
+            assert (d[a:b].max(axis=0) - d[a:b].min(axis=0)).max() <= 4
+
+
+class TestDispatcher:
+    def test_routes_grouped_and_matches(self):
+        rng = np.random.default_rng(9)
+        T, H, W, C = 6, 40, 52, 24
+        psi_c, phi_c = _stack(rng, T, H, W)
+        words_r, pad_rows = pack_psi_phi_words(psi_c, phi_c)
+        vxs = rng.uniform(-6, 6, C).astype(np.float32)
+        vys = rng.uniform(-6, 6, C).astype(np.float32)
+        dxs, dys = trajectory_offsets(vxs, vys, np.arange(T) * 0.4)
+        kw = dict(shape=(T, H, W), bits=8, pad_rows=pad_rows, interpret=True,
+                  x_min=0, x_max=W, y_min=0, y_max=H, k_results=4)
+        em = jnp.asarray(EM)
+        out = search_topk_pallas_packed(
+            words_r, dxs, dys, jnp.float32(2), jnp.float32(0), em, **kw
+        )
+        ref = _search_topk_pallas_packed_jit(
+            words_r, jnp.asarray(dxs), jnp.asarray(dys),
+            jnp.float32(2), jnp.float32(0), em, **kw
+        )
+        np.testing.assert_array_equal(np.asarray(out[0]), np.asarray(ref[0]))
+        np.testing.assert_array_equal(np.asarray(out[1]), np.asarray(ref[1]))
+
+    def test_traced_offsets_fall_back(self):
+        # Under jit the offsets are tracers; the dispatcher must route to
+        # the per-candidate jitted kernel rather than fail.
+        import jax
+
+        rng = np.random.default_rng(10)
+        T, H, W, C = 5, 32, 40, 9
+        psi_c, phi_c = _stack(rng, T, H, W)
+        words_r, pad_rows = pack_psi_phi_words(psi_c, phi_c)
+        vxs = rng.uniform(-4, 4, C).astype(np.float32)
+        vys = rng.uniform(-4, 4, C).astype(np.float32)
+        dxs, dys = trajectory_offsets(vxs, vys, np.arange(T) * 0.5)
+        kw = dict(shape=(T, H, W), bits=8, pad_rows=pad_rows, interpret=True,
+                  x_min=0, x_max=W, y_min=0, y_max=H, k_results=3)
+        em = jnp.asarray(EM)
+
+        @jax.jit
+        def run(dxs_j, dys_j):
+            return search_topk_pallas_packed(
+                words_r, dxs_j, dys_j, jnp.float32(1), jnp.float32(0), em, **kw
+            )
+
+        out = run(jnp.asarray(dxs), jnp.asarray(dys))
+        ref = _search_topk_pallas_packed_jit(
+            words_r, jnp.asarray(dxs), jnp.asarray(dys),
+            jnp.float32(1), jnp.float32(0), em, **kw
+        )
+        np.testing.assert_array_equal(np.asarray(out[0]), np.asarray(ref[0]))
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-v"])
