@@ -324,6 +324,7 @@ def _clipped_scores_jnp(psi_v, phi_v, ok, sgl_L, sgl_H, coeff, width=2.0):
 def _sigmag_exact_tile(
     psi, phi, valid, dxs, dys, min_obs, min_lh, sigmag_coeff, cand_idx0,
     *, x_min, x_max, y_min, y_max, k_results, sgl_L, sgl_H, width=2.0,
+    cand_valid=None,
 ):
     """Exact in-kernel sigma-G top-K for one pixel tile: every candidate's
     score is its CLIPPED likelihood (insertion gated on it), exactly the
@@ -376,7 +377,7 @@ def _sigmag_exact_tile(
 
     def cand_step(carry, inp):
         top_lh, top_idx = carry
-        dy, dx, cidx = inp
+        dy, dx, cidx, cok = inp
         psi_v, phi_v, okv = curves(dy, dx)
         psi_sum = jnp.sum(psi_v, axis=1)
         phi_sum = jnp.sum(phi_v, axis=1)
@@ -388,7 +389,7 @@ def _sigmag_exact_tile(
         # Pre-gates (kernels.cu:201-203) then the insertion gate on the
         # clipped score (kernels.cu:318-330).
         pre = (obs >= min_obs) & (obs > 0) & (lh_unclipped >= min_lh)
-        ins = pre & (clipped_lh >= min_lh)
+        ins = pre & (clipped_lh >= min_lh) & (cok != 0)
         new = jnp.where(ins, clipped_lh, -jnp.inf).reshape(SH, SW)
         newi = jnp.full((SH, SW), cidx, dtype=jnp.int32)
         for k in range(k_results):
@@ -405,7 +406,12 @@ def _sigmag_exact_tile(
     top_lh0 = jnp.full((k_results, SH, SW), -FLT_MAX, dtype=jnp.float32)
     top_idx0 = jnp.full((k_results, SH, SW), -1, dtype=jnp.int32)
     cidx = cand_idx0 + jnp.arange(C, dtype=jnp.int32)
-    (top_lh, top_idx), _ = lax.scan(cand_step, (top_lh0, top_idx0), (dys, dxs, cidx))
+    cok = (
+        jnp.ones((C,), dtype=jnp.int32)
+        if cand_valid is None
+        else jnp.asarray(cand_valid).astype(jnp.int32).reshape(C)
+    )
+    (top_lh, top_idx), _ = lax.scan(cand_step, (top_lh0, top_idx0), (dys, dxs, cidx, cok))
     return top_lh, top_idx
 
 

@@ -35,6 +35,7 @@ sigma-G prefilter is on), lh = -1 for phi_sum <= 0, empty top-K slots at
 """
 
 import functools
+import typing
 
 import numpy as np
 import jax
@@ -94,6 +95,16 @@ def _cok_table(C, cand_valid, cand_offset, chunk_offset=0):
     if not (isinstance(cand_offset, int) and cand_offset == 0):
         idx = idx + jnp.asarray(cand_offset, dtype=jnp.int32)
     return jnp.stack([ok, idx], axis=1)
+
+
+def _lane_roll_left(x, amt, width):
+    """Cyclic left-roll along the lane axis by a traced ``amt`` of either
+    sign. Mosaic's dynamic lane rotate silently mis-rotates NEGATIVE
+    amounts when the lane count is not a power of two (positive amounts
+    are exact for any multiple of 128) — normalize to the equivalent
+    non-negative amount. ``width`` is x.shape[1] (static)."""
+    a = lax.rem(lax.rem(-amt, width) + width, width)
+    return pltpu.roll(x, a, 1)
 
 
 def _merge_pair(lh_a, idx_a, lh_b, idx_b, K):
@@ -207,7 +218,7 @@ def _search_kernel(
         hardware dynamic rotates mishandle negative shifts on the sublane
         dimension."""
         tile = pltpu.roll(tile, TB - rshift, 0)[:TH]
-        return pltpu.roll(tile, -ox, 1)[:, :SW]
+        return _lane_roll_left(tile, ox, W2)[:, :SW]
 
     def run(acc_psi, acc_phi, acc_obs):
         acc_psi[...] = jnp.zeros((TH, SW), dtype=jnp.float32)
@@ -564,12 +575,12 @@ def _search_kernel_encoded(
                 # negative ox; the difference is an exact COLS multiple so
                 # truncating division equals floor).
                 if COLS == 1:
-                    wk = pltpu.roll(pw, -ox, 1)[:, :SW4]
+                    wk = _lane_roll_left(pw, ox, W4)[:, :SW4]
                     shift = 0
                 else:
                     sk = lax.rem(lax.rem(k + ox, COLS) + COLS, COLS)
                     dw = (k + ox - sk) // COLS
-                    wk = pltpu.roll(pw, -dw, 1)[:, :SW4]
+                    wk = _lane_roll_left(pw, dw, W4)[:, :SW4]
                     shift = sk * (2 * BITS)
                 pc = lax.shift_right_logical(wk, shift) & CODE_MASK
                 fc = lax.shift_right_logical(wk, shift + BITS) & CODE_MASK
@@ -878,6 +889,7 @@ def _search_kernel_paired(
     ROWS1,
     gate_min_obs,
     gate_min_lh,
+    bounds_masks=True,
 ):
     """uint8 fast path: dual-parity streams + 16-bit-field packed sums.
 
@@ -969,16 +981,23 @@ def _search_kernel_paired(
             dw = (ox + par) // 2
             _, rshift = row_for(t)
             pw = pltpu.roll(word_buf[slot], TB - rshift, 0)[:TH]
-            wk = pltpu.roll(pw, -dw, 1)[:, :SW4]
-            # Bounds mask, int32 per 16-bit field: output column j valid
-            # iff 0 <= j + ox < W and its source row is inside the image.
-            # Masked pairs are already zero in the stream, so bounds are
-            # the ONLY mask needed.
-            row_ok = (ii >= -oy) & (ii < H - oy)
-            v0 = (jj0 >= -ox) & (jj0 < W - ox)
-            v1 = (jj0 >= -ox - 1) & (jj0 < W - ox - 1)
-            m = jnp.where(v0 & row_ok, LO16, 0) | jnp.where(v1 & row_ok, HI16, 0)
-            wm = wk & m
+            wk = _lane_roll_left(pw, dw, W4)[:, :SW4]
+            if bounds_masks:
+                # Bounds mask, int32 per 16-bit field: output column j
+                # valid iff 0 <= j + ox < W and its source row is inside
+                # the image. Masked pairs are already zero in the stream,
+                # so bounds are the ONLY mask needed.
+                row_ok = (ii >= -oy) & (ii < H - oy)
+                v0 = (jj0 >= -ox) & (jj0 < W - ox)
+                v1 = (jj0 >= -ox - 1) & (jj0 < W - ox - 1)
+                m = jnp.where(v0 & row_ok, LO16, 0) | jnp.where(v1 & row_ok, HI16, 0)
+                wm = wk & m
+            else:
+                # Guard-padded stream: every out-of-bounds read lands on a
+                # zero word (zero rows between planes, zero column slack),
+                # and zero code pairs self-exclude from the sums and the
+                # obs indicator — bit-identical results, no mask work.
+                wm = wk
             pv = wm & PAIR_ONES  # psi codes: bits 0-7 and 16-23
             fv = lax.shift_right_logical(wm, 8) & PAIR_ONES  # phi codes
             acc_psi[...] = acc_psi[...] + pv
@@ -1080,7 +1099,7 @@ def _paired_row_tile(SH, SW4, W4, K, DD):
 def _run_paired_search(
     words_r, rows, ox, oy, cok, em, min_obs, min_lh,
     *, T, H, W, W4, TH, SW4, K, SH, SW, SH_pad, n_ty, ROWS1,
-    gate_min_obs, gate_min_lh, interpret,
+    gate_min_obs, gate_min_lh, interpret, bounds_masks=True,
 ):
     C = rows.shape[0]
     DD = min(int(T), 4)
@@ -1088,6 +1107,7 @@ def _run_paired_search(
         _search_kernel_paired,
         T=T, H=H, W=W, W4=W4, TH=TH, SW4=SW4, K=K, DD=DD, ROWS1=ROWS1,
         gate_min_obs=gate_min_obs, gate_min_lh=gate_min_lh,
+        bounds_masks=bounds_masks,
     )
 
     CC = _cand_chunk(C, T)
@@ -1221,6 +1241,33 @@ def _plan_groups(dys_np, G, S):
     return order, starts
 
 
+def _bounds_free(ox, oy, *, W, H, W4, SW4, SH_pad, geom, row_slack):
+    """True when every read of the paired kernel — including lane-roll
+    wrap-around and the sublane window slack — lands either inside the
+    image or on the stream's zero padding (inter-plane guard rows, column
+    slack words, or the end pads), so the mask-free kernel variant is
+    exact. ``ox``/``oy`` are the concrete per-(candidate, time) offsets
+    including the window origin; ``row_slack`` is the extra window height
+    beyond the row tile (8 for the per-candidate kernel, 8 + spread for
+    the grouped one)."""
+    ox = np.asarray(ox)
+    oy = np.asarray(oy)
+    if ox.size == 0:
+        return True
+    img_w4 = -(-int(W) // 2)
+    par = np.mod(ox, 2)
+    dw = (ox + par) // 2
+    col_ok = (
+        int(W4) - img_w4 >= 128  # rules out the stream-1 overflow fold
+        and dw.min() >= -(int(W4) - img_w4)
+        and dw.max() <= int(W4) - int(SW4)
+    )
+    above = max(0, 7 - int(oy.min()))
+    below = max(0, int(oy.max()) + int(SH_pad) + int(row_slack) - int(H))
+    row_ok = above <= geom.row_guard and below <= geom.row_guard
+    return bool(col_ok and row_ok)
+
+
 def _grouped_tables(order, starts, G, dxs_np, dys_np, oy0, ox0, pad_rows, H,
                     cand_valid=None, cand_offset=0):
     """Build the grouped kernel's host-side tables.
@@ -1271,6 +1318,7 @@ def _search_kernel_paired_grouped(
     *,
     T,
     H,
+    HG,
     W,
     W4,
     TH,
@@ -1283,6 +1331,7 @@ def _search_kernel_paired_grouped(
     pad_rows,
     gate_min_obs,
     gate_min_lh,
+    bounds_masks=True,
 ):
     """Candidate-grouped variant of _search_kernel_paired (see the module
     comment above): one dual-stream window DMA per (tile, group, time)
@@ -1364,7 +1413,7 @@ def _search_kernel_paired_grouped(
                 ox = tbl_ref[ci, t]
                 oy = tbl_ref[ci, T + t] + tile_row0
                 par = lax.rem(lax.rem(ox, 2) + 2, 2)
-                row_i = pad_rows + t * H + oy
+                row_i = pad_rows + t * HG + oy
                 # Start row inside the stacked buffer: the candidate's
                 # residual within the group window, plus TBG to land in
                 # the parity-1 half for odd column shifts. Clipped so the
@@ -1373,12 +1422,17 @@ def _search_kernel_paired_grouped(
                 rshift = jnp.clip(row_i - r8 + par * TBG, 0, 2 * TBG - 1)
                 pw = pltpu.roll(buf, 2 * TBG - rshift, 0)[:TH]
                 dw = (ox + par) // 2
-                wk = pltpu.roll(pw, -dw, 1)[:, :SW4]
-                row_ok = (ii >= -oy) & (ii < H - oy)
-                v0 = (jj0 >= -ox) & (jj0 < W - ox)
-                v1 = (jj0 >= -ox - 1) & (jj0 < W - ox - 1)
-                m = jnp.where(v0 & row_ok, LO16, 0) | jnp.where(v1 & row_ok, HI16, 0)
-                wm = wk & m
+                wk = _lane_roll_left(pw, dw, W4)[:, :SW4]
+                if bounds_masks:
+                    row_ok = (ii >= -oy) & (ii < H - oy)
+                    v0 = (jj0 >= -ox) & (jj0 < W - ox)
+                    v1 = (jj0 >= -ox - 1) & (jj0 < W - ox - 1)
+                    m = jnp.where(v0 & row_ok, LO16, 0) | jnp.where(v1 & row_ok, HI16, 0)
+                    wm = wk & m
+                else:
+                    # Guard-padded stream: OOB reads land on zeros, which
+                    # self-exclude (see _search_kernel_paired).
+                    wm = wk
                 pv = wm & PAIR_ONES
                 fv = lax.shift_right_logical(wm, 8) & PAIR_ONES
                 acc_psi[gi] = acc_psi[gi] + pv
@@ -1495,9 +1549,12 @@ def search_topk_paired_grouped(
     G = int(group_size)
     S = int(spread)
 
+    geom = _norm_geom(pad_rows)
+    pad_rows = geom.pad_rows
+    HG = H + geom.row_guard
     SW4 = pl.cdiv(SW, 2)
     W4 = words_r.shape[1]
-    base_rows = T * H + 2 * pad_rows
+    base_rows = T * HG + 2 * pad_rows
     ROWS1 = _round_up(base_rows, 8)
     if words_r.shape[0] != 2 * ROWS1:
         raise ValueError("grouped search needs the dual-parity uint8 stream")
@@ -1520,11 +1577,15 @@ def search_topk_paired_grouped(
 
     order, starts = _plan_groups(dys_np, G, S)
     tbl, grp, cok = _grouped_tables(
-        order, starts, G, dxs_np, dys_np, int(y_min), int(x_min), pad_rows, H,
+        order, starts, G, dxs_np, dys_np, int(y_min), int(x_min), pad_rows, HG,
         cand_valid=None if cand_valid is None else np.asarray(cand_valid),
         cand_offset=int(cand_offset),
     )
     NG = grp.shape[0]
+    bounds_masks = not _bounds_free(
+        int(x_min) + dxs_np, int(y_min) + dys_np,
+        W=W, H=H, W4=W4, SW4=SW4, SH_pad=SH_pad, geom=geom, row_slack=8 + S,
+    )
 
     NGC = _grouped_cand_chunk(NG, T, G)
     n_chunks = pl.cdiv(NG, NGC)
@@ -1539,10 +1600,11 @@ def search_topk_paired_grouped(
         words_r, jnp.asarray(tbl), jnp.asarray(grp), jnp.asarray(cok),
         jnp.asarray(np.asarray(encode_meta, dtype=np.float32).reshape(4)),
         jnp.float32(min_obs), jnp.float32(min_lh),
-        T=T, H=H, W=W, W4=W4, TH=TH, SW4=SW4, K=K, DD=DD, S=S, G=G,
+        T=T, H=H, HG=HG, W=W, W4=W4, TH=TH, SW4=SW4, K=K, DD=DD, S=S, G=G,
         ROWS1=ROWS1, pad_rows=pad_rows, SH_pad=SH_pad, n_ty=n_ty,
         NGC=NGC, n_chunks=n_chunks,
         gate_min_obs=gate_min_obs, gate_min_lh=gate_min_lh, interpret=interpret,
+        bounds_masks=bounds_masks,
     )
     return top_lh[:, :SH, :SW], top_idx[:, :SH, :SW]
 
@@ -1550,21 +1612,22 @@ def search_topk_paired_grouped(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "T", "H", "W", "W4", "TH", "SW4", "K", "DD", "S", "G",
+        "T", "H", "HG", "W", "W4", "TH", "SW4", "K", "DD", "S", "G",
         "ROWS1", "pad_rows", "SH_pad", "n_ty", "NGC", "n_chunks",
-        "gate_min_obs", "gate_min_lh", "interpret",
+        "gate_min_obs", "gate_min_lh", "interpret", "bounds_masks",
     ),
 )
 def _paired_grouped_jit(
     words_r, tbl, grp, cok, em, min_obs, min_lh,
-    *, T, H, W, W4, TH, SW4, K, DD, S, G, ROWS1, pad_rows, SH_pad, n_ty,
-    NGC, n_chunks, gate_min_obs, gate_min_lh, interpret,
+    *, T, H, HG, W, W4, TH, SW4, K, DD, S, G, ROWS1, pad_rows, SH_pad, n_ty,
+    NGC, n_chunks, gate_min_obs, gate_min_lh, interpret, bounds_masks=True,
 ):
     kernel = functools.partial(
         _search_kernel_paired_grouped,
-        T=T, H=H, W=W, W4=W4, TH=TH, SW4=SW4, K=K, DD=DD, S=S, G=G,
+        T=T, H=H, HG=HG, W=W, W4=W4, TH=TH, SW4=SW4, K=K, DD=DD, S=S, G=G,
         ROWS1=ROWS1, pad_rows=pad_rows,
         gate_min_obs=gate_min_obs, gate_min_lh=gate_min_lh,
+        bounds_masks=bounds_masks,
     )
     TBG = TH + 8 + S
 
@@ -1630,7 +1693,32 @@ def _paired_grouped_jit(
     return top_lh, top_idx
 
 
-def pack_psi_phi_words(psi_codes, phi_codes, sw_max=None, sh_max=None, t_chunk=8):
+class PackGeom(typing.NamedTuple):
+    """Geometry of a packed word stream. Returned by
+    :func:`pack_psi_phi_words` and passed back to the search wrappers as
+    the (static, hashable) ``pad_rows`` argument. ``row_guard`` zero rows
+    separate adjacent time planes and ``col_slack`` zero words pad each
+    row past the image — sized so every out-of-bounds read lands on
+    zeros, which lets the paired kernels drop their bounds masks entirely
+    (zero code pairs self-exclude from the sums and the obs indicator,
+    so results are bit-identical)."""
+
+    pad_rows: int
+    row_guard: int = 0
+    col_slack: int = 0
+
+
+def _norm_geom(pad_rows):
+    """Accept a plain int (legacy guardless streams) or a PackGeom."""
+    if isinstance(pad_rows, PackGeom):
+        return pad_rows
+    return PackGeom(int(pad_rows), 0, 0)
+
+
+def pack_psi_phi_words(
+    psi_codes, phi_codes, sw_max=None, sh_max=None, t_chunk=8,
+    row_guard=None, col_slack=None,
+):
     """Pack quantized psi/phi code stacks into the kernel's interleaved
     int32 word stream with bounded device memory.
 
@@ -1640,10 +1728,22 @@ def pack_psi_phi_words(psi_codes, phi_codes, sw_max=None, sh_max=None, t_chunk=8
     streams host chunks of ``t_chunk`` time planes through the interleave,
     so peak device memory is one output stream plus one chunk.
 
-    Returns ``(words_r, pad_rows)`` for :func:`search_topk_pallas_packed`.
+    Returns ``(words_r, geom)`` for :func:`search_topk_pallas_packed`
+    (``geom`` is a :class:`PackGeom`; legacy callers that treat it as the
+    ``pad_rows`` value still work — it is passed back whole).
     ``sw_max``/``sh_max`` bound the search window sizes the packed stream
     will be used with (default: the image dimensions).
+
+    ``row_guard``/``col_slack`` (uint8 paired layout only) insert zero
+    guard rows between time planes and zero words past each row so that
+    searches whose row/column reach fits inside them run the mask-free
+    kernel variant (~20% faster at survey scale; the wrapper checks the
+    actual trajectory reach per call and keeps the masked variant when it
+    doesn't fit). Defaults come from KB_PACK_GUARD / KB_PACK_COLSLACK
+    (256 each); pass 0 to disable the padding.
     """
+    import os
+
     psi_codes = np.asarray(psi_codes)
     phi_codes = np.asarray(phi_codes)
     T, H, W = psi_codes.shape
@@ -1656,18 +1756,31 @@ def pack_psi_phi_words(psi_codes, phi_codes, sw_max=None, sh_max=None, t_chunk=8
     sw_max = W if sw_max is None else int(sw_max)
     sh_max = H if sh_max is None else int(sh_max)
     SW4 = pl.cdiv(sw_max, COLS)
-    W4 = _round_up(max(pl.cdiv(W, COLS), SW4), 128)
     # Upper bound over any row_tile choice (row tiles cap at 256).
     pad_rows = _round_up(sh_max + 256 + H + 16, 8)
 
     if _use_paired(psi_codes.dtype, T):
+        if row_guard is None:
+            # Guards wider than the image cover only all-out-of-bounds
+            # windows, which the masked fallback handles — cap the default
+            # so small stacks don't balloon.
+            row_guard = min(int(os.environ.get("KB_PACK_GUARD", "256")), _round_up_int(H, 8))
+        if col_slack is None:
+            col_slack = min(
+                int(os.environ.get("KB_PACK_COLSLACK", "256")),
+                _round_up_int(pl.cdiv(W, COLS), 128),
+            )
+        row_guard = _round_up_int(int(row_guard), 8) if row_guard else 0
+        col_slack = _round_up_int(int(col_slack), 128) if col_slack else 0
+        W4 = _round_up(max(pl.cdiv(W, COLS) + col_slack, SW4), 128)
+        HG = H + row_guard
         # Dual-parity layout for the paired kernel: stream 0, then the
         # one-column-shifted stream, each zero-padded to ROWS1 rows so
         # parity selection preserves 8-row DMA alignment. The stream is
         # assembled with donated in-place updates — peak device memory is
         # one stream plus one chunk (a concat would double it, which OOMs
         # at survey scale).
-        ROWS1 = _round_up(T * H + 2 * pad_rows, 8)
+        ROWS1 = _round_up(T * HG + 2 * pad_rows, 8)
 
         pack = jax.jit(
             lambda p, f: tuple(
@@ -1686,9 +1799,20 @@ def pack_psi_phi_words(psi_codes, phi_codes, sw_max=None, sh_max=None, t_chunk=8
         for t0 in range(0, T, int(t_chunk)):
             t1 = min(T, t0 + int(t_chunk))
             s0_c, s1_c = pack(jnp.asarray(psi_codes[t0:t1]), jnp.asarray(phi_codes[t0:t1]))
-            words_r = upd2(words_r, s0_c, s1_c, jnp.int32(pad_rows + t0 * H))
-        return words_r, pad_rows
+            # With guard rows the per-chunk planes are not contiguous in
+            # the stream; update plane by plane within the chunk.
+            if row_guard:
+                for ti in range(t0, t1):
+                    o = (ti - t0) * H
+                    words_r = upd2(
+                        words_r, s0_c[o : o + H], s1_c[o : o + H],
+                        jnp.int32(pad_rows + ti * HG),
+                    )
+            else:
+                words_r = upd2(words_r, s0_c, s1_c, jnp.int32(pad_rows + t0 * H))
+        return words_r, PackGeom(pad_rows, row_guard, col_slack)
 
+    W4 = _round_up(max(pl.cdiv(W, COLS), SW4), 128)
     pack = jax.jit(
         lambda p, f: _interleave_words(p, f, W4, COLS).reshape(-1, W4),
         static_argnames=(),
@@ -1699,7 +1823,7 @@ def pack_psi_phi_words(psi_codes, phi_codes, sw_max=None, sh_max=None, t_chunk=8
         parts.append(pack(jnp.asarray(psi_codes[t0:t1]), jnp.asarray(phi_codes[t0:t1])))
     parts.append(parts[0])
     words_r = jnp.concatenate(parts, axis=0)
-    return words_r, pad_rows
+    return words_r, PackGeom(pad_rows, 0, 0)
 
 
 def search_topk_pallas_packed(
@@ -1718,9 +1842,8 @@ def search_topk_pallas_packed(
     order by candidate index = the per-candidate kernels' arrival order)."""
     import os
 
-    use_grouped = (
+    concrete = (
         kwargs.get("bits") == 8
-        and os.environ.get("KB_GROUPED", "1") != "0"
         and kwargs.get("x_origin") is None
         and kwargs.get("y_origin") is None
         and not any(
@@ -1728,13 +1851,15 @@ def search_topk_pallas_packed(
             for v in (dxs, dys, kwargs.get("cand_valid"), kwargs.get("cand_offset", 0))
         )
     )
-    if use_grouped:
+    paired = False
+    if concrete:
         T, H, W = (int(v) for v in kwargs["shape"])
-        base_rows = T * H + 2 * kwargs["pad_rows"]
-        use_grouped = _use_paired(jnp.uint8, T) and words_r.shape[0] == 2 * _round_up(
+        geom = _norm_geom(kwargs["pad_rows"])
+        base_rows = T * (H + geom.row_guard) + 2 * geom.pad_rows
+        paired = _use_paired(jnp.uint8, T) and words_r.shape[0] == 2 * _round_up(
             base_rows, 8
         )
-    if use_grouped:
+    if paired and os.environ.get("KB_GROUPED", "1") != "0":
         G = int(os.environ.get("KB_GROUP_G", "8"))
         S = int(os.environ.get("KB_GROUP_S", "8"))
         dys_np = np.asarray(dys, dtype=np.int32)
@@ -1753,6 +1878,23 @@ def search_topk_pallas_packed(
                 min_obs, min_lh, encode_meta,
                 group_size=G, spread=S, **kw,
             )
+    if paired and "bounds_masks" not in kwargs:
+        # Per-candidate kernel, concrete offsets: still pick the mask-free
+        # variant when every read lands on the stream's zero guards.
+        SH = int(kwargs["y_max"]) - int(kwargs["y_min"])
+        SW = int(kwargs["x_max"]) - int(kwargs["x_min"])
+        SW4 = pl.cdiv(SW, 2)
+        W4 = words_r.shape[1]
+        TH = int(
+            kwargs.get("row_tile")
+            or _paired_row_tile(SH, SW4, W4, int(kwargs["k_results"]), min(T, 4))
+        )
+        SH_pad = pl.cdiv(SH, TH) * TH
+        kwargs["bounds_masks"] = not _bounds_free(
+            int(kwargs["x_min"]) + np.asarray(dxs, np.int64),
+            int(kwargs["y_min"]) + np.asarray(dys, np.int64),
+            W=W, H=H, W4=W4, SW4=SW4, SH_pad=SH_pad, geom=geom, row_slack=8,
+        )
     return _search_topk_pallas_packed_jit(
         words_r, dxs, dys, min_obs, min_lh, encode_meta, **kwargs
     )
@@ -1763,7 +1905,7 @@ def search_topk_pallas_packed(
     static_argnames=(
         "shape", "bits", "pad_rows",
         "x_min", "x_max", "y_min", "y_max", "k_results",
-        "gate_min_obs", "gate_min_lh", "row_tile", "interpret",
+        "gate_min_obs", "gate_min_lh", "row_tile", "interpret", "bounds_masks",
     ),
 )
 def _search_topk_pallas_packed_jit(
@@ -1790,11 +1932,15 @@ def _search_topk_pallas_packed_jit(
     cand_valid=None,
     x_origin=None,
     y_origin=None,
+    bounds_masks=True,
 ):
     """search_topk_pallas_encoded over a pre-packed word stream from
     :func:`pack_psi_phi_words` (survey-scale entry: no stack-sized
     temporaries). ``shape`` = (T, H, W) of the code stacks; ``bits`` = 8
-    or 16."""
+    or 16. ``pad_rows`` is the packer's PackGeom (or a legacy plain int =
+    guardless stream). ``bounds_masks=False`` selects the mask-free paired
+    kernel — only valid when the caller proved every out-of-bounds read
+    lands on the stream's zero guards (:func:`_bounds_free`)."""
     T, H, W = shape
     C = dxs.shape[0]
     SH = y_max - y_min
@@ -1804,10 +1950,13 @@ def _search_topk_pallas_packed_jit(
     BITS = int(bits)
     SW4 = pl.cdiv(SW, COLS)
     W4 = words_r.shape[1]
+    geom = _norm_geom(pad_rows)
+    pad_rows = geom.pad_rows
+    HG = H + geom.row_guard
 
     # Dual-parity streams (the uint8 paired layout) are twice as tall as
     # the single-stream layout; detect by row count.
-    base_rows = T * H + 2 * pad_rows
+    base_rows = T * HG + 2 * pad_rows
     paired = BITS == 8 and words_r.shape[0] == 2 * _round_up(base_rows, 8)
 
     if W4 < _round_up(max(pl.cdiv(W, COLS), SW4), 128):
@@ -1834,7 +1983,7 @@ def _search_topk_pallas_packed_jit(
     oy0, ox0 = _origins(y_min, x_min, y_origin, x_origin)
     oy = oy0 + dys.astype(jnp.int32)
     ox = ox0 + dxs.astype(jnp.int32)
-    rows = pad_rows + t_idx * H + oy
+    rows = pad_rows + t_idx * HG + oy
     cok = _cok_table(C, cand_valid, cand_offset)
     em = jnp.asarray(encode_meta, dtype=jnp.float32).reshape(4)
     if paired:
@@ -1844,6 +1993,7 @@ def _search_topk_pallas_packed_jit(
             SH=SH, SW=SW, SH_pad=SH_pad, n_ty=n_ty,
             ROWS1=_round_up(base_rows, 8),
             gate_min_obs=gate_min_obs, gate_min_lh=gate_min_lh, interpret=interpret,
+            bounds_masks=bounds_masks,
         )
     return _run_encoded_search(
         words_r, rows, ox, oy, cok, em, min_obs, min_lh,

@@ -16,6 +16,7 @@ from kbmod_tpu.parallel.sharded import (
     sharded_search_topk,
     sharded_core_search,
     sharded_psi_phi_build,
+    sharded_sigmag_exact_topk,
 )
 
 __all__ = [
@@ -26,4 +27,5 @@ __all__ = [
     "sharded_search_topk",
     "sharded_core_search",
     "sharded_psi_phi_build",
+    "sharded_sigmag_exact_topk",
 ]

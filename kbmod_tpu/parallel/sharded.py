@@ -237,6 +237,89 @@ def sharded_search_topk(
     raise ValueError(f"Unknown shard_mode {shard_mode}")
 
 
+def sharded_sigmag_exact_topk(
+    psi,
+    phi,
+    valid,
+    dxs,
+    dys,
+    mesh,
+    *,
+    x_min,
+    x_max,
+    y_min,
+    y_max,
+    k_results,
+    min_obs=0.0,
+    min_lh=0.0,
+    sigmag_coeff=-1.0,
+    sgl_L=0.25,
+    sgl_H=0.75,
+    row_tile=256,
+):
+    """Reference-exact in-kernel sigma-G search sharded over candidates.
+
+    Each shard scores its candidate slice by CLIPPED likelihood with the
+    exact kernel (ops.search._sigmag_exact_tile, kernels.cu:184-241
+    semantics), then the per-pixel top-K maps are all-gathered and merged
+    — identical to the single-device exact kernel, since per-candidate
+    clipped gating is independent of the shard split.
+    """
+    from kbmod_tpu.ops.search import _sigmag_exact_tile
+
+    n_dev = mesh.devices.size
+    SH = y_max - y_min
+
+    dxs_p, _ = _pad_to_multiple(np.asarray(dxs, dtype=np.int32), n_dev)
+    dys_p, _ = _pad_to_multiple(np.asarray(dys, dtype=np.int32), n_dev)
+    C = np.asarray(dxs).shape[0]
+    cand_valid = np.zeros(dxs_p.shape[0], dtype=np.int32)
+    cand_valid[:C] = 1
+    c_local = dxs_p.shape[0] // n_dev
+
+    min_obs = jnp.float32(min_obs)
+    min_lh = jnp.float32(min_lh)
+    coeff = jnp.float32(sigmag_coeff)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(AXIS), P(AXIS), P(AXIS)),
+        out_specs=(P(), P()),
+        check_rep=False,
+    )
+    def run(psi_r, phi_r, valid_r, dxs_s, dys_s, cval_s):
+        offset = (jax.lax.axis_index(AXIS) * c_local).astype(jnp.int32)
+        tiles_lh, tiles_idx = [], []
+        # Row tiling bounds the per-candidate (N, T) curve memory; the
+        # Python loop unrolls into the traced program.
+        for y0 in range(y_min, y_max, int(row_tile)):
+            y1 = min(y_max, y0 + int(row_tile))
+            lh_t, idx_t = _sigmag_exact_tile(
+                psi_r, phi_r, valid_r, dxs_s, dys_s,
+                min_obs, min_lh, coeff, offset,
+                x_min=int(x_min), x_max=int(x_max), y_min=int(y0), y_max=int(y1),
+                k_results=int(k_results), sgl_L=float(sgl_L), sgl_H=float(sgl_H),
+                cand_valid=cval_s,
+            )
+            tiles_lh.append(lh_t)
+            tiles_idx.append(idx_t)
+        local_lh = jnp.concatenate(tiles_lh, axis=1)
+        local_idx = jnp.concatenate(tiles_idx, axis=1)
+        all_lh = jax.lax.all_gather(local_lh, AXIS, axis=0)
+        all_idx = jax.lax.all_gather(local_idx, AXIS, axis=0)
+        all_lh = all_lh.reshape((-1,) + all_lh.shape[2:])
+        all_idx = all_idx.reshape((-1,) + all_idx.shape[2:])
+        return merge_topk(all_lh, all_idx, k_results)
+
+    with mesh:
+        top_lh, top_idx = jax.jit(run)(
+            jnp.asarray(psi), jnp.asarray(phi), jnp.asarray(valid),
+            jnp.asarray(dxs_p), jnp.asarray(dys_p), jnp.asarray(cand_valid),
+        )
+    return np.asarray(top_lh), np.asarray(top_idx)
+
+
 def sharded_psi_phi_build(sci, var, psf, mesh):
     """Build psi/phi for a (T, H, W) stack sharded over the time axis (one
     shared PSF); returns replicated (psi, phi, valid) device arrays."""
@@ -371,8 +454,9 @@ def sharded_core_search(
     top-K + clipped re-rank as the single-device path (each shard keeps
     its own over-provisioned pool, so the merged pool equals the
     single-device pool exactly); the winner re-scoring gathers run
-    mesh-sharded. The reference-exact KB_SIGMAG_MODE=exact kernel is
-    single-device only — callers fall back to core_search for it.
+    mesh-sharded. KB_SIGMAG_MODE=exact routes to the candidate-sharded
+    reference-exact kernel (clipped gating is per-candidate, so the
+    merged shard top-Ks equal the single-device exact result).
     """
     import os
 
@@ -381,18 +465,29 @@ def sharded_core_search(
     SH, SW = y_max - y_min, x_max - x_min
     k = int(results_per_pixel)
     num_cand = len(vxs)
+    sigmag_mode = os.environ.get("KB_SIGMAG_MODE", "overprovision") if do_sigmag else ""
     over = int(os.environ.get("KB_SIGMAG_TOPK_FACTOR", "4"))
-    k_search = max(min(num_cand, over * k if do_sigmag else k), k)
+    k_search = max(
+        min(num_cand, over * k if (do_sigmag and sigmag_mode != "exact") else k), k
+    )
 
     dxs, dys = trajectory_offsets(vxs, vys, times)
-    top_lh, top_idx = sharded_search_topk(
-        psi, phi, valid, dxs, dys, mesh,
-        x_min=x_min, x_max=x_max, y_min=y_min, y_max=y_max,
-        k_results=k_search, min_obs=float(min_obs), min_lh=float(min_lh),
-        gate_min_obs=gate_min_obs, gate_min_lh=bool(do_sigmag),
-        shard_mode=shard_mode, kernel=kernel,
-        psi_codes=psi_codes, phi_codes=phi_codes, encode_meta=encode_meta,
-    )
+    if sigmag_mode == "exact":
+        top_lh, top_idx = sharded_sigmag_exact_topk(
+            psi, phi, valid, dxs, dys, mesh,
+            x_min=x_min, x_max=x_max, y_min=y_min, y_max=y_max,
+            k_results=k_search, min_obs=float(min_obs), min_lh=float(min_lh),
+            sigmag_coeff=sigmag_coeff, sgl_L=sgl_L, sgl_H=sgl_H,
+        )
+    else:
+        top_lh, top_idx = sharded_search_topk(
+            psi, phi, valid, dxs, dys, mesh,
+            x_min=x_min, x_max=x_max, y_min=y_min, y_max=y_max,
+            k_results=k_search, min_obs=float(min_obs), min_lh=float(min_lh),
+            gate_min_obs=gate_min_obs, gate_min_lh=bool(do_sigmag),
+            shard_mode=shard_mode, kernel=kernel,
+            psi_codes=psi_codes, phi_codes=phi_codes, encode_meta=encode_meta,
+        )
 
     curves_fn, eval_fn = make_sharded_evaluators(mesh)
     return assemble_core_results(

@@ -268,9 +268,9 @@ class StackSearch:
             do_sigmag = False
 
         # Multi-chip path: when several devices are visible, run the mesh
-        # search (candidate- or pixel-sharded, sigma-G included via the
-        # same over-provisioned pool as single-device). Only the opt-in
-        # KB_SIGMAG_MODE=exact kernel stays single-device.
+        # search (candidate- or pixel-sharded, sigma-G included — the
+        # over-provisioned pool matches single-device pooling, and the
+        # opt-in KB_SIGMAG_MODE=exact kernel shards over candidates).
         # KB_SHARDED=0 disables; KB_SHARD_MODE picks candidates|pixels.
         import os
 
@@ -279,7 +279,6 @@ class StackSearch:
         use_sharded = (
             os.environ.get("KB_SHARDED", "auto") != "0"
             and jax.device_count() > 1
-            and not (do_sigmag and os.environ.get("KB_SIGMAG_MODE") == "exact")
             and (os.environ.get("KB_SHARDED") == "1" or jax.default_backend() == "tpu")
         )
         if use_sharded:

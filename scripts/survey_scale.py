@@ -28,7 +28,14 @@ ang = rng.uniform(-0.4, 0.4, C).astype(np.float32)
 dxs, dys = (jnp.asarray(a) for a in trajectory_offsets(np.cos(ang) * vel, np.sin(ang) * vel, times))
 print(f"stack: T={T} {H}x{W} u8, C={C}", flush=True)
 t0 = time.time()
-words_r, pad_rows = pack_psi_phi_words(psi_c, phi_c, t_chunk=8)
+# Guards sized for this config's trajectory reach (|dx| <= 720 -> 360
+# words; |dy| <= ~280): searches fitting the guards run the mask-free
+# kernel variant.
+words_r, pad_rows = pack_psi_phi_words(
+    psi_c, phi_c, t_chunk=8,
+    row_guard=int(os.environ.get("KB_PACK_GUARD", 384)),
+    col_slack=int(os.environ.get("KB_PACK_COLSLACK", 384)),
+)
 words_r.block_until_ready()
 print("pack", time.time() - t0, flush=True)
 

@@ -310,7 +310,9 @@ class TestPackedEntry:
         rng = np.random.default_rng(3)
         T, H, W = 2, 16, 32
         psi_c = rng.integers(1, 255, (T, H, W), dtype=np.uint8)
-        words_r, pad_rows = pack_psi_phi_words(psi_c, psi_c)
+        # Guardless stream: column slack would otherwise legitimately
+        # widen the stream enough to serve this oversized window.
+        words_r, pad_rows = pack_psi_phi_words(psi_c, psi_c, row_guard=0, col_slack=0)
         em = np.zeros(4, np.float32)
         dxs = np.zeros((2, T), np.int32)
         with pytest.raises(ValueError):

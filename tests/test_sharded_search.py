@@ -220,3 +220,46 @@ class TestShardedSigmaG:
         np.testing.assert_allclose(got["lh"], exp["lh"], rtol=1e-5, atol=1e-5)
         np.testing.assert_array_equal(got["obs_count"], exp["obs_count"])
         np.testing.assert_allclose(got["flux"], exp["flux"], rtol=1e-5, atol=1e-5)
+
+    def test_sharded_sigmag_exact_matches_single_device(self, data, monkeypatch):
+        # KB_SIGMAG_MODE=exact: the reference-exact clipped-gating kernel,
+        # sharded over candidates — per-candidate gating is independent of
+        # the shard split, so the merged top-K equals single-device.
+        from kbmod_tpu.filters.sigma_g_filter import SigmaGClipping
+
+        monkeypatch.setenv("KB_SIGMAG_MODE", "exact")
+        psi_z, phi_z, valid, times, vxs, vys, (T, H, W) = data
+        coeff = SigmaGClipping.find_sigma_g_coeff(25, 75)
+        kwargs = dict(
+            min_obs=3, min_lh=0.2, do_sigmag=True,
+            sgl_L=0.25, sgl_H=0.75, sigmag_coeff=coeff,
+        )
+        exp = core_search(
+            psi_z, phi_z, valid, times, vxs, vys, 0, W, 0, H, 2, **kwargs
+        )
+        mesh = build_mesh(8)
+        got = sharded_core_search(
+            psi_z, phi_z, valid, times, vxs, vys, mesh,
+            x_min=0, x_max=W, y_min=0, y_max=H, results_per_pixel=2,
+            **kwargs,
+        )
+        np.testing.assert_allclose(got["lh"], exp["lh"], rtol=1e-5, atol=1e-5)
+        np.testing.assert_array_equal(got["obs_count"], exp["obs_count"])
+        np.testing.assert_allclose(got["flux"], exp["flux"], rtol=1e-5, atol=1e-5)
+        # The small row_tile path (several tiles) must agree too.
+        from kbmod_tpu.parallel import sharded_sigmag_exact_topk
+        from kbmod_tpu.ops.search import search_topk_sigmag_exact, trajectory_offsets
+
+        dxs, dys = trajectory_offsets(vxs, vys, times)
+        ref_lh, ref_idx = search_topk_sigmag_exact(
+            psi_z, phi_z, valid, dxs, dys, 3, 0.2, coeff,
+            x_min=0, x_max=W, y_min=0, y_max=H, k_results=2,
+            sgl_L=0.25, sgl_H=0.75, row_tile=8,
+        )
+        got_lh, got_idx = sharded_sigmag_exact_topk(
+            psi_z, phi_z, valid, dxs, dys, mesh,
+            x_min=0, x_max=W, y_min=0, y_max=H, k_results=2,
+            min_obs=3, min_lh=0.2, sigmag_coeff=coeff,
+            sgl_L=0.25, sgl_H=0.75, row_tile=8,
+        )
+        np.testing.assert_allclose(got_lh, ref_lh, rtol=1e-5, atol=1e-5)
