@@ -1533,12 +1533,15 @@ def search_topk_paired_grouped(
     cand_valid=None,
     group_size=8,
     spread=8,
+    _plan=None,
 ):
     """Candidate-grouped paired search over a pre-packed dual-parity uint8
     word stream (from :func:`pack_psi_phi_words`). Identical outputs to
     :func:`search_topk_pallas_packed` (ties ordered by candidate index,
     which equals that kernel's arrival order). Requires concrete (host)
-    ``dxs``/``dys`` — the grouping plan is data-dependent."""
+    ``dxs``/``dys`` — the grouping plan is data-dependent. ``_plan`` is
+    the dispatcher's precomputed ``(order, starts)`` (avoids planning
+    twice)."""
     T, H, W = (int(v) for v in shape)
     dxs_np = np.asarray(dxs, dtype=np.int32)
     dys_np = np.asarray(dys, dtype=np.int32)
@@ -1575,7 +1578,7 @@ def search_topk_paired_grouped(
             f"packed stream pad_rows={pad_rows} too small; repack with sh_max >= {SH}"
         )
 
-    order, starts = _plan_groups(dys_np, G, S)
+    order, starts = _plan_groups(dys_np, G, S) if _plan is None else _plan
     tbl, grp, cok = _grouped_tables(
         order, starts, G, dxs_np, dys_np, int(y_min), int(x_min), pad_rows, HG,
         cand_valid=None if cand_valid is None else np.asarray(cand_valid),
@@ -1617,11 +1620,20 @@ def search_topk_paired_grouped(
         "gate_min_obs", "gate_min_lh", "interpret", "bounds_masks",
     ),
 )
-def _paired_grouped_jit(
+def _paired_grouped_jit(words_r, tbl, grp, cok, em, min_obs, min_lh, **statics):
+    return _paired_grouped_traced(
+        words_r, tbl, grp, cok, em, min_obs, min_lh, **statics
+    )
+
+
+def _paired_grouped_traced(
     words_r, tbl, grp, cok, em, min_obs, min_lh,
     *, T, H, HG, W, W4, TH, SW4, K, DD, S, G, ROWS1, pad_rows, SH_pad, n_ty,
     NGC, n_chunks, gate_min_obs, gate_min_lh, interpret, bounds_masks=True,
 ):
+    """Traced body of the grouped search: also called from inside
+    shard_map programs (parallel/sharded.py), where the tables arrive as
+    mesh-sharded per-device slices."""
     kernel = functools.partial(
         _search_kernel_paired_grouped,
         T=T, H=H, HG=HG, W=W, W4=W4, TH=TH, SW4=SW4, K=K, DD=DD, S=S, G=G,
@@ -1864,7 +1876,7 @@ def search_topk_pallas_packed(
         S = int(os.environ.get("KB_GROUP_S", "8"))
         dys_np = np.asarray(dys, dtype=np.int32)
         C = dys_np.shape[0]
-        _, starts = _plan_groups(dys_np, G, S)
+        order, starts = _plan_groups(dys_np, G, S)
         # Only worth it when groups actually fill (sparse plans would pay
         # G-way unrolled compute on mostly-invalid slots).
         if len(starts) * G <= max(1.6 * C, C + 4 * G):
@@ -1876,7 +1888,7 @@ def search_topk_pallas_packed(
             return search_topk_paired_grouped(
                 words_r, np.asarray(dxs, np.int32), dys_np,
                 min_obs, min_lh, encode_meta,
-                group_size=G, spread=S, **kw,
+                group_size=G, spread=S, _plan=(order, starts), **kw,
             )
     if paired and "bounds_masks" not in kwargs:
         # Per-candidate kernel, concrete offsets: still pick the mask-free

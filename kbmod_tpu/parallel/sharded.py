@@ -24,6 +24,7 @@ from functools import partial
 import numpy as np
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
 from jax.sharding import Mesh, PartitionSpec as P
 import inspect
 
@@ -66,6 +67,148 @@ def _pad_to_multiple(arr, multiple, axis=0, fill=0):
     return np.pad(arr, pad_widths, constant_values=fill), n
 
 
+def _sharded_paired_grouped(
+    dxs, dys, mesh, *,
+    x_min, x_max, y_min, y_max, k_results,
+    min_obs, min_lh, gate_min_obs, gate_min_lh,
+    psi_codes, phi_codes, encode_meta, packed_provider=None,
+):
+    """Candidate-sharded search through the grouped guard-padded paired
+    kernel: the word stream is packed once (replicated); each shard's
+    candidate slice is planned into groups host-side and its tables ride
+    into shard_map as mesh-sharded arrays. Returns (top_lh, top_idx)
+    numpy arrays, or None when the grouped kernel does not apply (wrong
+    dtype/T, KB_GROUPED=0, or a sparse grouping plan)."""
+    import os
+
+    from kbmod_tpu.ops.search_pallas import (
+        _bounds_free,
+        _grouped_cand_chunk,
+        _grouped_row_tile,
+        _grouped_tables,
+        _norm_geom,
+        _paired_grouped_traced,
+        _plan_groups,
+        _round_up,
+        _use_paired,
+        pack_psi_phi_words,
+    )
+
+    codes = np.asarray(psi_codes)
+    T, H, W = codes.shape
+    if codes.dtype != np.uint8 or not _use_paired(jnp.uint8, T):
+        return None
+    if os.environ.get("KB_GROUPED", "1") == "0":
+        return None
+
+    n_dev = mesh.devices.size
+    SH = y_max - y_min
+    SW = x_max - x_min
+    K = int(k_results)
+    G = int(os.environ.get("KB_GROUP_G", "8"))
+    S = int(os.environ.get("KB_GROUP_S", "8"))
+
+    dxs_p, _ = _pad_to_multiple(np.asarray(dxs, np.int32), n_dev)
+    dys_p, _ = _pad_to_multiple(np.asarray(dys, np.int32), n_dev)
+    C = np.asarray(dxs).shape[0]
+    cand_valid = np.zeros(dxs_p.shape[0], dtype=np.int32)
+    cand_valid[:C] = 1
+    c_local = dxs_p.shape[0] // n_dev
+
+    # Per-shard grouping plans (the candidate split is deterministic).
+    plans = []
+    total_groups = 0
+    for s in range(n_dev):
+        sl = slice(s * c_local, (s + 1) * c_local)
+        order, starts = _plan_groups(dys_p[sl], G, S)
+        plans.append((sl, order, starts))
+        total_groups += len(starts)
+    if total_groups * G > max(1.6 * dxs_p.shape[0], dxs_p.shape[0] + 4 * G * n_dev):
+        return None
+
+    if packed_provider is not None:
+        words_r, geom = packed_provider()
+    else:
+        words_r, geom = pack_psi_phi_words(codes, np.asarray(phi_codes))
+    geom = _norm_geom(geom)
+    HG = H + geom.row_guard
+    pad_rows = geom.pad_rows
+    W4 = words_r.shape[1]
+    SW4 = pl.cdiv(SW, 2)
+    if W4 < _round_up(max(pl.cdiv(W, 2), SW4), 128):
+        return None
+    ROWS1 = _round_up(T * HG + 2 * pad_rows, 8)
+    if words_r.shape[0] != 2 * ROWS1:
+        return None
+
+    DD = max(1, min(T, 2))
+    TH = _grouped_row_tile(SH, SW4, W4, K, DD, G, S)
+    n_ty = pl.cdiv(SH, TH)
+    SH_pad = n_ty * TH
+    if pad_rows < _round_up(SH_pad + H + 16 + S, 8):
+        return None
+
+    bounds_masks = not _bounds_free(
+        int(x_min) + dxs_p[cand_valid.astype(bool)],
+        int(y_min) + dys_p[cand_valid.astype(bool)],
+        W=W, H=H, W4=W4, SW4=SW4, SH_pad=SH_pad, geom=geom, row_slack=8 + S,
+    )
+
+    NG_max = max(len(starts) for _, _, starts in plans)
+    NGC = _grouped_cand_chunk(NG_max, T, G)
+    n_chunks = pl.cdiv(NG_max, NGC)
+    NG_pad = n_chunks * NGC
+
+    tbls = np.zeros((n_dev, NG_pad * G, 2 * T), np.int32)
+    grps = np.zeros((n_dev, NG_pad, T), np.int32)
+    coks = np.zeros((n_dev, NG_pad * G, 2), np.int32)
+    for s, (sl, order, starts) in enumerate(plans):
+        tbl, grp, cok = _grouped_tables(
+            order, starts, G, dxs_p[sl], dys_p[sl], int(y_min), int(x_min),
+            pad_rows, HG,
+            cand_valid=cand_valid[sl], cand_offset=sl.start,
+        )
+        ng = grp.shape[0]
+        tbls[s, : ng * G] = tbl
+        grps[s, :ng] = grp
+        coks[s, : ng * G] = cok
+
+    statics = dict(
+        T=T, H=H, HG=HG, W=W, W4=W4, TH=TH, SW4=SW4, K=K, DD=DD, S=S, G=G,
+        ROWS1=ROWS1, pad_rows=pad_rows, SH_pad=SH_pad, n_ty=n_ty,
+        NGC=NGC, n_chunks=n_chunks,
+        gate_min_obs=gate_min_obs, gate_min_lh=gate_min_lh,
+        interpret=jax.default_backend() != "tpu", bounds_masks=bounds_masks,
+    )
+    em = jnp.asarray(np.asarray(encode_meta, np.float32).reshape(4))
+    min_obs = jnp.float32(min_obs)
+    min_lh = jnp.float32(min_lh)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(AXIS), P(AXIS), P(AXIS)),
+        out_specs=(P(), P()),
+        check_rep=False,
+    )
+    def run(words_rep, tbl_s, grp_s, cok_s):
+        local_lh, local_idx = _paired_grouped_traced(
+            words_rep, tbl_s[0], grp_s[0], cok_s[0], em, min_obs, min_lh,
+            **statics,
+        )
+        all_lh = jax.lax.all_gather(local_lh, AXIS, axis=0)
+        all_idx = jax.lax.all_gather(local_idx, AXIS, axis=0)
+        all_lh = all_lh.reshape((-1,) + all_lh.shape[2:])
+        all_idx = all_idx.reshape((-1,) + all_idx.shape[2:])
+        return merge_topk(all_lh, all_idx, K)
+
+    with mesh:
+        top_lh, top_idx = jax.jit(run)(
+            words_r, jnp.asarray(tbls), jnp.asarray(grps), jnp.asarray(coks)
+        )
+    return np.asarray(top_lh)[:, :SH, :SW], np.asarray(top_idx)[:, :SH, :SW]
+
+
 def sharded_search_topk(
     psi,
     phi,
@@ -89,6 +232,7 @@ def sharded_search_topk(
     psi_codes=None,
     phi_codes=None,
     encode_meta=None,
+    packed_provider=None,
 ):
     """Run the top-K search sharded over a mesh.
 
@@ -106,9 +250,26 @@ def sharded_search_topk(
     dys = np.asarray(dys, dtype=np.int32)
     C = dxs.shape[0]
 
+    encoded = kernel == "pallas" and psi_codes is not None and encode_meta is not None
+
+    if shard_mode == "candidates" and encoded:
+        # Preferred path: the grouped guard-padded paired kernel with one
+        # replicated pre-packed word stream and host-planned per-shard
+        # candidate groups. Falls through to the generic path when it
+        # does not apply (non-uint8 codes, T > 257, KB_GROUPED=0, ...).
+        out = _sharded_paired_grouped(
+            dxs, dys, mesh,
+            x_min=x_min, x_max=x_max, y_min=y_min, y_max=y_max,
+            k_results=k_results, min_obs=min_obs, min_lh=min_lh,
+            gate_min_obs=gate_min_obs, gate_min_lh=gate_min_lh,
+            psi_codes=psi_codes, phi_codes=phi_codes, encode_meta=encode_meta,
+            packed_provider=packed_provider,
+        )
+        if out is not None:
+            return out
+
     min_obs = jnp.float32(min_obs)
     min_lh = jnp.float32(min_lh)
-    encoded = kernel == "pallas" and psi_codes is not None and encode_meta is not None
 
     if shard_mode == "candidates":
         dxs_p, _ = _pad_to_multiple(dxs, n_dev)
@@ -442,6 +603,7 @@ def sharded_core_search(
     psi_codes=None,
     phi_codes=None,
     encode_meta=None,
+    packed_provider=None,
     do_sigmag=False,
     sgl_L=0.25,
     sgl_H=0.75,
@@ -487,6 +649,7 @@ def sharded_core_search(
             gate_min_obs=gate_min_obs, gate_min_lh=bool(do_sigmag),
             shard_mode=shard_mode, kernel=kernel,
             psi_codes=psi_codes, phi_codes=phi_codes, encode_meta=encode_meta,
+            packed_provider=packed_provider,
         )
 
     curves_fn, eval_fn = make_sharded_evaluators(mesh)

@@ -298,6 +298,7 @@ class StackSearch:
                     encode_meta=(
                         meta.psi_min_val, meta.psi_scale, meta.phi_min_val, meta.phi_scale
                     ),
+                    packed_provider=self.psi_phi_array.packed_words,
                 )
             psi, phi, valid = self._decoded()
             mesh = build_mesh()

@@ -151,11 +151,40 @@ class TestShardedPallas:
         meta = dict(x_min=0, x_max=W, y_min=0, y_max=H, k_results=3)
         mesh = build_mesh()
         ref_lh, _ = sharded_search_topk(psi_z, phi_z, valid, dxs, dys, mesh, **meta)
-        pal_lh, _ = sharded_search_topk(
-            psi_z, phi_z, valid, dxs, dys, mesh, kernel="pallas",
-            psi_codes=arr.psi, phi_codes=arr.phi, encode_meta=em, **meta
-        )
+        # uint8 codes must route through the grouped guard-padded branch
+        # (one replicated pre-packed stream + host-planned shard groups).
+        import kbmod_tpu.parallel.sharded as sh_mod
+
+        taken = {"n": 0}
+        orig = sh_mod._sharded_paired_grouped
+
+        def spy(*a, **k):
+            out = orig(*a, **k)
+            taken["n"] += out is not None
+            return out
+
+        sh_mod._sharded_paired_grouped = spy
+        try:
+            pal_lh, _ = sharded_search_topk(
+                psi_z, phi_z, valid, dxs, dys, mesh, kernel="pallas",
+                psi_codes=arr.psi, phi_codes=arr.phi, encode_meta=em, **meta
+            )
+        finally:
+            sh_mod._sharded_paired_grouped = orig
+        assert taken["n"] == 1
         np.testing.assert_allclose(pal_lh, ref_lh, rtol=1e-5, atol=1e-5)
+        # The generic per-shard kernel (KB_GROUPED=0) must agree too.
+        import os
+
+        os.environ["KB_GROUPED"] = "0"
+        try:
+            gen_lh, _ = sharded_search_topk(
+                psi_z, phi_z, valid, dxs, dys, mesh, kernel="pallas",
+                psi_codes=arr.psi, phi_codes=arr.phi, encode_meta=em, **meta
+            )
+        finally:
+            os.environ.pop("KB_GROUPED", None)
+        np.testing.assert_allclose(gen_lh, ref_lh, rtol=1e-5, atol=1e-5)
 
 
 class TestShardedPixelsPallas:
