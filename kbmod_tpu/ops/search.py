@@ -850,6 +850,40 @@ def core_search(
     )
 
 
+def _fetch_topk(top_lh, top_idx):
+    """Bring (K, SH, SW) top-K maps to the host.
+
+    Empty slots (idx == -1, lh == -FLT_MAX — searchFilterImages'
+    initialization, kernels.cu:293-301) usually dominate after gating, so
+    when the maps live on-device the real entries are compacted there and
+    the dense maps rebuilt host-side: device->host traffic drops from the
+    full maps (e.g. 1GB at 4k x 4k x K=8) to just the survivors. Exactly
+    equivalent to a dense fetch.
+    """
+    if isinstance(top_lh, np.ndarray) or not hasattr(top_lh, "device"):
+        return np.asarray(top_lh), np.asarray(top_idx)
+    shape = top_lh.shape
+    total = int(top_lh.size)
+    mask = (top_idx >= 0).reshape(-1)
+    n = int(jnp.sum(mask))
+    if 4 * n >= total or total < 1 << 16:
+        return np.asarray(top_lh), np.asarray(top_idx)
+    # Power-of-two bucket bounds retraces of the static-size nonzero.
+    size = min(total, 1 << max(10, int(n - 1).bit_length()))
+    pos = jnp.nonzero(mask, size=size, fill_value=total)[0]
+    lh_pad = jnp.concatenate([top_lh.reshape(-1), jnp.array([-FLT_MAX], jnp.float32)])
+    idx_pad = jnp.concatenate([top_idx.reshape(-1), jnp.array([-1], jnp.int32)])
+    pos_np = np.asarray(pos)
+    lh_v = np.asarray(lh_pad[pos])
+    idx_v = np.asarray(idx_pad[pos])
+    keep = pos_np < total
+    lh_np = np.full(total, -FLT_MAX, dtype=np.float32)
+    idx_np = np.full(total, -1, dtype=np.int32)
+    lh_np[pos_np[keep]] = lh_v[keep]
+    idx_np[pos_np[keep]] = idx_v[keep]
+    return lh_np.reshape(shape), idx_np.reshape(shape)
+
+
 def assemble_core_results(
     top_lh, top_idx, psi, phi, valid, times, vxs, vys,
     *, k, k_search, x_min, y_min, SH, SW, min_obs, min_lh,
@@ -869,8 +903,7 @@ def assemble_core_results(
     if eval_fn is None:
         eval_fn = evaluate_trajectories
 
-    top_lh = np.asarray(top_lh)  # (K', SH, SW)
-    top_idx = np.asarray(top_idx)
+    top_lh, top_idx = _fetch_topk(top_lh, top_idx)  # (K', SH, SW) numpy
 
     # Pixel-major layout: result[(i*SW + j)*K + k].
     kidx = np.transpose(top_idx, (1, 2, 0)).reshape(-1)  # (SH*SW*K',)

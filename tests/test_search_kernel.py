@@ -294,3 +294,43 @@ class TestModuleBindings:
         search_cpu_only(arr, params, cands, results)
         # min(rpp=5, 2 candidates) per pixel, ungated.
         assert len(results) == H * W * 2
+
+
+class TestFetchTopkCompaction:
+    """_fetch_topk: the device->host compaction of top-K maps must be
+    exactly equivalent to a dense fetch in every regime."""
+
+    def _maps(self, rng, n_real, K=4, SH=128, SW=256):
+        from kbmod_tpu.ops.search import FLT_MAX
+
+        lh = np.full((K, SH, SW), -FLT_MAX, np.float32)
+        idx = np.full((K, SH, SW), -1, np.int32)
+        if n_real:
+            sel = rng.choice(K * SH * SW, n_real, replace=False)
+            lh.reshape(-1)[sel] = rng.normal(5, 2, n_real).astype(np.float32)
+            idx.reshape(-1)[sel] = rng.integers(0, 1000, n_real)
+        return lh, idx
+
+    @pytest.mark.parametrize("n_real", [0, 1, 500, 5000])
+    def test_sparse_exact(self, n_real):
+        import jax.numpy as jnp
+
+        from kbmod_tpu.ops.search import _fetch_topk
+
+        rng = np.random.default_rng(3 + n_real)
+        lh, idx = self._maps(rng, n_real)
+        out_lh, out_idx = _fetch_topk(jnp.asarray(lh), jnp.asarray(idx))
+        np.testing.assert_array_equal(out_lh, lh)
+        np.testing.assert_array_equal(out_idx, idx)
+
+    def test_dense_fallback_exact(self):
+        import jax.numpy as jnp
+
+        from kbmod_tpu.ops.search import _fetch_topk
+
+        rng = np.random.default_rng(9)
+        lh = rng.normal(0, 1, (4, 128, 256)).astype(np.float32)
+        idx = rng.integers(0, 100, (4, 128, 256)).astype(np.int32)
+        out_lh, out_idx = _fetch_topk(jnp.asarray(lh), jnp.asarray(idx))
+        np.testing.assert_array_equal(out_lh, lh)
+        np.testing.assert_array_equal(out_idx, idx)
