@@ -480,6 +480,7 @@ def _search_kernel_encoded(
     DD,
     gate_min_obs,
     gate_min_lh,
+    bounds_masks=True,
 ):
     """Quantized-codes variant of _search_kernel.
 
@@ -584,8 +585,14 @@ def _search_kernel_encoded(
                     shift = sk * (2 * BITS)
                 pc = lax.shift_right_logical(wk, shift) & CODE_MASK
                 fc = lax.shift_right_logical(wk, shift + BITS) & CODE_MASK
-                j = COLS * jw + k  # output column in search space
-                m = row_ok & (j >= -ox) & (j < W - ox) & (pc > 0) & (fc > 0)
+                if bounds_masks:
+                    j = COLS * jw + k  # output column in search space
+                    m = row_ok & (j >= -ox) & (j < W - ox) & (pc > 0) & (fc > 0)
+                else:
+                    # Guard-padded stream: out-of-bounds reads land on zero
+                    # words, and zero codes self-exclude — code validity is
+                    # the only mask needed.
+                    m = (pc > 0) & (fc > 0)
                 zero = jnp.int32(0)
                 acc_psi[k] = acc_psi[k] + jnp.where(m, pc, zero)
                 acc_phi[k] = acc_phi[k] + jnp.where(m, fc, zero)
@@ -763,16 +770,17 @@ def _interleave_words(psi_codes, phi_codes, W4, COLS):
 def _run_encoded_search(
     words_r, rows, ox, oy, cok, em, min_obs, min_lh,
     *, T, H, W, W4, COLS, BITS, TH, SW4, K, SH, SW, SH_pad, n_ty, pad_rows,
-    gate_min_obs, gate_min_lh, interpret,
+    gate_min_obs, gate_min_lh, interpret, bounds_masks=True,
 ):
     C = rows.shape[0]
-    total_rows = T * H + 2 * pad_rows
+    total_rows = int(words_r.shape[0])  # includes any inter-plane guards
 
     DD = min(int(T), 4)
     kernel = functools.partial(
         _search_kernel_encoded,
         T=T, H=H, W=W, W4=W4, COLS=COLS, BITS=BITS, TH=TH, SW4=SW4, K=K, DD=DD,
         gate_min_obs=gate_min_obs, gate_min_lh=gate_min_lh,
+        bounds_masks=bounds_masks,
     )
 
     CC = _cand_chunk(C, T)
@@ -1241,26 +1249,35 @@ def _plan_groups(dys_np, G, S):
     return order, starts
 
 
-def _bounds_free(ox, oy, *, W, H, W4, SW4, SH_pad, geom, row_slack):
-    """True when every read of the paired kernel — including lane-roll
+def _bounds_free(ox, oy, *, W, H, W4, SW4, SH_pad, geom, row_slack, cols=2,
+                 paired=True):
+    """True when every read of an encoded kernel — including lane-roll
     wrap-around and the sublane window slack — lands either inside the
     image or on the stream's zero padding (inter-plane guard rows, column
     slack words, or the end pads), so the mask-free kernel variant is
     exact. ``ox``/``oy`` are the concrete per-(candidate, time) offsets
     including the window origin; ``row_slack`` is the extra window height
-    beyond the row tile (8 for the per-candidate kernel, 8 + spread for
-    the grouped one)."""
+    beyond the row tile (8 for the per-candidate kernels, 8 + spread for
+    the grouped one). ``paired`` selects the dual-parity word-shift math;
+    otherwise the per-class kernel's conservative class-shift range is
+    used (``cols`` column classes per word)."""
     ox = np.asarray(ox)
     oy = np.asarray(oy)
     if ox.size == 0:
         return True
-    img_w4 = -(-int(W) // 2)
-    par = np.mod(ox, 2)
-    dw = (ox + par) // 2
+    img_w4 = -(-int(W) // int(cols))
+    if paired:
+        par = np.mod(ox, 2)
+        dw = (ox + par) // 2
+        dw_lo, dw_hi = int(dw.min()), int(dw.max())
+    else:
+        # Class shifts dw = (k + ox - sk) // cols over k in [0, cols).
+        dw_lo = (int(ox.min()) - (int(cols) - 1)) // int(cols)
+        dw_hi = (int(ox.max()) + (int(cols) - 1)) // int(cols)
     col_ok = (
         int(W4) - img_w4 >= 128  # rules out the stream-1 overflow fold
-        and dw.min() >= -(int(W4) - img_w4)
-        and dw.max() <= int(W4) - int(SW4)
+        and dw_lo >= -(int(W4) - img_w4)
+        and dw_hi <= int(W4) - int(SW4)
     )
     above = max(0, 7 - int(oy.min()))
     below = max(0, int(oy.max()) + int(SH_pad) + int(row_slack) - int(H))
@@ -1824,18 +1841,38 @@ def pack_psi_phi_words(
                 words_r = upd2(words_r, s0_c, s1_c, jnp.int32(pad_rows + t0 * H))
         return words_r, PackGeom(pad_rows, row_guard, col_slack)
 
-    W4 = _round_up(max(pl.cdiv(W, COLS), SW4), 128)
+    # Per-class (single-stream) layout: uint16 codes, or uint8 with
+    # T > 257. The same guard geometry applies (zero rows between planes,
+    # zero slack words past each row), enabling the mask-free kernel
+    # variant when a search's trajectory reach fits.
+    if row_guard is None:
+        row_guard = min(int(os.environ.get("KB_PACK_GUARD", "256")), _round_up_int(H, 8))
+    if col_slack is None:
+        col_slack = min(
+            int(os.environ.get("KB_PACK_COLSLACK", "256")),
+            _round_up_int(pl.cdiv(W, COLS), 128),
+        )
+    row_guard = _round_up_int(int(row_guard), 8) if row_guard else 0
+    col_slack = _round_up_int(int(col_slack), 128) if col_slack else 0
+    W4 = _round_up(max(pl.cdiv(W, COLS) + col_slack, SW4), 128)
     pack = jax.jit(
         lambda p, f: _interleave_words(p, f, W4, COLS).reshape(-1, W4),
         static_argnames=(),
     )
+    guard = jnp.zeros((row_guard, W4), dtype=jnp.int32)
     parts = [jnp.zeros((pad_rows, W4), dtype=jnp.int32)]
     for t0 in range(0, T, int(t_chunk)):
         t1 = min(T, t0 + int(t_chunk))
-        parts.append(pack(jnp.asarray(psi_codes[t0:t1]), jnp.asarray(phi_codes[t0:t1])))
+        chunk = pack(jnp.asarray(psi_codes[t0:t1]), jnp.asarray(phi_codes[t0:t1]))
+        if row_guard:
+            for ti in range(t1 - t0):
+                parts.append(chunk[ti * H : (ti + 1) * H])
+                parts.append(guard)
+        else:
+            parts.append(chunk)
     parts.append(parts[0])
     words_r = jnp.concatenate(parts, axis=0)
-    return words_r, PackGeom(pad_rows, 0, 0)
+    return words_r, PackGeom(pad_rows, row_guard, col_slack)
 
 
 def search_topk_pallas_packed(
@@ -1855,8 +1892,7 @@ def search_topk_pallas_packed(
     import os
 
     concrete = (
-        kwargs.get("bits") == 8
-        and kwargs.get("x_origin") is None
+        kwargs.get("x_origin") is None
         and kwargs.get("y_origin") is None
         and not any(
             isinstance(v, jax.core.Tracer)
@@ -1868,8 +1904,10 @@ def search_topk_pallas_packed(
         T, H, W = (int(v) for v in kwargs["shape"])
         geom = _norm_geom(kwargs["pad_rows"])
         base_rows = T * (H + geom.row_guard) + 2 * geom.pad_rows
-        paired = _use_paired(jnp.uint8, T) and words_r.shape[0] == 2 * _round_up(
-            base_rows, 8
+        paired = (
+            kwargs.get("bits") == 8
+            and _use_paired(jnp.uint8, T)
+            and words_r.shape[0] == 2 * _round_up(base_rows, 8)
         )
     if paired and os.environ.get("KB_GROUPED", "1") != "0":
         G = int(os.environ.get("KB_GROUP_G", "8"))
@@ -1890,22 +1928,31 @@ def search_topk_pallas_packed(
                 min_obs, min_lh, encode_meta,
                 group_size=G, spread=S, _plan=(order, starts), **kw,
             )
-    if paired and "bounds_masks" not in kwargs:
-        # Per-candidate kernel, concrete offsets: still pick the mask-free
-        # variant when every read lands on the stream's zero guards.
+    if concrete and "bounds_masks" not in kwargs:
+        # Per-candidate kernels, concrete offsets: still pick the mask-free
+        # variant when every read lands on the stream's zero guards
+        # (paired and per-class/u16 layouts alike).
+        COLS = 2 if paired else 32 // (2 * int(kwargs["bits"]))
         SH = int(kwargs["y_max"]) - int(kwargs["y_min"])
         SW = int(kwargs["x_max"]) - int(kwargs["x_min"])
-        SW4 = pl.cdiv(SW, 2)
+        SW4 = pl.cdiv(SW, COLS)
         W4 = words_r.shape[1]
-        TH = int(
-            kwargs.get("row_tile")
-            or _paired_row_tile(SH, SW4, W4, int(kwargs["k_results"]), min(T, 4))
-        )
+        if paired:
+            TH = int(
+                kwargs.get("row_tile")
+                or _paired_row_tile(SH, SW4, W4, int(kwargs["k_results"]), min(T, 4))
+            )
+        else:
+            TH = int(
+                kwargs.get("row_tile")
+                or _encoded_row_tile(SH, SW4, COLS, W4, int(kwargs["k_results"]))
+            )
         SH_pad = pl.cdiv(SH, TH) * TH
         kwargs["bounds_masks"] = not _bounds_free(
             int(kwargs["x_min"]) + np.asarray(dxs, np.int64),
             int(kwargs["y_min"]) + np.asarray(dys, np.int64),
             W=W, H=H, W4=W4, SW4=SW4, SH_pad=SH_pad, geom=geom, row_slack=8,
+            cols=COLS, paired=paired,
         )
     return _search_topk_pallas_packed_jit(
         words_r, dxs, dys, min_obs, min_lh, encode_meta, **kwargs
@@ -2012,4 +2059,5 @@ def _search_topk_pallas_packed_jit(
         T=T, H=H, W=W, W4=W4, COLS=COLS, BITS=BITS, TH=TH, SW4=SW4, K=K,
         SH=SH, SW=SW, SH_pad=SH_pad, n_ty=n_ty, pad_rows=pad_rows,
         gate_min_obs=gate_min_obs, gate_min_lh=gate_min_lh, interpret=interpret,
+        bounds_masks=bounds_masks,
     )

@@ -100,6 +100,43 @@ class TestGuardedStreams:
         np.testing.assert_array_equal(np.asarray(ref[0]), np.asarray(grp[0]))
         np.testing.assert_array_equal(np.asarray(ref[1]), np.asarray(grp[1]))
 
+    @pytest.mark.parametrize("dtype", [np.uint8, np.uint16])
+    def test_per_class_guarded_matches_guardless(self, dtype, monkeypatch):
+        # The per-class (single-stream) kernel: uint16 codes, or uint8
+        # with the paired kernel disabled (stands in for T > 257).
+        if dtype == np.uint8:
+            monkeypatch.setenv("KB_PAIRED_KERNEL", "0")
+        rng = np.random.default_rng(21)
+        T, H, W, C = 5, 40, 72, 23
+        psi_c = rng.integers(0, 256, (T, H, W)).astype(dtype)
+        phi_c = rng.integers(0, 256, (T, H, W)).astype(dtype)
+        bits = 8 * psi_c.dtype.itemsize
+        vxs = rng.uniform(-4, 4, C).astype(np.float32)
+        vys = rng.uniform(-4, 4, C).astype(np.float32)
+        dxs, dys = trajectory_offsets(vxs, vys, np.arange(T) * 0.5)
+        w0, g0 = pack_psi_phi_words(psi_c, phi_c, row_guard=0, col_slack=0)
+        w1, g1 = pack_psi_phi_words(psi_c, phi_c, row_guard=64, col_slack=128)
+        assert g1.row_guard == 64 and g1.col_slack == 128
+        kw = dict(shape=(T, H, W), bits=bits, interpret=True,
+                  x_min=0, x_max=W, y_min=0, y_max=H, k_results=3)
+        em = jnp.asarray(EM)
+        ref = search_topk_pallas_packed(
+            w0, dxs, dys, jnp.float32(1), jnp.float32(0), em, pad_rows=g0, **kw
+        )
+        out = search_topk_pallas_packed(
+            w1, dxs, dys, jnp.float32(1), jnp.float32(0), em, pad_rows=g1, **kw
+        )
+        np.testing.assert_array_equal(np.asarray(ref[0]), np.asarray(out[0]))
+        np.testing.assert_array_equal(np.asarray(ref[1]), np.asarray(out[1]))
+        # Forced mask-free variant on the guarded stream must also agree
+        # (the dispatcher picks it when the reach fits — pin it explicitly).
+        um = _search_topk_pallas_packed_jit(
+            w1, jnp.asarray(dxs), jnp.asarray(dys),
+            jnp.float32(1), jnp.float32(0), em, pad_rows=g1,
+            bounds_masks=False, **kw,
+        )
+        np.testing.assert_array_equal(np.asarray(ref[0]), np.asarray(um[0]))
+
     def test_bounds_free_rejects_insufficient_guards(self):
         rng = np.random.default_rng(4)
         T, H, W, C = 6, 48, 72, 23
