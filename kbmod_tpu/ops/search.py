@@ -802,8 +802,10 @@ def core_search(
                 words_r, pad_rows = packed_provider()
                 codes = np.asarray(psi_codes)
                 try:
+                    # Host offsets stay host-side: the dispatcher needs
+                    # them concrete for grouping plans and bounds checks.
                     top_lh, top_idx = search_topk_pallas_packed(
-                        words_r, jnp.asarray(dxs), jnp.asarray(dys),
+                        words_r, np.asarray(dxs, np.int32), np.asarray(dys, np.int32),
                         jnp.float32(min_obs), jnp.float32(min_lh),
                         jnp.asarray(np.asarray(encode_meta, dtype=np.float32)),
                         shape=codes.shape, bits=8 * codes.dtype.itemsize,

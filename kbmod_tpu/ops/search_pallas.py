@@ -1270,13 +1270,18 @@ def _bounds_free(ox, oy, *, W, H, W4, SW4, SH_pad, geom, row_slack, cols=2,
         par = np.mod(ox, 2)
         dw = (ox + par) // 2
         dw_lo, dw_hi = int(dw.min()), int(dw.max())
+        # Stream 1 (the one-column-shifted copy) occupies ONE word more
+        # than stream 0, so a left wrap may only reach down to word
+        # img_w4 + 1 — hence the -1 on the wrap budget.
+        wrap_budget = int(W4) - img_w4 - 1
     else:
         # Class shifts dw = (k + ox - sk) // cols over k in [0, cols).
         dw_lo = (int(ox.min()) - (int(cols) - 1)) // int(cols)
         dw_hi = (int(ox.max()) + (int(cols) - 1)) // int(cols)
+        wrap_budget = int(W4) - img_w4
     col_ok = (
         int(W4) - img_w4 >= 128  # rules out the stream-1 overflow fold
-        and dw_lo >= -(int(W4) - img_w4)
+        and dw_lo >= -wrap_budget
         and dw_hi <= int(W4) - int(SW4)
     )
     above = max(0, 7 - int(oy.min()))
@@ -1285,12 +1290,31 @@ def _bounds_free(ox, oy, *, W, H, W4, SW4, SH_pad, geom, row_slack, cols=2,
     return bool(col_ok and row_ok)
 
 
+_PLAN_CACHE = {}
+
+
+def _plan_groups_cached(dys_np, G, S, max_entries=8):
+    """Small content-keyed cache around :func:`_plan_groups` — repeated
+    searches over the same trajectory set (the steady-state production
+    pattern) pay the O(C log C) sort and spread verification once."""
+    import hashlib
+
+    key = (hashlib.sha1(np.ascontiguousarray(dys_np)).hexdigest(), int(G), int(S))
+    hit = _PLAN_CACHE.get(key)
+    if hit is None:
+        hit = _plan_groups(dys_np, G, S)
+        if len(_PLAN_CACHE) >= max_entries:
+            _PLAN_CACHE.pop(next(iter(_PLAN_CACHE)))
+        _PLAN_CACHE[key] = hit
+    return hit
+
+
 def _grouped_tables(order, starts, G, dxs_np, dys_np, oy0, ox0, pad_rows, H,
                     cand_valid=None, cand_offset=0):
     """Build the grouped kernel's host-side tables.
 
     Returns ``(tbl, grp, cok)``: ``tbl`` (NG*G, 2T) int32 [ox | oy] per
-    slot (padding slots mirror the group's first member so their roll
+    slot (padding slots mirror the group's last member so their roll
     amounts stay in range; their validity bit is 0); ``grp`` (NG, T) the
     per-group minimum source row; ``cok`` (NG*G, 2) validity + global
     candidate index.
@@ -1301,6 +1325,8 @@ def _grouped_tables(order, starts, G, dxs_np, dys_np, oy0, ox0, pad_rows, H,
     sizes = ends - starts
     # Slot -> source candidate, padding mirroring the first group member.
     offs = np.arange(G)[None, :]
+    # Padding slots clamp to the group's LAST member, keeping their roll
+    # amounts inside the group window; their validity bit is 0.
     slot_pos = starts[:, None] + np.minimum(offs, sizes[:, None] - 1)
     src = order[slot_pos]  # (NG, G)
     slot_ok = (offs < sizes[:, None]).astype(np.int32)
@@ -1744,6 +1770,26 @@ def _norm_geom(pad_rows):
     return PackGeom(int(pad_rows), 0, 0)
 
 
+def _pack_guards(H, W, COLS, SW4, row_guard, col_slack):
+    """Resolve the packer's guard sizes (env defaults, caps, rounding) and
+    the resulting padded row width. Guards wider than the image cover only
+    all-out-of-bounds windows, which the masked fallback handles — the
+    defaults cap at the image size so small stacks don't balloon."""
+    import os
+
+    if row_guard is None:
+        row_guard = min(int(os.environ.get("KB_PACK_GUARD", "256")), _round_up_int(H, 8))
+    if col_slack is None:
+        col_slack = min(
+            int(os.environ.get("KB_PACK_COLSLACK", "256")),
+            _round_up_int(pl.cdiv(W, COLS), 128),
+        )
+    row_guard = _round_up_int(int(row_guard), 8) if row_guard else 0
+    col_slack = _round_up_int(int(col_slack), 128) if col_slack else 0
+    W4 = _round_up(max(pl.cdiv(W, COLS) + col_slack, SW4), 128)
+    return row_guard, col_slack, W4
+
+
 def pack_psi_phi_words(
     psi_codes, phi_codes, sw_max=None, sh_max=None, t_chunk=8,
     row_guard=None, col_slack=None,
@@ -1788,20 +1834,9 @@ def pack_psi_phi_words(
     # Upper bound over any row_tile choice (row tiles cap at 256).
     pad_rows = _round_up(sh_max + 256 + H + 16, 8)
 
+    row_guard, col_slack, W4 = _pack_guards(H, W, COLS, SW4, row_guard, col_slack)
+
     if _use_paired(psi_codes.dtype, T):
-        if row_guard is None:
-            # Guards wider than the image cover only all-out-of-bounds
-            # windows, which the masked fallback handles — cap the default
-            # so small stacks don't balloon.
-            row_guard = min(int(os.environ.get("KB_PACK_GUARD", "256")), _round_up_int(H, 8))
-        if col_slack is None:
-            col_slack = min(
-                int(os.environ.get("KB_PACK_COLSLACK", "256")),
-                _round_up_int(pl.cdiv(W, COLS), 128),
-            )
-        row_guard = _round_up_int(int(row_guard), 8) if row_guard else 0
-        col_slack = _round_up_int(int(col_slack), 128) if col_slack else 0
-        W4 = _round_up(max(pl.cdiv(W, COLS) + col_slack, SW4), 128)
         HG = H + row_guard
         # Dual-parity layout for the paired kernel: stream 0, then the
         # one-column-shifted stream, each zero-padded to ROWS1 rows so
@@ -1845,16 +1880,6 @@ def pack_psi_phi_words(
     # T > 257. The same guard geometry applies (zero rows between planes,
     # zero slack words past each row), enabling the mask-free kernel
     # variant when a search's trajectory reach fits.
-    if row_guard is None:
-        row_guard = min(int(os.environ.get("KB_PACK_GUARD", "256")), _round_up_int(H, 8))
-    if col_slack is None:
-        col_slack = min(
-            int(os.environ.get("KB_PACK_COLSLACK", "256")),
-            _round_up_int(pl.cdiv(W, COLS), 128),
-        )
-    row_guard = _round_up_int(int(row_guard), 8) if row_guard else 0
-    col_slack = _round_up_int(int(col_slack), 128) if col_slack else 0
-    W4 = _round_up(max(pl.cdiv(W, COLS) + col_slack, SW4), 128)
     pack = jax.jit(
         lambda p, f: _interleave_words(p, f, W4, COLS).reshape(-1, W4),
         static_argnames=(),
@@ -1909,19 +1934,26 @@ def search_topk_pallas_packed(
             and _use_paired(jnp.uint8, T)
             and words_r.shape[0] == 2 * _round_up(base_rows, 8)
         )
-    if paired and os.environ.get("KB_GROUPED", "1") != "0":
+    if (
+        paired
+        and os.environ.get("KB_GROUPED", "1") != "0"
+        # A caller-tuned row_tile or explicit mask choice targets the
+        # per-candidate kernel, whose VMEM budget differs — honor it there.
+        and kwargs.get("row_tile") is None
+        and "bounds_masks" not in kwargs
+    ):
         G = int(os.environ.get("KB_GROUP_G", "8"))
         S = int(os.environ.get("KB_GROUP_S", "8"))
         dys_np = np.asarray(dys, dtype=np.int32)
         C = dys_np.shape[0]
-        order, starts = _plan_groups(dys_np, G, S)
+        order, starts = _plan_groups_cached(dys_np, G, S)
         # Only worth it when groups actually fill (sparse plans would pay
         # G-way unrolled compute on mostly-invalid slots).
         if len(starts) * G <= max(1.6 * C, C + 4 * G):
             kw = {
                 k: v
                 for k, v in kwargs.items()
-                if k not in ("bits", "x_origin", "y_origin")
+                if k not in ("bits", "x_origin", "y_origin", "row_tile")
             }
             return search_topk_paired_grouped(
                 words_r, np.asarray(dxs, np.int32), dys_np,

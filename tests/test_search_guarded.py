@@ -137,6 +137,48 @@ class TestGuardedStreams:
         )
         np.testing.assert_array_equal(np.asarray(ref[0]), np.asarray(um[0]))
 
+    def test_bounds_free_rejects_stream1_boundary_word(self):
+        # Stream 1 (the one-column-shifted copy) holds real data through
+        # word index img_w4 for even W, so a left wrap reaching exactly
+        # -(W4 - img_w4) words would read it: the wrap budget must be one
+        # word tighter than stream 0's zero region.
+        W, H = 64, 48
+        img_w4 = 32
+        W4 = 256  # col_slack=128 geometry
+        ox = np.array([[-449]])  # odd: parity-1 stream, dw = -224
+        oy = np.array([[0]])
+        geom = PackGeom(352, 512, 128)
+        assert not _bounds_free(
+            ox, oy, W=W, H=H, W4=W4, SW4=img_w4, SH_pad=48, geom=geom,
+            row_slack=8,
+        )
+        # One word less reach is acceptable.
+        assert _bounds_free(
+            np.array([[-447]]), oy, W=W, H=H, W4=W4, SW4=img_w4, SH_pad=48,
+            geom=geom, row_slack=8,
+        )
+        # End-to-end: the dispatcher must stay masked for such offsets and
+        # still match the guardless reference exactly.
+        rng = np.random.default_rng(31)
+        T, C = 4, 9
+        psi_c, phi_c, _, _ = _data(rng, T, H, W, C)
+        dxs = np.full((C, T), 0, np.int32)
+        dxs[0] = [-1, -150, -300, -449]
+        dys = rng.integers(-3, 4, (C, T)).astype(np.int32)
+        w0, g0 = pack_psi_phi_words(psi_c, phi_c, row_guard=0, col_slack=0)
+        w1, g1 = pack_psi_phi_words(psi_c, phi_c, row_guard=512, col_slack=128)
+        kw = dict(shape=(T, H, W), bits=8, interpret=True,
+                  x_min=0, x_max=W, y_min=0, y_max=H, k_results=3)
+        em = jnp.asarray(EM)
+        ref = search_topk_pallas_packed(
+            w0, dxs, dys, jnp.float32(1), jnp.float32(0), em, pad_rows=g0, **kw
+        )
+        out = search_topk_pallas_packed(
+            w1, dxs, dys, jnp.float32(1), jnp.float32(0), em, pad_rows=g1, **kw
+        )
+        np.testing.assert_array_equal(np.asarray(ref[0]), np.asarray(out[0]))
+        np.testing.assert_array_equal(np.asarray(ref[1]), np.asarray(out[1]))
+
     def test_bounds_free_rejects_insufficient_guards(self):
         rng = np.random.default_rng(4)
         T, H, W, C = 6, 48, 72, 23
