@@ -19,21 +19,27 @@ def _gather_stamps(imgs, xs, ys, radius):
     """imgs: (T, H, W) float32; xs, ys: (R, T) int32 stamp centers.
 
     Returns stamps: (R, T, S, S) float32 with NaN outside the image.
+
+    Formulated as (S, S) slice-gathers from a NaN-padded image (vmapped
+    dynamic_slice lowers to one lax.gather with slice sizes): the NaN
+    border supplies out-of-image pixels, and slice starts are always
+    in-bounds so no clamping can shift a stamp. An elementwise gather of
+    all R*T*S*S pixels is ~an order of magnitude slower on TPU.
     """
     T, H, W = imgs.shape
     S = 2 * radius + 1
-    offs = jnp.arange(-radius, radius + 1, dtype=jnp.int32)
-    rows = ys[:, :, None] + offs[None, None, :]  # (R, T, S)
-    cols = xs[:, :, None] + offs[None, None, :]  # (R, T, S)
-    row_ok = (rows >= 0) & (rows < H)
-    col_ok = (cols >= 0) & (cols < W)
-    rows_c = jnp.clip(rows, 0, H - 1)
-    cols_c = jnp.clip(cols, 0, W - 1)
-    tt = jnp.arange(T, dtype=jnp.int32)[None, :, None, None]
-    flat_idx = (tt * H + rows_c[:, :, :, None]) * W + cols_c[:, :, None, :]
-    vals = imgs.reshape(-1)[flat_idx]  # (R, T, S, S)
-    ok = row_ok[:, :, :, None] & col_ok[:, :, None, :]
-    return jnp.where(ok, vals, jnp.nan)
+    pad = S
+    imgs_p = jnp.pad(imgs, ((0, 0), (pad, pad), (pad, pad)), constant_values=jnp.nan)
+    # Starts in padded coordinates; clip only guards absurd centers far
+    # outside the image (their whole slice then reads the NaN border).
+    r0 = jnp.clip(ys - radius + pad, 0, H + pad)
+    c0 = jnp.clip(xs - radius + pad, 0, W + pad)
+
+    def one(img_t, cy, cx):
+        return jax.lax.dynamic_slice(img_t, (cy, cx), (S, S))
+
+    per_traj = jax.vmap(one, in_axes=(0, 0, 0))  # over T
+    return jax.vmap(per_traj, in_axes=(None, 0, 0))(imgs_p, r0, c0)
 
 
 @jax.jit
@@ -119,26 +125,46 @@ def batched_coadds(
     if "all_stamps" in coadd_types:
         out["all_stamps"] = np.zeros((n, len(times), S, S), dtype=np.float32)
 
+    kinds = tuple(c for c in coadd_types if c != "all_stamps")
+    want_all = "all_stamps" in coadd_types
+
     for lo in range(0, n, chunk):
         hi = min(lo + chunk, n)
         # Stamp centers: int(x + v*t + 0.5) truncation (stamp_utils.py:202).
         cx = (np.asarray(xs[lo:hi], dtype=np.float64)[:, None] + times[None, :] * np.asarray(vxs[lo:hi], dtype=np.float64)[:, None] + 0.5).astype(np.int32)
         cy = (np.asarray(ys[lo:hi], dtype=np.float64)[:, None] + times[None, :] * np.asarray(vys[lo:hi], dtype=np.float64)[:, None] + 0.5).astype(np.int32)
-        stamps = _gather_stamps(sci, jnp.asarray(cx), jnp.asarray(cy), radius)
         if obs_valid is not None:
             valid = jnp.asarray(np.asarray(obs_valid[lo:hi], dtype=bool))
         else:
             valid = jnp.ones((hi - lo, len(times)), dtype=bool)
-        for ctype in coadd_types:
-            if ctype == "sum":
-                out["sum"][lo:hi] = np.asarray(_coadd_sum(stamps, valid))
-            elif ctype == "mean":
-                out["mean"][lo:hi] = np.asarray(_coadd_mean(stamps, valid))
-            elif ctype == "median":
-                out["median"][lo:hi] = np.asarray(_coadd_median(stamps, valid))
-            elif ctype == "weighted":
-                var_stamps = _gather_stamps(var_j, jnp.asarray(cx), jnp.asarray(cy), radius)
-                out["weighted"][lo:hi] = np.asarray(_coadd_weighted(stamps, var_stamps, valid))
-            elif ctype == "all_stamps":
-                out["all_stamps"][lo:hi] = np.nan_to_num(np.asarray(stamps), nan=0.0)
+        # One fused jit per chunk: the gather, the shared masking, and all
+        # requested reductions run in one dispatch; one device->host fetch.
+        res = _coadd_chunk(
+            sci, var_j, jnp.asarray(cx), jnp.asarray(cy), valid,
+            radius=radius, kinds=kinds, want_all=want_all,
+        )
+        res = jax.device_get(res)
+        for ctype in kinds:
+            out[ctype][lo:hi] = res[ctype]
+        if want_all:
+            out["all_stamps"][lo:hi] = np.nan_to_num(res["all_stamps"], nan=0.0)
     return out
+
+
+@partial(jax.jit, static_argnames=("radius", "kinds", "want_all"))
+def _coadd_chunk(sci, var_j, cx, cy, valid, *, radius, kinds, want_all):
+    stamps = _gather_stamps(sci, cx, cy, radius)
+    res = {}
+    for ctype in kinds:
+        if ctype == "sum":
+            res["sum"] = _coadd_sum(stamps, valid)
+        elif ctype == "mean":
+            res["mean"] = _coadd_mean(stamps, valid)
+        elif ctype == "median":
+            res["median"] = _coadd_median(stamps, valid)
+        elif ctype == "weighted":
+            var_stamps = _gather_stamps(var_j, cx, cy, radius)
+            res["weighted"] = _coadd_weighted(stamps, var_stamps, valid)
+    if want_all:
+        res["all_stamps"] = stamps
+    return res
