@@ -510,3 +510,43 @@ class ImageCollection:
         self._standardizers = stds
         self.data.meta["n_stds"] = len(stds)
         return self
+
+
+def pack_table(data):
+    """Move columns whose value repeats on every row into the table's
+    metadata (reference image_collection.py:38-67): shared column names
+    are recorded under ``shared_cols``, each value under its own meta
+    key, and ``is_packed`` is set. Returns the (mutated) table."""
+    shared_values = {}
+    for col in list(data.colnames):
+        vals = data[col]
+        if len(vals) == 0:
+            continue
+        try:
+            uniq = np.unique(np.asarray(vals))
+        except Exception:
+            continue
+        if len(uniq) == 1:
+            v = uniq[0]
+            shared_values[col] = str(v) if isinstance(v, np.str_) else v
+    data.meta["shared_cols"] = list(shared_values.keys())
+    data.meta.update(shared_values)
+    data.meta["is_packed"] = True
+    data.remove_columns(data.meta["shared_cols"])
+    return data
+
+
+def unpack_table(data):
+    """Restore columns packed into metadata by :func:`pack_table`
+    (reference image_collection.py:70-99). A table without an
+    ``is_packed`` metadata entry is returned unchanged."""
+    if not data.meta.get("is_packed", False):
+        return data
+    n_rows = 1 if len(data) == 0 else len(data)
+    for col in data.meta["shared_cols"]:
+        data[col] = np.full((n_rows,), data.meta[col])
+    for col in data.meta["shared_cols"]:
+        data.meta.pop(col)
+    data.meta.pop("shared_cols")
+    data.meta["is_packed"] = False
+    return data

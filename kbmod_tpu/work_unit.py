@@ -675,3 +675,144 @@ def load_layered_image_from_shard(file_path):
         psf=np.asarray(shard[f"PSF_{idx}"].data, dtype=np.float32),
         time=float(sci_hdu.header.get("MJD", idx)),
     )
+
+
+def add_image_data_to_hdul(
+    hdul,
+    idx,
+    sci,
+    var,
+    mask,
+    obstime,
+    psf_kernel=None,
+    wcs=None,
+    compression_type="RICE_1",
+    quantize_level=-0.01,
+):
+    """Append one time step's SCI/VAR/MSK/PSF layers to an HDU list in the
+    reference's on-disk layout (reference work_unit.py:1062-1147): tiled
+    compression for sci/var, the observation time under ``MJD``, the WCS
+    copied into each image header, and the mask binarized to include
+    non-finite science/variance pixels."""
+    from kbmod_tpu.io.fits_io import make_comp_image_hdu
+    from kbmod_tpu.wcs_utils import append_wcs_to_hdu_header
+
+    sci = np.asanyarray(sci, dtype=np.float32)
+    var = np.asanyarray(var, dtype=np.float32)
+    obstime = float(obstime)
+
+    wcs_cards = {}
+    if wcs is not None:
+        hdr = {}
+        append_wcs_to_hdu_header(wcs, hdr)
+        wcs_cards = {k: v for k, v in hdr.items() if not k.startswith("NAXIS")}
+
+    extra = dict(MJD=obstime, **wcs_cards)
+    sci_hdu = make_comp_image_hdu(
+        sci, name=f"SCI_{idx}", compression_type=compression_type,
+        quantize_level=quantize_level, header_extra=extra,
+    )
+    var_hdu = make_comp_image_hdu(
+        var, name=f"VAR_{idx}", compression_type=compression_type,
+        quantize_level=quantize_level, header_extra=extra,
+    )
+    mask_full = (np.asanyarray(mask) > 0) | ~np.isfinite(sci) | ~np.isfinite(var)
+    msk_hdu = fits_io.ImageHDU(mask_full.astype(np.uint8), name=f"MSK_{idx}")
+    msk_hdu.header["MJD"] = obstime
+    msk_hdu.header.update(wcs_cards)
+    if psf_kernel is None:
+        psf_kernel = np.array([[1.0]], dtype=np.float32)
+    psf_hdu = fits_io.ImageHDU(np.asanyarray(psf_kernel, dtype=np.float32), name=f"PSF_{idx}")
+    for hdu in (sci_hdu, var_hdu, msk_hdu, psf_hdu):
+        hdul.append(hdu)
+
+
+def read_image_data_from_hdul(hdul, idx):
+    """Read one time step's layers back (reference work_unit.py:1149-1200):
+    the mask is auto-applied to the science and variance layers; the PSF
+    defaults to an identity kernel and the WCS may be None."""
+    from kbmod_tpu.wcs_utils import extract_wcs_from_hdu_header
+
+    def _image(hdu):
+        # Freshly built (in-memory) compressed layers hold tiles in a
+        # BinTable; reading a file decompresses at load time instead.
+        cols = getattr(hdu, "columns", None)
+        if cols is not None and "COMPRESSED_DATA" in cols:
+            from kbmod_tpu.io.comp_image import decompress_image
+
+            img, _ = decompress_image(hdu.header, cols)
+            return img
+        return hdu.data
+
+    sci_hdu = hdul[f"SCI_{idx}"]
+    sci = np.asarray(_image(sci_hdu), dtype=np.float32)
+    obstime = float(sci_hdu.header["MJD"])
+    wcs = extract_wcs_from_hdu_header(sci_hdu.header)
+
+    var = np.asarray(_image(hdul[f"VAR_{idx}"]), dtype=np.float32)
+
+    if f"MSK_{idx}" in hdul:
+        mask = np.asarray(hdul[f"MSK_{idx}"].data, dtype=np.float32)
+        sci = sci.copy()
+        var = var.copy()
+        sci[mask > 0] = np.nan
+        var[mask > 0] = np.nan
+    else:
+        mask = np.zeros_like(sci, dtype=np.float32)
+
+    if f"PSF_{idx}" in hdul:
+        psf_kernel = np.asarray(hdul[f"PSF_{idx}"].data, dtype=np.float32)
+    else:
+        psf_kernel = np.array([[1.0]], dtype=np.float32)
+
+    return sci, var, mask, obstime, psf_kernel, wcs
+
+
+def image_metadata_table_to_hdu(data, layer_name=None):
+    """Encode a metadata table as a BinTable HDU (reference
+    work_unit.py:1242-1283): WCS-valued columns serialize to
+    ``_WCSSTR_{col}`` string columns, all-None object columns are
+    dropped, and remaining object columns stringify."""
+    from kbmod_tpu.geom.wcs import WCS
+    from kbmod_tpu.io.fits_io import BinTableHDU
+    from kbmod_tpu.wcs_utils import serialize_wcs
+
+    cols = {}
+    if len(data) > 0:
+        for colname in data.colnames:
+            vals = list(data[colname])
+            if all(v is None for v in vals):
+                continue
+            if isinstance(vals[0], WCS):
+                cols[f"_WCSSTR_{colname}"] = [serialize_wcs(v) if v is not None else "" for v in vals]
+            elif any(isinstance(v, (str, type(None))) for v in vals) or getattr(
+                np.asarray(vals, dtype=object), "dtype", None
+            ) == object:
+                try:
+                    arr = np.asarray(vals)
+                    if arr.dtype == object:
+                        raise ValueError
+                    cols[colname] = arr
+                except Exception:
+                    cols[colname] = [str(v) for v in vals]
+            else:
+                cols[colname] = np.asarray(vals)
+    return BinTableHDU(columns=cols, name=layer_name)
+
+
+def hdu_to_image_metadata_table(hdu):
+    """Decode a metadata BinTable HDU back into a Table (reference
+    work_unit.py:1285-1309): ``_WCSSTR_{col}`` columns deserialize to
+    WCS objects under the original column name."""
+    from kbmod_tpu.table import Table
+    from kbmod_tpu.wcs_utils import deserialize_wcs
+
+    data = Table()
+    for colname, vals in hdu.columns.items():
+        if colname.startswith("_WCSSTR_"):
+            data[colname[len("_WCSSTR_"):]] = [
+                deserialize_wcs(v) if v else None for v in vals
+            ]
+        else:
+            data[colname] = vals
+    return data
