@@ -136,6 +136,12 @@ class ImageHDU:
         return base64.urlsafe_b64decode(encoded.encode("ascii")).decode()
 
 
+def PrimaryHDU(data=None, header=None):
+    """Convenience constructor mirroring astropy's PrimaryHDU: an ImageHDU
+    named PRIMARY (the writer emits it as the primary header unit)."""
+    return ImageHDU(data, header=header, name="PRIMARY")
+
+
 class TableHDU(ImageHDU):
     """Table metadata stored as JSON in a uint8 image HDU (KBTABLE=T)."""
 
