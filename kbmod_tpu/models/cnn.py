@@ -132,8 +132,9 @@ class StampClassifier:
 
     def load_weights(self, model_path):
         """Load weights from a .npz flat flax dict (keys 'params/...' and
-        'batch_stats/...'); torch state_dicts are rejected with a clear
-        error unless torch can load and convert them."""
+        'batch_stats/...') or a torch checkpoint (a torchvision-style
+        resnet state_dict, converted at load time when torch is
+        importable; reference stamp_filters.py:27-69 loads such files)."""
         path = str(model_path)
         if path.endswith(".npz"):
             flat = dict(np.load(path))
@@ -146,9 +147,19 @@ class StampClassifier:
             if stats:
                 self.batch_stats = jax.tree.map(jnp.asarray, stats)
         else:
-            raise ValueError(
-                f"Unsupported CNN weights format for {model_path}: kbmod_tpu loads "
-                ".npz flax parameter archives (see save_weights)."
+            try:
+                import torch
+            except ImportError as err:
+                raise ValueError(
+                    f"Unsupported CNN weights format for {model_path}: without torch, "
+                    "kbmod_tpu loads .npz flax parameter archives (see save_weights)."
+                ) from err
+            state = torch.load(path, map_location="cpu", weights_only=False)
+            if hasattr(state, "state_dict"):
+                state = state.state_dict()
+            state = {k: np.asarray(v) for k, v in state.items()}
+            self.params, self.batch_stats = convert_torch_state_dict(
+                state, self.model.stage_sizes, self.model.block_cls
             )
 
     def save_weights(self, model_path):
@@ -170,6 +181,57 @@ class StampClassifier:
         elif stamps.ndim == 3:
             stamps = stamps[:, :, :, None]
         return np.asarray(self._forward(jnp.asarray(stamps)))
+
+
+def convert_torch_state_dict(state, stage_sizes, block_cls):
+    """Convert a torchvision-style resnet ``state_dict`` (numpy arrays,
+    OIHW convs) into this module's flax ``(params, batch_stats)`` trees.
+
+    Key layout follows torchvision resnets (the reference's model source,
+    stamp_filters.py:27-30): root ``conv1``/``bn1``/``fc``, stages
+    ``layer{1..4}.{b}`` with ``conv1/bn1/conv2/bn2[/conv3/bn3]`` and an
+    optional ``downsample.0``/``downsample.1`` projection. A leading
+    ``model.`` prefix (the reference's ``_KBMLModel`` wrapper,
+    stamp_filters.py:55-69) is stripped.
+    """
+    state = {
+        (k[len("model."):] if k.startswith("model.") else k): np.asarray(v)
+        for k, v in state.items()
+    }
+
+    def conv(key):
+        # torch OIHW -> flax HWIO
+        return {"kernel": np.transpose(state[key + ".weight"], (2, 3, 1, 0))}
+
+    def bn(key):
+        p = {"scale": state[key + ".weight"], "bias": state[key + ".bias"]}
+        s = {"mean": state[key + ".running_mean"], "var": state[key + ".running_var"]}
+        return p, s
+
+    params, stats = {}, {}
+    params["Conv_0"] = conv("conv1")
+    params["BatchNorm_0"], stats["BatchNorm_0"] = bn("bn1")
+
+    n_convs = 3 if block_cls is Bottleneck else 2
+    block_name = "Bottleneck" if block_cls is Bottleneck else "BasicBlock"
+    block_idx = 0
+    for stage, num_blocks in enumerate(stage_sizes):
+        for b in range(num_blocks):
+            src = f"layer{stage + 1}.{b}"
+            bp, bs = {}, {}
+            for c in range(n_convs):
+                bp[f"Conv_{c}"] = conv(f"{src}.conv{c + 1}")
+                bp[f"BatchNorm_{c}"], bs[f"BatchNorm_{c}"] = bn(f"{src}.bn{c + 1}")
+            if f"{src}.downsample.0.weight" in state:
+                bp[f"Conv_{n_convs}"] = conv(f"{src}.downsample.0")
+                bp[f"BatchNorm_{n_convs}"], bs[f"BatchNorm_{n_convs}"] = bn(f"{src}.downsample.1")
+            name = f"{block_name}_{block_idx}"
+            params[name], stats[name] = bp, bs
+            block_idx += 1
+
+    params["Dense_0"] = {"kernel": state["fc.weight"].T, "bias": state["fc.bias"]}
+    as_jnp = lambda tree: jax.tree.map(jnp.asarray, tree)
+    return as_jnp(params), as_jnp(stats)
 
 
 def _flatten(tree, prefix=""):

@@ -1299,7 +1299,14 @@ def _plan_groups_cached(dys_np, G, S, max_entries=8):
     pattern) pay the O(C log C) sort and spread verification once."""
     import hashlib
 
-    key = (hashlib.sha1(np.ascontiguousarray(dys_np)).hexdigest(), int(G), int(S))
+    dys_np = np.ascontiguousarray(dys_np)
+    key = (
+        hashlib.sha1(dys_np).hexdigest(),
+        dys_np.shape,
+        str(dys_np.dtype),
+        int(G),
+        int(S),
+    )
     hit = _PLAN_CACHE.get(key)
     if hit is None:
         hit = _plan_groups(dys_np, G, S)
@@ -1323,7 +1330,6 @@ def _grouped_tables(order, starts, G, dxs_np, dys_np, oy0, ox0, pad_rows, H,
     NG = len(starts)
     ends = np.append(starts[1:], C)
     sizes = ends - starts
-    # Slot -> source candidate, padding mirroring the first group member.
     offs = np.arange(G)[None, :]
     # Padding slots clamp to the group's LAST member, keeping their roll
     # amounts inside the group window; their validity bit is 0.

@@ -53,32 +53,37 @@ def mjd_to_day(mjd):
 
 def load_deccam_layered_image(filename, psf):
     """Load a legacy DECam FITS file (HDUs: header, science, mask,
-    variance) into a LayeredImagePy."""
+    variance) into a LayeredImagePy (reference util_functions.py:68-118)."""
+    import os
+    from itertools import product
+
     from kbmod_tpu.core.image_stack_py import LayeredImagePy
     from kbmod_tpu.io import fits_io
 
+    if not os.path.isfile(filename):
+        raise FileNotFoundError(f"{filename} not found")
+
     hdul = fits_io.read_fits(filename)
     if len(hdul) < 4:
-        raise ValueError(f"Unsupported number of extensions ({len(hdul)}) in {filename}.")
+        raise ValueError("Not enough extensions for legacy deccam format")
 
+    # Key-major sweep over a few header keys and the first two extensions,
+    # matching the reference's ``product(keys, exts)`` resolution order.
     obstime = -1.0
-    for ext in (0, 1):
+    for key, ext in product(("MJD", "DATE-AVG", "MJD-OBS"), (0, 1)):
         header = hdul[ext].header
-        for key in ("MJD", "DATE-AVG", "MJD-OBS"):
-            if key in header:
-                value = header[key]
-                if isinstance(value, (int, float)):
-                    obstime = float(value)
-                    break
-                if isinstance(value, str):
-                    import datetime as dt
+        if key in header:
+            value = header[key]
+            if isinstance(value, float):
+                obstime = float(value)
+                break
+            if isinstance(value, str):
+                import datetime as dt
 
-                    from kbmod_tpu.geom.time_utils import datetime_to_mjd
+                from kbmod_tpu.geom.time_utils import datetime_to_mjd
 
-                    obstime = datetime_to_mjd(dt.datetime.fromisoformat(value))
-                    break
-        if obstime > 0:
-            break
+                obstime = datetime_to_mjd(dt.datetime.fromisoformat(value))
+                break
 
     return LayeredImagePy(
         np.asarray(hdul[1].data, dtype=np.float32),

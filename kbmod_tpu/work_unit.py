@@ -785,9 +785,7 @@ def image_metadata_table_to_hdu(data, layer_name=None):
                 continue
             if isinstance(vals[0], WCS):
                 cols[f"_WCSSTR_{colname}"] = [serialize_wcs(v) if v is not None else "" for v in vals]
-            elif any(isinstance(v, (str, type(None))) for v in vals) or getattr(
-                np.asarray(vals, dtype=object), "dtype", None
-            ) == object:
+            else:
                 try:
                     arr = np.asarray(vals)
                     if arr.dtype == object:
@@ -795,8 +793,6 @@ def image_metadata_table_to_hdu(data, layer_name=None):
                     cols[colname] = arr
                 except Exception:
                     cols[colname] = [str(v) for v in vals]
-            else:
-                cols[colname] = np.asarray(vals)
     return BinTableHDU(columns=cols, name=layer_name)
 
 

@@ -174,6 +174,147 @@ class TestStampFilters:
         assert "cnn_class" in results.colnames
         assert results["prob_real"].shape == (4,)
 
+    def test_torch_weight_conversion_parity(self, tmp_path):
+        """A torchvision-style resnet18 state_dict (1-channel conv1,
+        2-class head — reference stamp_filters.py:27-69) converts to flax
+        and predicts identically to the torch model (to 1e-4)."""
+        torch = pytest.importorskip("torch")
+        import torch.nn as tnn
+
+        from kbmod_tpu.models.cnn import StampClassifier
+
+        class TorchBasicBlock(tnn.Module):
+            # torchvision.models.resnet.BasicBlock key layout.
+            def __init__(self, in_planes, planes, stride=1):
+                super().__init__()
+                self.conv1 = tnn.Conv2d(in_planes, planes, 3, stride, 1, bias=False)
+                self.bn1 = tnn.BatchNorm2d(planes)
+                self.conv2 = tnn.Conv2d(planes, planes, 3, 1, 1, bias=False)
+                self.bn2 = tnn.BatchNorm2d(planes)
+                self.downsample = None
+                if stride != 1 or in_planes != planes:
+                    self.downsample = tnn.Sequential(
+                        tnn.Conv2d(in_planes, planes, 1, stride, bias=False),
+                        tnn.BatchNorm2d(planes),
+                    )
+
+            def forward(self, x):
+                identity = x if self.downsample is None else self.downsample(x)
+                out = torch.relu(self.bn1(self.conv1(x)))
+                out = self.bn2(self.conv2(out))
+                return torch.relu(out + identity)
+
+        class TorchResNet18(tnn.Module):
+            def __init__(self, num_channels=1, num_classes=2):
+                super().__init__()
+                self.conv1 = tnn.Conv2d(num_channels, 64, 7, 2, 3, bias=False)
+                self.bn1 = tnn.BatchNorm2d(64)
+                self.maxpool = tnn.MaxPool2d(3, 2, 1)
+                self.layer1 = tnn.Sequential(TorchBasicBlock(64, 64), TorchBasicBlock(64, 64))
+                self.layer2 = tnn.Sequential(TorchBasicBlock(64, 128, 2), TorchBasicBlock(128, 128))
+                self.layer3 = tnn.Sequential(TorchBasicBlock(128, 256, 2), TorchBasicBlock(256, 256))
+                self.layer4 = tnn.Sequential(TorchBasicBlock(256, 512, 2), TorchBasicBlock(512, 512))
+                self.fc = tnn.Linear(512, num_classes)
+
+            def forward(self, x):
+                x = self.maxpool(torch.relu(self.bn1(self.conv1(x))))
+                for layer in (self.layer1, self.layer2, self.layer3, self.layer4):
+                    x = layer(x)
+                x = x.mean(dim=(2, 3))
+                return self.fc(x)
+
+        torch.manual_seed(42)
+        model = TorchResNet18()
+        # Non-trivial running stats so BatchNorm conversion is exercised.
+        with torch.no_grad():
+            for mod in model.modules():
+                if isinstance(mod, tnn.BatchNorm2d):
+                    mod.running_mean.normal_(0.0, 0.05)
+                    mod.running_var.uniform_(0.5, 1.5)
+        model.eval()
+
+        path = tmp_path / "resnet18.pt"
+        torch.save(model.state_dict(), str(path))
+
+        clf = StampClassifier(model_type="resnet18", stamp_width=21, model_path=str(path))
+        stamps = np.random.default_rng(7).normal(size=(6, 21, 21)).astype(np.float32)
+        with torch.no_grad():
+            want = model(torch.from_numpy(stamps[:, None])).numpy()
+        got = clf.predict(stamps)
+        np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+    def test_torch_weight_conversion_parity_resnet50(self, tmp_path):
+        """Bottleneck conversion: a torchvision-style resnet50 layer1
+        (64->256 with projection) converts and matches torch."""
+        torch = pytest.importorskip("torch")
+        import torch.nn as tnn
+
+        from kbmod_tpu.models.cnn import Bottleneck, convert_torch_state_dict, resnet50
+
+        class TorchBottleneck(tnn.Module):
+            def __init__(self, in_planes, planes, stride=1):
+                super().__init__()
+                self.conv1 = tnn.Conv2d(in_planes, planes, 1, bias=False)
+                self.bn1 = tnn.BatchNorm2d(planes)
+                self.conv2 = tnn.Conv2d(planes, planes, 3, stride, 1, bias=False)
+                self.bn2 = tnn.BatchNorm2d(planes)
+                self.conv3 = tnn.Conv2d(planes, planes * 4, 1, bias=False)
+                self.bn3 = tnn.BatchNorm2d(planes * 4)
+                self.downsample = None
+                if stride != 1 or in_planes != planes * 4:
+                    self.downsample = tnn.Sequential(
+                        tnn.Conv2d(in_planes, planes * 4, 1, stride, bias=False),
+                        tnn.BatchNorm2d(planes * 4),
+                    )
+
+            def forward(self, x):
+                identity = x if self.downsample is None else self.downsample(x)
+                out = torch.relu(self.bn1(self.conv1(x)))
+                out = torch.relu(self.bn2(self.conv2(out)))
+                out = self.bn3(self.conv3(out))
+                return torch.relu(out + identity)
+
+        class TorchResNet50(tnn.Module):
+            def __init__(self):
+                super().__init__()
+                self.conv1 = tnn.Conv2d(1, 64, 7, 2, 3, bias=False)
+                self.bn1 = tnn.BatchNorm2d(64)
+                self.maxpool = tnn.MaxPool2d(3, 2, 1)
+
+                def stage(in_p, planes, blocks, stride):
+                    mods = [TorchBottleneck(in_p, planes, stride)]
+                    mods += [TorchBottleneck(planes * 4, planes) for _ in range(blocks - 1)]
+                    return tnn.Sequential(*mods)
+
+                self.layer1 = stage(64, 64, 3, 1)
+                self.layer2 = stage(256, 128, 4, 2)
+                self.layer3 = stage(512, 256, 6, 2)
+                self.layer4 = stage(1024, 512, 3, 2)
+                self.fc = tnn.Linear(2048, 2)
+
+            def forward(self, x):
+                x = self.maxpool(torch.relu(self.bn1(self.conv1(x))))
+                for layer in (self.layer1, self.layer2, self.layer3, self.layer4):
+                    x = layer(x)
+                x = x.mean(dim=(2, 3))
+                return self.fc(x)
+
+        torch.manual_seed(3)
+        model = TorchResNet50().eval()
+        state = {k: np.asarray(v) for k, v in model.state_dict().items()}
+        params, stats = convert_torch_state_dict(state, (3, 4, 6, 3), Bottleneck)
+
+        import jax.numpy as jnp
+
+        flax_model = resnet50()
+        stamps = np.random.default_rng(11).normal(size=(2, 21, 21, 1)).astype(np.float32)
+        got = flax_model.apply(
+            {"params": params, "batch_stats": stats}, jnp.asarray(stamps), train=False
+        )
+        with torch.no_grad():
+            want = model(torch.from_numpy(np.transpose(stamps, (0, 3, 1, 2)))).numpy()
+        np.testing.assert_allclose(np.asarray(got), want, atol=1e-4, rtol=1e-4)
+
 
 class TestNNSweepFilter:
     def test_keeps_local_maxima(self):

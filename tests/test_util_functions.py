@@ -60,6 +60,65 @@ class TestScalarHelpers:
         assert get_magnitude(1000.0, 31.0) < get_magnitude(10.0, 31.0)
 
 
+class TestLoadDeccam:
+    """load_deccam_layered_image (reference util_functions.py:68-118)."""
+
+    def _write_deccam(self, path, mjd_header, ext=0):
+        from kbmod_tpu.io.fits_io import HDUList, ImageHDU, PrimaryHDU, write_fits
+
+        sci = np.arange(12, dtype=np.float32).reshape(3, 4)
+        msk = np.zeros((3, 4), dtype=np.float32)
+        var = np.full((3, 4), 2.0, dtype=np.float32)
+        hdus = [PrimaryHDU(), ImageHDU(sci), ImageHDU(msk), ImageHDU(var)]
+        for key, val in mjd_header.items():
+            hdus[ext].header[key] = val
+        write_fits(str(path), HDUList(hdus))
+        return sci, var, msk
+
+    def test_load(self, tmp_path):
+        from kbmod_tpu.util_functions import load_deccam_layered_image
+
+        path = tmp_path / "deccam.fits"
+        sci, var, msk = self._write_deccam(path, {"MJD": 57130.5})
+        img = load_deccam_layered_image(str(path), np.ones((1, 1), dtype=np.float32))
+        np.testing.assert_allclose(img.sci, sci)
+        np.testing.assert_allclose(img.var, var)
+        assert img.time == 57130.5
+
+    def test_mjd_key_preferred_over_extension(self, tmp_path):
+        # MJD in ext 1 wins over DATE-AVG in ext 0 (key-major sweep).
+        from kbmod_tpu.io.fits_io import HDUList, ImageHDU, PrimaryHDU, write_fits
+        from kbmod_tpu.util_functions import load_deccam_layered_image
+
+        path = tmp_path / "deccam2.fits"
+        sci = np.zeros((2, 2), dtype=np.float32)
+        hdus = [PrimaryHDU(), ImageHDU(sci), ImageHDU(sci), ImageHDU(sci)]
+        hdus[0].header["DATE-AVG"] = "2015-04-18T00:00:00"
+        hdus[1].header["MJD"] = 60000.25
+        write_fits(str(path), HDUList(hdus))
+        img = load_deccam_layered_image(str(path), np.ones((1, 1), dtype=np.float32))
+        assert img.time == 60000.25
+
+    def test_missing_file(self):
+        import pytest
+
+        from kbmod_tpu.util_functions import load_deccam_layered_image
+
+        with pytest.raises(FileNotFoundError):
+            load_deccam_layered_image("/nonexistent/file.fits", None)
+
+    def test_too_few_extensions(self, tmp_path):
+        import pytest
+
+        from kbmod_tpu.io.fits_io import HDUList, ImageHDU, PrimaryHDU, write_fits
+        from kbmod_tpu.util_functions import load_deccam_layered_image
+
+        path = tmp_path / "short.fits"
+        write_fits(str(path), HDUList([PrimaryHDU(), ImageHDU(np.zeros((2, 2), dtype=np.float32))]))
+        with pytest.raises(ValueError):
+            load_deccam_layered_image(str(path), None)
+
+
 class TestDebugTimer:
     def test_start_stop_read(self):
         timer = DebugTimer("unit-test phase")
