@@ -23,9 +23,13 @@ __all__ = ["reproject_work_unit", "reproject_lazy_work_unit"]
 
 
 def _get_combined_psf(psfs):
-    """One PSF for a mosaicked layer: the largest kernel of the group (the
-    constituents come from the same instrument/epoch in practice)."""
-    return max(psfs, key=lambda p: np.asarray(p).shape[0])
+    """One PSF for a mosaicked layer: the first constituent's kernel,
+    exactly as the reference does (reprojection.py:260 uses
+    ``psfs[indices[0]]``; its lazy path's ``_get_first_psf_at_time``,
+    reprojection.py:613-641, likewise returns the first PSF at the
+    obstime). Constituents of a mosaic come from the same instrument and
+    epoch, so their PSFs agree in practice."""
+    return psfs[0]
 
 
 def reproject_work_unit(
@@ -102,20 +106,13 @@ def reproject_work_unit(
     new_stack = ImageStackPy()
     per_image_indices = []
     for time, group in zip(unique_times, groups):
-        mosaic_sci = np.full((height, width), np.nan, dtype=np.float32)
-        mosaic_var = np.full((height, width), np.nan, dtype=np.float32)
-        n_contrib = np.zeros((height, width), dtype=np.int32)
-        for idx in group:
-            coords = compute_source_coordinates(src_wcs_list[idx], common_wcs, (height, width))
-            sci_r, var_r, good = resample_layer(stack.sci[idx], stack.var[idx], coords)
-            mosaic_sci[good] = sci_r[good]
-            mosaic_var[good] = var_r[good]
-            n_contrib += good
-        # Mask collision pixels (covered by more than one constituent).
-        collision = n_contrib > 1
-        mosaic_sci[collision] = np.nan
-        mosaic_var[collision] = np.nan
-
+        mosaic_sci, mosaic_var = _mosaic_group(
+            [stack.sci[idx] for idx in group],
+            [stack.var[idx] for idx in group],
+            [src_wcs_list[idx] for idx in group],
+            common_wcs,
+            (height, width),
+        )
         psf = _get_combined_psf([stack.psfs[idx] for idx in group])
         new_stack.append_image(time, mosaic_sci, mosaic_var, psf=psf)
         per_image_indices.append(list(group))
@@ -141,18 +138,119 @@ def reproject_work_unit(
     return result
 
 
+def _mosaic_group(sci_list, var_list, wcs_list, common_wcs, out_shape):
+    """Reproject a group of same-obstime images onto ``common_wcs`` and
+    mosaic them into one layer; pixels covered by more than one
+    constituent (footprint collisions) are masked."""
+    height, width = out_shape
+    mosaic_sci = np.full((height, width), np.nan, dtype=np.float32)
+    mosaic_var = np.full((height, width), np.nan, dtype=np.float32)
+    n_contrib = np.zeros((height, width), dtype=np.int32)
+    for sci, var, src_wcs in zip(sci_list, var_list, wcs_list):
+        coords = compute_source_coordinates(src_wcs, common_wcs, (height, width))
+        sci_r, var_r, good = resample_layer(sci, var, coords)
+        mosaic_sci[good] = sci_r[good]
+        mosaic_var[good] = var_r[good]
+        n_contrib += good
+    collision = n_contrib > 1
+    mosaic_sci[collision] = np.nan
+    mosaic_var[collision] = np.nan
+    return mosaic_sci, mosaic_var
+
+
 def reproject_lazy_work_unit(
     work_unit, common_wcs, directory, filename, frame="original", max_parallel_processes=8, order=None
 ):
-    """Reproject a lazy (sharded) WorkUnit, writing sharded output."""
+    """Reproject a lazy (sharded) WorkUnit, writing sharded output.
+
+    Streams one unique-obstime group at a time (reference
+    reprojection.py:470-565): only the shard files of the current group
+    are loaded, the mosaicked layer is written to its output shard
+    immediately, and the images are released before the next group —
+    peak memory is bounded by one group plus one output layer, not the
+    full stack.
+    """
+    import os
+    from copy import copy
+
+    from kbmod_tpu.io import fits_io
+    from kbmod_tpu.reprojection_utils import fit_barycentric_wcs
+    from kbmod_tpu.work_unit import load_layered_image_from_shard
+
     if not work_unit.lazy:
         raise ValueError("Expected a lazy WorkUnit.")
-    work_unit.load_images()
-    reproject_work_unit(
-        work_unit,
-        common_wcs,
-        frame=frame,
-        write_output=True,
-        directory=directory,
-        filename=filename,
-    )
+    if common_wcs.array_shape is None:
+        raise ValueError("common_wcs must carry an array shape.")
+    height, width = common_wcs.array_shape
+
+    obstimes = np.asarray(work_unit.get_all_obstimes())
+    n_img = len(work_unit.file_paths)
+    per_image_wcs = [work_unit.get_wcs(i) for i in range(n_img)]
+    if any(w is None for w in per_image_wcs):
+        raise ValueError("Every image needs a WCS to reproject.")
+
+    if frame == "ebd":
+        if work_unit.barycentric_distance is None:
+            raise ValueError("barycentric_distance is required for EBD reprojection.")
+        # WCS fitting needs image dimensions, not pixels: use the WCS
+        # shape when present, else peek at the first shard's header.
+        shape = per_image_wcs[0].array_shape
+        if shape is None:
+            first = load_layered_image_from_shard(work_unit.file_paths[0])
+            shape = first.sci.shape
+            del first
+        src_wcs_list, geo_dists = transform_wcses_to_ebd(
+            per_image_wcs,
+            shape[1],
+            shape[0],
+            work_unit.barycentric_distance,
+            obstimes,
+            point_on_earth=work_unit.observatory,
+            npoints=10,
+            seed=101,
+        )
+        work_unit.org_img_meta["ebd_wcs"] = np.array(src_wcs_list, dtype=object)
+        work_unit.org_img_meta["geocentric_distance"] = np.array(geo_dists, dtype=object)
+    elif frame == "original":
+        src_wcs_list = per_image_wcs
+    else:
+        raise ValueError(f"Invalid projection frame {frame}.")
+
+    unique_times, groups = work_unit.get_unique_obstimes_and_indices()
+
+    os.makedirs(directory, exist_ok=True)
+    for layer_idx, (time, group) in enumerate(zip(unique_times, groups)):
+        # Load ONLY this group's shards.
+        images = [load_layered_image_from_shard(work_unit.file_paths[i]) for i in group]
+        mosaic_sci, mosaic_var = _mosaic_group(
+            [img.sci for img in images],
+            [img.var for img in images],
+            [src_wcs_list[i] for i in group],
+            common_wcs,
+            (height, width),
+        )
+        psf = _get_combined_psf([img.psf for img in images])
+
+        sci_hdu = fits_io.ImageHDU(mosaic_sci.astype(np.float32), name=f"SCI_{layer_idx}")
+        sci_hdu.header["MJD"] = float(time)
+        shard = fits_io.HDUList(
+            [
+                fits_io.ImageHDU(name="PRIMARY"),
+                sci_hdu,
+                fits_io.ImageHDU(mosaic_var.astype(np.float32), name=f"VAR_{layer_idx}"),
+                fits_io.ImageHDU(np.asarray(psf, dtype=np.float32), name=f"PSF_{layer_idx}"),
+            ]
+        )
+        shard.writeto(os.path.join(directory, f"{layer_idx}_{filename}"), overwrite=True)
+        del images, mosaic_sci, mosaic_var, shard  # release before the next group
+
+    # Head file: the metadata of the (still image-less) WorkUnit with the
+    # reprojection state applied; NUMIMG is the output layer count.
+    head_unit = copy(work_unit)
+    head_unit._per_image_indices = [list(g) for g in groups]
+    head_unit.wcs = common_wcs
+    head_unit.reprojected = True
+    head_unit.reprojection_frame = frame
+    hdul = head_unit.metadata_to_hdul()
+    hdul["METADATA"].header["NUMIMG"] = len(groups)
+    hdul.writeto(os.path.join(directory, filename), overwrite=True)
