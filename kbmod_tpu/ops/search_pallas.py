@@ -1351,6 +1351,55 @@ def _grouped_tables(order, starts, G, dxs_np, dys_np, oy0, ox0, pad_rows, H,
     return tbl, grp, cok
 
 
+def _grouped_tables_fast(order, starts, G, dxs_np, dys_np, oy0, ox0, pad_rows, H,
+                         W4, TBG, cand_valid=None, cand_offset=0, TH=None):
+    """Host-resolved grouped tables for the fast-tables kernel variant.
+
+    Returns ``(tbl, grp8, cok, margins)``: ``tbl`` (NG*G, 3T) int32
+    ``[lane_amount | row_residual | parity_base]`` per slot/time (all
+    kernel scalar math pre-applied, lane amounts pre-normalized for the
+    non-pow2 rotate quirk), ``grp8`` (NG, T) the 8-aligned group base
+    rows, ``cok`` as in :func:`_grouped_tables`, and ``(grp8_min,
+    grp8_max, rsub_max)`` for the caller's clip-freedom check."""
+    C, T = dys_np.shape
+    NG = len(starts)
+    ends = np.append(starts[1:], C)
+    sizes = ends - starts
+    offs = np.arange(G)[None, :]
+    slot_pos = starts[:, None] + np.minimum(offs, sizes[:, None] - 1)
+    src = order[slot_pos]  # (NG, G)
+    slot_ok = (offs < sizes[:, None]).astype(np.int32)
+    if cand_valid is not None:
+        slot_ok = slot_ok * np.asarray(cand_valid).astype(np.int32)[src]
+
+    flat = src.reshape(-1)
+    ox = (int(ox0) + dxs_np[flat].astype(np.int64))  # (NG*G, T)
+    oy = (int(oy0) + dys_np[flat].astype(np.int64))
+    t_idx = np.arange(T, dtype=np.int64)[None, :]
+    rows = pad_rows + t_idx * H + oy  # (NG*G, T)
+    grp = rows.reshape(NG, G, T).min(axis=1)
+    grp8 = (grp // 8) * 8  # floor-align (grp >= 0 checked by caller)
+
+    par = ox % 2  # non-negative (numpy % with positive divisor)
+    dw = (ox + par) // 2  # exact (ox + par is even)
+    aln = (-dw) % int(W4)
+    rsub = rows - grp8.reshape(NG, 1, T).repeat(G, axis=1).reshape(NG * G, T)
+    pbase = par * int(TBG)
+    if TH is not None:
+        # "win" tables: fold the 8-aligned residual into the base so the
+        # kernel slices the minimal TH+8 rows.
+        base = pbase + (rsub // 8) * 8
+        rs = rsub % 8
+    else:
+        base, rs = pbase, rsub
+    tbl = np.concatenate([aln, rs, base], axis=1).astype(np.int32)
+
+    idxg = (flat.astype(np.int64) + int(cand_offset)).astype(np.int32)
+    cok = np.stack([slot_ok.reshape(-1), idxg], axis=1).astype(np.int32)
+    margins = (int(grp8.min()), int(grp8.max()), int(rsub.max()))
+    return tbl, grp8.astype(np.int32), cok, margins
+
+
 def _search_kernel_paired_grouped(
     tbl_ref,  # (NGC*G, 2T) int32: [x offset | y offset] per slot/time
     grp_ref,  # (NGC, T) int32: group-minimum source row (no tile offset)
@@ -1381,13 +1430,24 @@ def _search_kernel_paired_grouped(
     gate_min_obs,
     gate_min_lh,
     bounds_masks=True,
+    fast_tables=False,
+    slice_mode="roll",
 ):
     """Candidate-grouped variant of _search_kernel_paired (see the module
     comment above): one dual-stream window DMA per (tile, group, time)
     serves G candidates; per-candidate state is G packed accumulator
     triples. Top-K insertion breaks exact ties by ascending candidate
     index (reference semantics up to equal-lh ordering, kernels.cu:322-330
-    — identical to the per-candidate kernels' arrival order)."""
+    — identical to the per-candidate kernels' arrival order).
+
+    With ``fast_tables`` the host pre-resolves all per-slot scalar math
+    (column parity, word shift, normalized lane-roll amount, in-window row
+    residual) into the SMEM tables — valid only when the stream is
+    guard-padded (no bounds masks) and the window clip provably never
+    binds; ``grp_ref`` then carries the 8-aligned group base rows.
+    ``slice_mode="half"`` additionally replaces the full stacked-buffer
+    sublane roll by a dynamic slice of the one parity half the slot needs
+    (half the roll input)."""
     TBG = TH + 8 + S
     ty = pl.program_id(0)
     pg = pl.program_id(1)
@@ -1407,9 +1467,17 @@ def _search_kernel_paired_grouped(
     phi_min = scalars_ref[6]
     phi_scale = scalars_ref[7]
 
-    def base_for(t):
-        r = jnp.clip(grp_ref[pg, t] + tile_row0, 0, ROWS1 - TBG)
-        return pl.multiple_of((r // 8) * 8, 8)
+    if fast_tables:
+        assert not bounds_masks, "fast tables require the guard-padded stream"
+
+        def base_for(t):
+            return pl.multiple_of(grp_ref[pg, t] + tile_row0, 8)
+
+    else:
+
+        def base_for(t):
+            r = jnp.clip(grp_ref[pg, t] + tile_row0, 0, ROWS1 - TBG)
+            return pl.multiple_of((r // 8) * 8, 8)
 
     def dma(slot, t):
         r8 = base_for(t)
@@ -1456,32 +1524,51 @@ def _search_kernel_paired_grouped(
                 cp.wait()
 
             r8 = base_for(t)
-            buf = word_buf[slot]  # (2*TBG, W4)
+            buf = None
+            if not (fast_tables and slice_mode == "half"):
+                buf = word_buf[slot]  # (2*TBG, W4)
             for gi in range(G):
                 ci = pg * G + gi
-                ox = tbl_ref[ci, t]
-                oy = tbl_ref[ci, T + t] + tile_row0
-                par = lax.rem(lax.rem(ox, 2) + 2, 2)
-                row_i = pad_rows + t * HG + oy
-                # Start row inside the stacked buffer: the candidate's
-                # residual within the group window, plus TBG to land in
-                # the parity-1 half for odd column shifts. Clipped so the
-                # sublane roll amount stays positive even for windows the
-                # bounds masks fully reject.
-                rshift = jnp.clip(row_i - r8 + par * TBG, 0, 2 * TBG - 1)
-                pw = pltpu.roll(buf, 2 * TBG - rshift, 0)[:TH]
-                dw = (ox + par) // 2
-                wk = _lane_roll_left(pw, dw, W4)[:, :SW4]
-                if bounds_masks:
-                    row_ok = (ii >= -oy) & (ii < H - oy)
-                    v0 = (jj0 >= -ox) & (jj0 < W - ox)
-                    v1 = (jj0 >= -ox - 1) & (jj0 < W - ox - 1)
-                    m = jnp.where(v0 & row_ok, LO16, 0) | jnp.where(v1 & row_ok, HI16, 0)
-                    wm = wk & m
+                if fast_tables:
+                    # Host-resolved tables: normalized lane amount, row
+                    # residual, 8-aligned slice base. In "win" mode the
+                    # base already folds the parity half AND the 8-aligned
+                    # residual, so the slice is the minimal TH+8 rows; in
+                    # "half" mode it is the parity half (TBG rows).
+                    aln = tbl_ref[ci, t]
+                    rs = tbl_ref[ci, T + t]
+                    base = tbl_ref[ci, 2 * T + t]
+                    if slice_mode in ("half", "win"):
+                        SL = TBG if slice_mode == "half" else TH + 8
+                        win = word_buf[slot, pl.ds(pl.multiple_of(base, 8), SL)]
+                        pw = pltpu.roll(win, SL - rs, 0)[:TH]
+                    else:
+                        pw = pltpu.roll(buf, 2 * TBG - (base + rs), 0)[:TH]
+                    wm = pltpu.roll(pw, aln, 1)[:, :SW4]
                 else:
-                    # Guard-padded stream: OOB reads land on zeros, which
-                    # self-exclude (see _search_kernel_paired).
-                    wm = wk
+                    ox = tbl_ref[ci, t]
+                    oy = tbl_ref[ci, T + t] + tile_row0
+                    par = lax.rem(lax.rem(ox, 2) + 2, 2)
+                    row_i = pad_rows + t * HG + oy
+                    # Start row inside the stacked buffer: the candidate's
+                    # residual within the group window, plus TBG to land in
+                    # the parity-1 half for odd column shifts. Clipped so the
+                    # sublane roll amount stays positive even for windows the
+                    # bounds masks fully reject.
+                    rshift = jnp.clip(row_i - r8 + par * TBG, 0, 2 * TBG - 1)
+                    pw = pltpu.roll(buf, 2 * TBG - rshift, 0)[:TH]
+                    dw = (ox + par) // 2
+                    wk = _lane_roll_left(pw, dw, W4)[:, :SW4]
+                    if bounds_masks:
+                        row_ok = (ii >= -oy) & (ii < H - oy)
+                        v0 = (jj0 >= -ox) & (jj0 < W - ox)
+                        v1 = (jj0 >= -ox - 1) & (jj0 < W - ox - 1)
+                        m = jnp.where(v0 & row_ok, LO16, 0) | jnp.where(v1 & row_ok, HI16, 0)
+                        wm = wk & m
+                    else:
+                        # Guard-padded stream: OOB reads land on zeros, which
+                        # self-exclude (see _search_kernel_paired).
+                        wm = wk
                 pv = wm & PAIR_ONES
                 fv = lax.shift_right_logical(wm, 8) & PAIR_ONES
                 acc_psi[gi] = acc_psi[gi] + pv
@@ -1551,10 +1638,12 @@ def _grouped_row_tile(SH, SW4, W4, K, DD, G, S):
     return 8
 
 
-def _grouped_cand_chunk(NG, T, G):
+def _grouped_cand_chunk(NG, T, G, tcols=2):
     """Groups per kernel call under the SMEM table budget (tbl is lane-
-    padded to 128 columns per slot; cok costs one padded row per slot)."""
-    per_slot = (_round_up_int(2 * int(T), 128) + 128) * 4
+    padded to 128 columns per slot; cok costs one padded row per slot).
+    ``tcols`` is the number of per-time table columns (2 for the offset
+    tables, 3 for the host-resolved fast tables)."""
+    per_slot = (_round_up_int(int(tcols) * int(T), 128) + 128) * 4
     per_group = G * per_slot + _round_up_int(int(T), 128) * 4
     return max(1, min(int(NG), _SMEM_TABLE_BYTES // per_group))
 
@@ -1591,6 +1680,8 @@ def search_topk_paired_grouped(
     ``dxs``/``dys`` — the grouping plan is data-dependent. ``_plan`` is
     the dispatcher's precomputed ``(order, starts)`` (avoids planning
     twice)."""
+    import os
+
     T, H, W = (int(v) for v in shape)
     dxs_np = np.asarray(dxs, dtype=np.int32)
     dys_np = np.asarray(dys, dtype=np.int32)
@@ -1628,23 +1719,56 @@ def search_topk_paired_grouped(
         )
 
     order, starts = _plan_groups(dys_np, G, S) if _plan is None else _plan
-    tbl, grp, cok = _grouped_tables(
-        order, starts, G, dxs_np, dys_np, int(y_min), int(x_min), pad_rows, HG,
-        cand_valid=None if cand_valid is None else np.asarray(cand_valid),
-        cand_offset=int(cand_offset),
-    )
-    NG = grp.shape[0]
     bounds_masks = not _bounds_free(
         int(x_min) + dxs_np, int(y_min) + dys_np,
         W=W, H=H, W4=W4, SW4=SW4, SH_pad=SH_pad, geom=geom, row_slack=8 + S,
     )
+    TBG = TH + 8 + S
 
-    NGC = _grouped_cand_chunk(NG, T, G)
+    # Fast-tables variant: host pre-resolves the per-slot scalar math and
+    # the kernel slices only the parity half it needs. Applies when the
+    # stream is guarded (no masks) and the window clip provably never
+    # binds for any tile.
+    fast_tables = False
+    slice_mode = os.environ.get("KB_GROUPED_SLICE", "win")
+    if not bounds_masks and os.environ.get("KB_GROUPED_V2", "1") != "0":
+        fast_kw = dict(
+            cand_valid=None if cand_valid is None else np.asarray(cand_valid),
+            cand_offset=int(cand_offset),
+        )
+        tbl_f, grp8, cok_f, (g8_min, g8_max, rs_max) = _grouped_tables_fast(
+            order, starts, G, dxs_np, dys_np, int(y_min), int(x_min), pad_rows,
+            HG, W4, TBG, TH=TH if slice_mode == "win" else None, **fast_kw,
+        )
+        if slice_mode == "win" and (rs_max // 8) * 8 + TH + 8 > TBG:
+            # The minimal window cannot cover this spread; use the full
+            # parity half instead.
+            slice_mode = "half"
+            tbl_f, grp8, cok_f, _ = _grouped_tables_fast(
+                order, starts, G, dxs_np, dys_np, int(y_min), int(x_min),
+                pad_rows, HG, W4, TBG, **fast_kw,
+            )
+        fast_tables = (
+            g8_min >= 0
+            and g8_max + (pl.cdiv(SH, TH) - 1) * TH + TBG <= ROWS1
+            and rs_max + TH <= TBG
+        )
+    if fast_tables:
+        tbl, grp, cok = tbl_f, grp8, cok_f
+    else:
+        tbl, grp, cok = _grouped_tables(
+            order, starts, G, dxs_np, dys_np, int(y_min), int(x_min), pad_rows, HG,
+            cand_valid=None if cand_valid is None else np.asarray(cand_valid),
+            cand_offset=int(cand_offset),
+        )
+    NG = grp.shape[0]
+
+    NGC = _grouped_cand_chunk(NG, T, G, tcols=3 if fast_tables else 2)
     n_chunks = pl.cdiv(NG, NGC)
     # Pad to whole chunks with invalid groups (windows pinned at row 0).
     gpad = n_chunks * NGC - NG
     if gpad:
-        tbl = np.concatenate([tbl, np.zeros((gpad * G, 2 * T), np.int32)], axis=0)
+        tbl = np.concatenate([tbl, np.zeros((gpad * G, tbl.shape[1]), np.int32)], axis=0)
         grp = np.concatenate([grp, np.zeros((gpad, T), np.int32)], axis=0)
         cok = np.concatenate([cok, np.zeros((gpad * G, 2), np.int32)], axis=0)
 
@@ -1657,6 +1781,7 @@ def search_topk_paired_grouped(
         NGC=NGC, n_chunks=n_chunks,
         gate_min_obs=gate_min_obs, gate_min_lh=gate_min_lh, interpret=interpret,
         bounds_masks=bounds_masks,
+        fast_tables=fast_tables, slice_mode=slice_mode if fast_tables else "roll",
     )
     return top_lh[:, :SH, :SW], top_idx[:, :SH, :SW]
 
@@ -1667,6 +1792,7 @@ def search_topk_paired_grouped(
         "T", "H", "HG", "W", "W4", "TH", "SW4", "K", "DD", "S", "G",
         "ROWS1", "pad_rows", "SH_pad", "n_ty", "NGC", "n_chunks",
         "gate_min_obs", "gate_min_lh", "interpret", "bounds_masks",
+        "fast_tables", "slice_mode",
     ),
 )
 def _paired_grouped_jit(words_r, tbl, grp, cok, em, min_obs, min_lh, **statics):
@@ -1679,6 +1805,7 @@ def _paired_grouped_traced(
     words_r, tbl, grp, cok, em, min_obs, min_lh,
     *, T, H, HG, W, W4, TH, SW4, K, DD, S, G, ROWS1, pad_rows, SH_pad, n_ty,
     NGC, n_chunks, gate_min_obs, gate_min_lh, interpret, bounds_masks=True,
+    fast_tables=False, slice_mode="roll",
 ):
     """Traced body of the grouped search: also called from inside
     shard_map programs (parallel/sharded.py), where the tables arrive as
@@ -1689,6 +1816,7 @@ def _paired_grouped_traced(
         ROWS1=ROWS1, pad_rows=pad_rows,
         gate_min_obs=gate_min_obs, gate_min_lh=gate_min_lh,
         bounds_masks=bounds_masks,
+        fast_tables=fast_tables, slice_mode=slice_mode,
     )
     TBG = TH + 8 + S
 

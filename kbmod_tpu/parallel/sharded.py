@@ -86,6 +86,7 @@ def _sharded_paired_grouped(
         _grouped_cand_chunk,
         _grouped_row_tile,
         _grouped_tables,
+        _grouped_tables_fast,
         _norm_geom,
         _paired_grouped_traced,
         _plan_groups,
@@ -155,19 +156,50 @@ def _sharded_paired_grouped(
     )
 
     NG_max = max(len(starts) for _, _, starts in plans)
-    NGC = _grouped_cand_chunk(NG_max, T, G)
+    TBG = TH + 8 + S
+
+    # Same fast-tables eligibility as the single-device dispatcher: the
+    # guarded stream plus a provably clip-free window for every tile (the
+    # check must pass for EVERY shard — all shards share one kernel).
+    fast_tables = False
+    slice_mode = os.environ.get("KB_GROUPED_SLICE", "win")
+    shard_tables = None
+    if not bounds_masks and os.environ.get("KB_GROUPED_V2", "1") != "0":
+        shard_tables = []
+        ok_all = True
+        for sl, order, starts in plans:
+            tbl, grp, cok, (g8_min, g8_max, rs_max) = _grouped_tables_fast(
+                order, starts, G, dxs_p[sl], dys_p[sl], int(y_min), int(x_min),
+                pad_rows, HG, W4, TBG,
+                TH=TH if slice_mode == "win" else None,
+                cand_valid=cand_valid[sl], cand_offset=sl.start,
+            )
+            ok_all &= (
+                g8_min >= 0
+                and g8_max + (n_ty - 1) * TH + TBG <= ROWS1
+                and rs_max + TH <= TBG
+                and (slice_mode != "win" or (rs_max // 8) * 8 + TH + 8 <= TBG)
+            )
+            shard_tables.append((tbl, grp, cok))
+        fast_tables = ok_all
+    if not fast_tables:
+        shard_tables = [
+            _grouped_tables(
+                order, starts, G, dxs_p[sl], dys_p[sl], int(y_min), int(x_min),
+                pad_rows, HG,
+                cand_valid=cand_valid[sl], cand_offset=sl.start,
+            )
+            for sl, order, starts in plans
+        ]
+
+    NGC = _grouped_cand_chunk(NG_max, T, G, tcols=3 if fast_tables else 2)
     n_chunks = pl.cdiv(NG_max, NGC)
     NG_pad = n_chunks * NGC
 
-    tbls = np.zeros((n_dev, NG_pad * G, 2 * T), np.int32)
+    tbls = np.zeros((n_dev, NG_pad * G, (3 if fast_tables else 2) * T), np.int32)
     grps = np.zeros((n_dev, NG_pad, T), np.int32)
     coks = np.zeros((n_dev, NG_pad * G, 2), np.int32)
-    for s, (sl, order, starts) in enumerate(plans):
-        tbl, grp, cok = _grouped_tables(
-            order, starts, G, dxs_p[sl], dys_p[sl], int(y_min), int(x_min),
-            pad_rows, HG,
-            cand_valid=cand_valid[sl], cand_offset=sl.start,
-        )
+    for s, (tbl, grp, cok) in enumerate(shard_tables):
         ng = grp.shape[0]
         tbls[s, : ng * G] = tbl
         grps[s, :ng] = grp
@@ -179,6 +211,8 @@ def _sharded_paired_grouped(
         NGC=NGC, n_chunks=n_chunks,
         gate_min_obs=gate_min_obs, gate_min_lh=gate_min_lh,
         interpret=jax.default_backend() != "tpu", bounds_masks=bounds_masks,
+        fast_tables=fast_tables,
+        slice_mode=slice_mode if fast_tables else "roll",
     )
     em = jnp.asarray(np.asarray(encode_meta, np.float32).reshape(4))
     min_obs = jnp.float32(min_obs)

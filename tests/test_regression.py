@@ -3,7 +3,11 @@ stack, searched with EclipticCenteredSearch and matched back via
 match_trajectory_sets (modeled on the reference's
 tests/test_regression_test.py)."""
 
+import os
+import tempfile
+
 import numpy as np
+import pytest
 
 from kbmod_tpu.configuration import SearchConfiguration
 from kbmod_tpu.fake_data.fake_data_creator import FakeDataSet, create_fake_times
@@ -57,6 +61,109 @@ class TestRegression:
             times=[0.0, zeroed[-1] / 2.0, zeroed[-1]],
         )
         assert np.all(matches >= 0), f"unrecovered objects: {matches}"
+
+    @pytest.mark.skipif(
+        os.environ.get("KB_SLOW_TESTS") != "1",
+        reason="reference-scale regression (~10 min on the CPU mesh): set "
+        "KB_SLOW_TESTS=1 to run; the same config runs on TPU via "
+        "scripts/regression_tpu.py",
+    )
+    def test_reference_scale_regression(self):
+        """The reference's full regression config in-suite
+        (tests/test_regression_test.py:26-230): 20x1024x512 stack, 20
+        known trajectories (2 starting off-chip), EclipticCenteredSearch
+        26x52 grid, in-kernel sigma-G with clip_negative, median stamps;
+        every injected object must be recovered and the result-file
+        metadata round-trips."""
+        from kbmod_tpu.core.psf import PSF
+        from kbmod_tpu.fake_data.fake_data_creator import (
+            image_stack_add_fake_object,
+            make_fake_image_stack,
+        )
+        from kbmod_tpu.results import Results
+        from kbmod_tpu.work_unit import WorkUnit
+
+        flux = 500.0
+        trjs = [
+            Trajectory(357, 997, -15.814404, -172.098450, flux),
+            Trajectory(477, 777, -70.858154, -117.137817, flux),
+            Trajectory(408, 533, -53.721024, -106.118118, flux),
+            Trajectory(425, 740, -32.865086, -132.898575, flux),
+            Trajectory(515, 881, -73.831688, -93.251732, flux),
+            Trajectory(412, 980, -79.985207, -192.813080, flux),
+            Trajectory(443, 923, -36.977375, -103.556976, flux),
+            Trajectory(368, 1015, -43.644382, -176.487488, flux),
+            Trajectory(510, 1011, -125.422997, -166.863983, flux),
+            Trajectory(398, 939, -51.037308, -107.434616, flux),
+            Trajectory(491, 925, -74.266739, -104.155556, flux),
+            Trajectory(366, 824, -18.041782, -153.808197, flux),
+            Trajectory(477, 870, -45.608849, -90.093689, flux),
+            Trajectory(447, 993, -38.152031, -196.087646, flux),
+            Trajectory(481, 882, -96.767357, -143.192352, flux),
+            Trajectory(423, 912, -104.900154, -125.859169, flux),
+            Trajectory(409, 803, -99.066856, -173.469589, flux),
+            Trajectory(328, 797, -33.212299, -196.984467, flux),
+            Trajectory(466, 1026, -67.892105, -118.881493, flux),  # off chip y
+            Trajectory(514, 795, -20.134245, -171.646683, flux),  # off chip x
+        ]
+
+        num_times = 20
+        times, psf_vals = [], []
+        seen, day = 0, 0
+        for i in range(num_times):
+            times.append(57130.2 + day + seen * 0.01)
+            seen += 1
+            if seen == 4:
+                seen, day = 0, day + 1
+            psf_vals.append(1.05 - 0.1 + 0.1 * (i % 3))
+
+        psfs = [PSF.make_gaussian_kernel(v) for v in psf_vals]
+        rng = np.random.default_rng(1001)
+        stack = make_fake_image_stack(1024, 512, times, noise_level=4.0, psfs=psfs, rng=rng)
+        for trj in trjs:
+            image_stack_add_fake_object(stack, trj.x, trj.y, trj.vx, trj.vy, flux=trj.flux)
+
+        config = SearchConfiguration.from_dict(
+            {
+                "psf_val": 1.05,
+                "generator_config": {
+                    "name": "EclipticCenteredSearch",
+                    "angles": [np.pi - np.pi / 10.0, np.pi + np.pi / 10.0, 26],
+                    "velocities": [92.0, 550.0, 52],
+                    "angle_units": "radian",
+                    "given_ecliptic": 1.1901106654050821,
+                },
+                "num_obs": 15,
+                "lh_level": 25.0,
+                "sigmaG_lims": [25, 75],
+                "stamp_type": "median",
+                "cluster_eps": 20.0,
+                "gpu_filter": True,
+                "clip_negative": True,
+                "x_pixel_buffer": 10,
+                "y_pixel_buffer": 10,
+            }
+        )
+
+        with tempfile.TemporaryDirectory() as tmp:
+            res_file = os.path.join(tmp, "results.ecsv")
+            config.set("result_filename", res_file)
+            wu = WorkUnit(im_stack=stack, config=config)
+            wu.org_img_meta["visit"] = [f"img_{i}" for i in range(stack.num_times)]
+
+            SearchRunner().run_search_from_work_unit(wu)
+
+            loaded = Results.read_table(res_file)
+            found = loaded.make_trajectory_list()
+            # Metadata passthrough (reference asserts the same four).
+            assert loaded.table.meta["num_img"] == num_times
+            assert tuple(loaded.table.meta["dims"]) == (stack.width, stack.height)
+            assert np.allclose(loaded.table.meta["mjd_mid"], times)
+            assert list(loaded.table.meta["visit"]) == [f"img_{i}" for i in range(num_times)]
+
+            matches = match_trajectory_sets(trjs, found, 3.0, [0.0, 2.0])
+            missing = np.where(np.asarray(matches) == -1)[0]
+            assert len(missing) == 0, f"unrecovered: {[str(trjs[i]) for i in missing]}"
 
     def test_masked_stack_recovery(self):
         """Recovery still works with random masking and artifacts."""
