@@ -1432,6 +1432,7 @@ def _search_kernel_paired_grouped(
     bounds_masks=True,
     fast_tables=False,
     slice_mode="roll",
+    FLUSH=0,
 ):
     """Candidate-grouped variant of _search_kernel_paired (see the module
     comment above): one dual-stream window DMA per (tile, group, time)
@@ -1439,6 +1440,13 @@ def _search_kernel_paired_grouped(
     triples. Top-K insertion breaks exact ties by ascending candidate
     index (reference semantics up to equal-lh ordering, kernels.cu:322-330
     — identical to the per-candidate kernels' arrival order).
+
+    ``FLUSH`` (static) removes the T <= 257 cap: every FLUSH time steps
+    the packed 16-bit field sums are unpacked into wide per-candidate
+    int32 accumulators and reset, so field sums never overflow (FLUSH *
+    255 <= 65535). The flush runs once per FLUSH steps — its cost is
+    amortized to nothing — and the sums are associative, so results are
+    bit-identical to the capped kernel.
 
     With ``fast_tables`` the host pre-resolves all per-slot scalar math
     (column parity, word shift, normalized lane-roll amount, in-window row
@@ -1502,11 +1510,13 @@ def _search_kernel_paired_grouped(
     LO16 = jnp.int32(0x0000FFFF)
     HI16 = jnp.int32(-65536)  # 0xFFFF0000
 
-    def run(acc_psi, acc_phi, acc_obs):
+    def run(acc_psi, acc_phi, acc_obs, acc_wide=None):
         for gi in range(G):
             acc_psi[gi] = jnp.zeros((TH, SW4), dtype=jnp.int32)
             acc_phi[gi] = jnp.zeros((TH, SW4), dtype=jnp.int32)
             acc_obs[gi] = jnp.zeros((TH, SW4), dtype=jnp.int32)
+        if FLUSH:
+            acc_wide[...] = jnp.zeros((G, 6, TH, SW4), dtype=jnp.int32)
 
         for d in range(DD - 1):
             for cp in dma(d, d):
@@ -1575,6 +1585,22 @@ def _search_kernel_paired_grouped(
                 acc_phi[gi] = acc_phi[gi] + fv
                 ind = lax.shift_right_logical(pv + PAIR_ONES, 8) & FIELD_ONES
                 acc_obs[gi] = acc_obs[gi] + ind
+
+            if FLUSH:
+                # Drain the packed fields into the wide accumulators before
+                # they can overflow (every FLUSH steps; FLUSH * 255 fits
+                # 16 bits). Amortized cost ~0.
+                @pl.when(lax.rem(t, FLUSH) == FLUSH - 1)
+                def _flush():
+                    for gi in range(G):
+                        for q, accq in enumerate((acc_psi, acc_phi, acc_obs)):
+                            v = accq[gi]
+                            acc_wide[gi, 2 * q] = acc_wide[gi, 2 * q] + (v & LO16)
+                            acc_wide[gi, 2 * q + 1] = acc_wide[
+                                gi, 2 * q + 1
+                            ] + lax.shift_right_logical(v, 16)
+                            accq[gi] = jnp.zeros((TH, SW4), dtype=jnp.int32)
+
             return 0
 
         lax.fori_loop(0, T, tbody, 0)
@@ -1584,7 +1610,18 @@ def _search_kernel_paired_grouped(
             for k, (lh_ref, idx_ref) in enumerate(
                 ((out_lh0, out_idx0), (out_lh1, out_idx1))
             ):
-                if k == 0:
+                if FLUSH:
+                    # Residual packed sums (steps since the last flush) plus
+                    # the drained wide totals.
+                    if k == 0:
+                        psi_c = acc_wide[gi, 0] + (acc_psi[gi] & LO16)
+                        phi_c = acc_wide[gi, 2] + (acc_phi[gi] & LO16)
+                        obs_i = acc_wide[gi, 4] + (acc_obs[gi] & LO16)
+                    else:
+                        psi_c = acc_wide[gi, 1] + lax.shift_right_logical(acc_psi[gi], 16)
+                        phi_c = acc_wide[gi, 3] + lax.shift_right_logical(acc_phi[gi], 16)
+                        obs_i = acc_wide[gi, 5] + lax.shift_right_logical(acc_obs[gi], 16)
+                elif k == 0:
                     psi_c = acc_psi[gi] & LO16
                     phi_c = acc_phi[gi] & LO16
                     obs_i = acc_obs[gi] & LO16
@@ -1618,21 +1655,29 @@ def _search_kernel_paired_grouped(
                 lh_ref[...] = jnp.where(at_p, new[None], jnp.where(below, shifted, top))
                 idx_ref[...] = jnp.where(at_p, newi[None], jnp.where(below, shiftedi, topi))
 
-    pl.run_scoped(
-        run,
+    scratch = dict(
         acc_psi=pltpu.VMEM((G, TH, SW4), jnp.int32),
         acc_phi=pltpu.VMEM((G, TH, SW4), jnp.int32),
         acc_obs=pltpu.VMEM((G, TH, SW4), jnp.int32),
     )
+    if FLUSH:
+        scratch["acc_wide"] = pltpu.VMEM((G, 6, TH, SW4), jnp.int32)
+    pl.run_scoped(run, **scratch)
 
 
-def _grouped_row_tile(SH, SW4, W4, K, DD, G, S):
+def _grouped_row_tile(SH, SW4, W4, K, DD, G, S, wide=False):
     """Largest row tile whose grouped-kernel VMEM footprint (double-buffered
-    output blocks + G accumulator triples + the DMA ring) fits."""
+    output blocks + G accumulator triples + the DMA ring + the wide T>257
+    accumulators when ``wide``) fits."""
     budget = 13 * 1024 * 1024
+    acc_arrays = 3 + (6 if wide else 0)
     for TH in (64, 48, 32, 24, 16, 8):
         TBG = TH + 8 + S
-        total = 2 * 4 * K * TH * SW4 * 4 + 3 * G * TH * SW4 * 4 + DD * 2 * TBG * W4 * 4
+        total = (
+            2 * 4 * K * TH * SW4 * 4
+            + acc_arrays * G * TH * SW4 * 4
+            + DD * 2 * TBG * W4 * 4
+        )
         if total <= budget:
             return min(TH, _round_up(SH, 8))
     return 8
@@ -1707,9 +1752,10 @@ def search_topk_paired_grouped(
             f"repack with sw_max >= {SW}"
         )
 
+    FLUSH = 0 if T <= 257 else 255
     DD = max(1, min(int(T), 2))
     if row_tile is None:
-        row_tile = _grouped_row_tile(SH, SW4, W4, K, DD, G, S)
+        row_tile = _grouped_row_tile(SH, SW4, W4, K, DD, G, S, wide=bool(FLUSH))
     TH = int(row_tile)
     n_ty = pl.cdiv(SH, TH)
     SH_pad = n_ty * TH
@@ -1782,6 +1828,7 @@ def search_topk_paired_grouped(
         gate_min_obs=gate_min_obs, gate_min_lh=gate_min_lh, interpret=interpret,
         bounds_masks=bounds_masks,
         fast_tables=fast_tables, slice_mode=slice_mode if fast_tables else "roll",
+        FLUSH=FLUSH,
     )
     return top_lh[:, :SH, :SW], top_idx[:, :SH, :SW]
 
@@ -1792,7 +1839,7 @@ def search_topk_paired_grouped(
         "T", "H", "HG", "W", "W4", "TH", "SW4", "K", "DD", "S", "G",
         "ROWS1", "pad_rows", "SH_pad", "n_ty", "NGC", "n_chunks",
         "gate_min_obs", "gate_min_lh", "interpret", "bounds_masks",
-        "fast_tables", "slice_mode",
+        "fast_tables", "slice_mode", "FLUSH",
     ),
 )
 def _paired_grouped_jit(words_r, tbl, grp, cok, em, min_obs, min_lh, **statics):
@@ -1805,7 +1852,7 @@ def _paired_grouped_traced(
     words_r, tbl, grp, cok, em, min_obs, min_lh,
     *, T, H, HG, W, W4, TH, SW4, K, DD, S, G, ROWS1, pad_rows, SH_pad, n_ty,
     NGC, n_chunks, gate_min_obs, gate_min_lh, interpret, bounds_masks=True,
-    fast_tables=False, slice_mode="roll",
+    fast_tables=False, slice_mode="roll", FLUSH=0,
 ):
     """Traced body of the grouped search: also called from inside
     shard_map programs (parallel/sharded.py), where the tables arrive as
@@ -1816,7 +1863,7 @@ def _paired_grouped_traced(
         ROWS1=ROWS1, pad_rows=pad_rows,
         gate_min_obs=gate_min_obs, gate_min_lh=gate_min_lh,
         bounds_masks=bounds_masks,
-        fast_tables=fast_tables, slice_mode=slice_mode,
+        fast_tables=fast_tables, slice_mode=slice_mode, FLUSH=FLUSH,
     )
     TBG = TH + 8 + S
 
@@ -1970,7 +2017,11 @@ def pack_psi_phi_words(
 
     row_guard, col_slack, W4 = _pack_guards(H, W, COLS, SW4, row_guard, col_slack)
 
-    if _use_paired(psi_codes.dtype, T):
+    # The dual-parity layout serves both the per-candidate paired kernel
+    # (T <= 257) and the grouped kernel, whose FLUSH stage removes the T
+    # cap — so pack it for ANY uint8 stack (the T > 257 per-class
+    # fallback reads parity 0 of the same stream).
+    if psi_codes.dtype == np.uint8 and os.environ.get("KB_PAIRED_KERNEL", "1") != "0":
         HG = H + row_guard
         # Dual-parity layout for the paired kernel: stream 0, then the
         # one-column-shifted stream, each zero-padded to ROWS1 rows so
@@ -2059,17 +2110,22 @@ def search_topk_pallas_packed(
         )
     )
     paired = False
+    paired_stream = False
     if concrete:
         T, H, W = (int(v) for v in kwargs["shape"])
         geom = _norm_geom(kwargs["pad_rows"])
         base_rows = T * (H + geom.row_guard) + 2 * geom.pad_rows
-        paired = (
+        paired_stream = (
             kwargs.get("bits") == 8
-            and _use_paired(jnp.uint8, T)
+            and os.environ.get("KB_PAIRED_KERNEL", "1") != "0"
             and words_r.shape[0] == 2 * _round_up(base_rows, 8)
         )
+        # The per-candidate paired kernel keeps the T <= 257 field-sum
+        # cap; the GROUPED kernel removes it by flushing into wide
+        # accumulators, so long stacks stay on the fast path.
+        paired = paired_stream and _use_paired(jnp.uint8, T)
     if (
-        paired
+        paired_stream
         and os.environ.get("KB_GROUPED", "1") != "0"
         # A caller-tuned row_tile or explicit mask choice targets the
         # per-candidate kernel, whose VMEM budget differs — honor it there.
@@ -2183,6 +2239,14 @@ def _search_topk_pallas_packed_jit(
     # the single-stream layout; detect by row count.
     base_rows = T * HG + 2 * pad_rows
     paired = BITS == 8 and words_r.shape[0] == 2 * _round_up(base_rows, 8)
+    if paired and int(T) > 257:
+        # The per-candidate paired kernel's packed 16-bit sums cap at
+        # T = 257 (the GROUPED kernel's FLUSH handles longer stacks).
+        # Parity 0 of the dual stream IS the per-class single stream (its
+        # both-codes-zeroed pairs are exactly what the per-class kernel's
+        # validity gate excludes anyway), so slice and fall through.
+        words_r = words_r[: _round_up(base_rows, 8)]
+        paired = False
 
     if W4 < _round_up(max(pl.cdiv(W, COLS), SW4), 128):
         raise ValueError(

@@ -91,13 +91,14 @@ def _sharded_paired_grouped(
         _paired_grouped_traced,
         _plan_groups,
         _round_up,
-        _use_paired,
         pack_psi_phi_words,
     )
 
     codes = np.asarray(psi_codes)
     T, H, W = codes.shape
-    if codes.dtype != np.uint8 or not _use_paired(jnp.uint8, T):
+    # Any T: the grouped kernel flushes its packed field sums into wide
+    # accumulators past 257 images (search_pallas FLUSH).
+    if codes.dtype != np.uint8 or os.environ.get("KB_PAIRED_KERNEL", "1") == "0":
         return None
     if os.environ.get("KB_GROUPED", "1") == "0":
         return None
@@ -143,7 +144,7 @@ def _sharded_paired_grouped(
         return None
 
     DD = max(1, min(T, 2))
-    TH = _grouped_row_tile(SH, SW4, W4, K, DD, G, S)
+    TH = _grouped_row_tile(SH, SW4, W4, K, DD, G, S, wide=T > 257)
     n_ty = pl.cdiv(SH, TH)
     SH_pad = n_ty * TH
     if pad_rows < _round_up(SH_pad + H + 16 + S, 8):
@@ -213,6 +214,7 @@ def _sharded_paired_grouped(
         interpret=jax.default_backend() != "tpu", bounds_masks=bounds_masks,
         fast_tables=fast_tables,
         slice_mode=slice_mode if fast_tables else "roll",
+        FLUSH=0 if T <= 257 else 255,
     )
     em = jnp.asarray(np.asarray(encode_meta, np.float32).reshape(4))
     min_obs = jnp.float32(min_obs)

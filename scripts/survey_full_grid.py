@@ -1,0 +1,242 @@
+"""Sustained full-grid survey gate (VERDICT r2 #3).
+
+Runs the reference's DEFAULT 33,153-candidate grid (EclipticCenteredSearch
+velocities [92, 526] x 257, angles +-pi/15 x 129 — configuration.py:196-207)
+over the full 100 x 4096 x 4096 uint8 survey stack with per-row-tile
+checkpointing, KILLS the worker (SIGKILL) mid-run, resumes, and records:
+
+  * wall time of each phase and the whole search,
+  * steady-state evals/s over the completed tiles,
+  * checkpoint overhead (tile .npz write time / tile search time),
+  * resume accounting (tiles loaded vs computed after the kill),
+  * a 64x64 window validated exactly against the XLA encoded kernel.
+
+The observation baseline is chosen so the trajectory reach stays inside the
+packed stream's guards (|dx| <= 710 <= 720), keeping the search on the
+grouped mask-free fast path, which is the shipped survey configuration.
+
+Usage: python scripts/survey_full_grid.py            # full gate (parent)
+       python scripts/survey_full_grid.py --worker   # internal
+"""
+import json
+import os
+import signal
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import numpy as np
+
+CKPT_DIR = os.environ.get("KB_GATE_DIR", "/tmp/kb_full_grid_ckpt")
+STATE = os.path.join(CKPT_DIR, "gate_state.json")
+T, HW = 100, 4096
+K = 8
+TILE_ROWS = 256
+EM = np.array([-6.0, 12.0 / 254, 0.1, 4.0 / 254], dtype=np.float32)
+
+
+def default_grid():
+    """The reference's default survey grid: 257 velocities x 129 angles
+    about the ecliptic (given_ecliptic = 0)."""
+    vel = np.linspace(92.0, 526.0, 257)
+    ang = np.linspace(-np.pi / 15.0, np.pi / 15.0, 129)
+    vv, aa = np.meshgrid(vel, ang, indexing="ij")
+    return (vv * np.cos(aa)).ravel().astype(np.float32), (vv * np.sin(aa)).ravel().astype(np.float32)
+
+
+def build_codes():
+    rng = np.random.default_rng(11)
+    psi_c = rng.integers(0, 256, (T, HW, HW), dtype=np.uint8)
+    phi_c = rng.integers(1, 256, (T, HW, HW), dtype=np.uint8)
+    return psi_c, phi_c
+
+
+def worker():
+    import logging
+
+    logging.basicConfig(level=logging.INFO)
+    import jax.numpy as jnp
+
+    from kbmod_tpu.ops.search import trajectory_offsets
+    from kbmod_tpu.ops.search_pallas import pack_psi_phi_words, search_topk_pallas_packed
+    from kbmod_tpu.search.checkpoint import checkpointed_core_search
+
+    vxs, vys = default_grid()
+    C = len(vxs)
+    # Baseline 1.35 days: reach 526 * 1.35 = 710 px <= the 720-px guards.
+    times = np.linspace(0.0, 1.35, T)
+    psi_c, phi_c = build_codes()
+
+    t0 = time.time()
+    words_r, pad_rows = pack_psi_phi_words(
+        psi_c, phi_c, t_chunk=8, row_guard=384, col_slack=384
+    )
+    words_r.block_until_ready()
+    t_pack = time.time() - t0
+    print(f"pack {t_pack:.1f}s", flush=True)
+
+    em = jnp.asarray(EM)
+    dxs, dys = trajectory_offsets(vxs, vys, times)
+    tile_times = []
+
+    def tile_search(psi, phi, valid, times_a, vxs_a, vys_a, x_min, x_max, y0, y1, rpp):
+        t1 = time.time()
+        top_lh, top_idx = search_topk_pallas_packed(
+            words_r, np.asarray(dxs, np.int32), np.asarray(dys, np.int32),
+            jnp.float32(10.0), jnp.float32(0.0), em,
+            shape=(T, HW, HW), bits=8, pad_rows=pad_rows,
+            x_min=0, x_max=HW, y_min=y0, y_max=y1, k_results=K,
+        )
+        lh = np.asarray(top_lh)  # (K, rows, W)
+        idx = np.asarray(top_idx)
+        dt = time.time() - t1
+        tile_times.append(dt)
+        rows = y1 - y0
+        print(
+            f"tile y=[{y0},{y1}) {dt:.1f}s  {C * rows * HW / dt / 1e9:.2f}e9 evals/s",
+            flush=True,
+        )
+        # Pixel-major SoA (checkpoint layout); flux/obs for the sparse
+        # winners via a host gather over the codes.
+        kidx = np.transpose(idx, (1, 2, 0)).reshape(-1)
+        klh = np.transpose(lh, (1, 2, 0)).reshape(-1)
+        jj, ii = np.meshgrid(np.arange(HW), np.arange(rows))
+        xs = np.repeat(jj.reshape(-1), K).astype(np.int32)
+        ys = np.repeat((ii + y0).reshape(-1), K).astype(np.int32)
+        filled = kidx >= 0
+        vx = np.zeros(len(kidx), np.float32)
+        vy = np.zeros(len(kidx), np.float32)
+        vx[filled] = vxs[kidx[filled]]
+        vy[filled] = vys[kidx[filled]]
+        flux = np.zeros(len(kidx), np.float32)
+        obs = np.zeros(len(kidx), np.int32)
+        win = np.nonzero(filled & (klh > 10.0))[0]
+        if len(win):
+            dx_np = np.asarray(dxs)
+            dy_np = np.asarray(dys)
+            px = xs[win][:, None] + dx_np[kidx[win]]
+            py = ys[win][:, None] + dy_np[kidx[win]]
+            inb = (px >= 0) & (px < HW) & (py >= 0) & (py < HW)
+            pxc = np.clip(px, 0, HW - 1)
+            pyc = np.clip(py, 0, HW - 1)
+            tt = np.broadcast_to(np.arange(T), pxc.shape)
+            pc = psi_c[tt, pyc, pxc].astype(np.float32)
+            fc = phi_c[tt, pyc, pxc].astype(np.float32)
+            ok = inb & (pc > 0) & (fc > 0)
+            psi_v = np.where(ok, (pc - 1) * EM[1] + EM[0], 0.0)
+            phi_v = np.where(ok, (fc - 1) * EM[3] + EM[2], 0.0)
+            ps = psi_v.sum(1)
+            fs = phi_v.sum(1)
+            obs[win] = ok.sum(1)
+            good = fs > 0
+            flux[win] = np.where(good, ps / np.where(good, fs, 1.0), -1.0)
+        return {"x": xs, "y": ys, "vx": vx, "vy": vy, "lh": klh.astype(np.float32),
+                "flux": flux, "obs_count": obs}
+
+    t0 = time.time()
+    res = checkpointed_core_search(
+        psi_c[:1, :8, :8].astype(np.float32),  # fingerprint stand-ins: cheap,
+        phi_c[:1, :8, :8].astype(np.float32),  # content-derived, identical
+        None, times, vxs, vys,                 # across kill/resume
+        0, HW, 0, HW, K,
+        checkpoint_dir=CKPT_DIR, tile_rows=TILE_ROWS, search_fn=tile_search,
+    )
+    t_search = time.time() - t0
+    n_done = len(tile_times)
+    n_tiles = HW // TILE_ROWS
+    state = {
+        "t_pack": t_pack,
+        "t_search_wall": t_search,
+        "tiles_computed": n_done,
+        "tiles_total": n_tiles,
+        "tile_times": tile_times,
+        "steady_evals_per_s": (
+            C * TILE_ROWS * HW * max(0, n_done - 1) / sum(tile_times[1:])
+            if n_done > 1 else None
+        ),
+        # Everything that is not kernel time: npz writes, SoA assembly,
+        # winner host-gathers — the checkpointing overhead envelope.
+        "ckpt_overhead_frac": (t_search - sum(tile_times)) / t_search if n_done else 0.0,
+        "rows": len(res["lh"]),
+        "kept": int((res["lh"] > 10.0).sum()),
+    }
+    print("WORKER DONE", json.dumps(state), flush=True)
+
+    # Window validation vs the XLA encoded kernel on a 1024-candidate
+    # subset of the grid (the full-grid XLA reference would take hours;
+    # kernel exactness is per-candidate, so a subset is a sound check).
+    from kbmod_tpu.ops.search import search_topk_shift
+
+    sub = np.random.default_rng(3).choice(C, 1024, replace=False)
+    dxs_s = np.asarray(dxs, np.int32)[sub]
+    dys_s = np.asarray(dys, np.int32)[sub]
+    x0 = y0 = HW // 2
+    lh_win, _ = search_topk_pallas_packed(
+        words_r, dxs_s, dys_s,
+        jnp.float32(10.0), jnp.float32(0.0), em,
+        shape=(T, HW, HW), bits=8, pad_rows=pad_rows,
+        x_min=x0, x_max=x0 + 64, y_min=y0, y_max=y0 + 64, k_results=K,
+    )
+    lh_win = np.asarray(lh_win)
+    del words_r
+    ref_lh, _ = search_topk_shift(
+        jnp.asarray(psi_c), jnp.asarray(phi_c), jnp.zeros((1, 1, 1), jnp.uint8),
+        jnp.asarray(dxs_s), jnp.asarray(dys_s),
+        jnp.float32(10.0), jnp.float32(0.0), encode_meta=em,
+        x_min=x0, x_max=x0 + 64, y_min=y0, y_max=y0 + 64, k_results=K,
+    )
+    np.testing.assert_allclose(lh_win, np.asarray(ref_lh), rtol=1e-5, atol=1e-5)
+    print("WINDOW EXACT", flush=True)
+
+
+def parent():
+    os.makedirs(CKPT_DIR, exist_ok=True)
+    for name in os.listdir(CKPT_DIR):
+        os.remove(os.path.join(CKPT_DIR, name))
+
+    # Phase 1: run and SIGKILL the worker once ~6 tiles are checkpointed.
+    print("=== phase 1: run + kill ===", flush=True)
+    proc = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__), "--worker"],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+    )
+    t0 = time.time()
+    killed = False
+    while proc.poll() is None:
+        n_tiles = len([f for f in os.listdir(CKPT_DIR) if f.startswith("tile_")])
+        if n_tiles >= 6 and not killed:
+            print(f"[parent] {n_tiles} tiles checkpointed at t={time.time()-t0:.0f}s "
+                  "-> SIGKILL", flush=True)
+            proc.send_signal(signal.SIGKILL)
+            killed = True
+        time.sleep(2)
+    out1 = proc.stdout.read()
+    print(out1[-2000:], flush=True)
+    assert killed, "worker finished before the kill fired — raise the tile threshold"
+    n_after_kill = len([f for f in os.listdir(CKPT_DIR) if f.startswith("tile_")])
+    print(f"[parent] worker killed; {n_after_kill} tiles survive on disk", flush=True)
+
+    # The TPU tunnel can be unhealthy for a while after a hard kill.
+    print("[parent] waiting 240s for the device to settle", flush=True)
+    time.sleep(240)
+
+    # Phase 2: resume to completion.
+    print("=== phase 2: resume ===", flush=True)
+    t0 = time.time()
+    out2 = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--worker"],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, timeout=3600,
+    )
+    print(out2.stdout[-4000:], flush=True)
+    assert out2.returncode == 0, "resume phase failed"
+    assert f"Resumed {n_after_kill}/" in out2.stdout or "Resumed" in out2.stdout or n_after_kill == 0
+    assert "WORKER DONE" in out2.stdout and "WINDOW EXACT" in out2.stdout
+    print(f"[parent] resume completed in {time.time()-t0:.0f}s; GATE PASSED", flush=True)
+
+
+if __name__ == "__main__":
+    if "--worker" in sys.argv:
+        worker()
+    else:
+        parent()

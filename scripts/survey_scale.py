@@ -56,7 +56,8 @@ _ = float(np.asarray(lh[0, 0, 0]))
 dt = time.time() - t0
 print("pallas run", dt, "evals/s", H * W * C / dt, flush=True)
 
-x0, x1, y0, y1 = 2048, 2112, 2048, 2112
+x0, y0 = W // 2, H // 2
+x1, y1 = x0 + 64, y0 + 64
 # Free the word stream and full outputs before the XLA reference run —
 # stream + outputs + full code stacks together exceed HBM.
 win_lh = np.asarray(lh[:, y0:y1, x0:x1])

@@ -160,6 +160,74 @@ class TestGroupPlanning:
             assert (d[a:b].max(axis=0) - d[a:b].min(axis=0)).max() <= 4
 
 
+class TestLongStacks:
+    """T > 257: the grouped kernel's FLUSH stage drains the packed 16-bit
+    field sums into wide accumulators, so long stacks stay on the grouped
+    fast path with bit-exact results (VERDICT r2 #2)."""
+
+    def test_flush_exact_at_t260(self):
+        # All-saturated codes: without the flush the 16-bit field sums
+        # would overflow at t = 258 (260 * 255 > 65535).
+        rng = np.random.default_rng(11)
+        T, H, W, C = 260, 24, 32, 9
+        psi_c = np.full((T, H, W), 255, dtype=np.uint8)
+        phi_c = np.full((T, H, W), 255, dtype=np.uint8)
+        # Sprinkle structure + masked pixels so obs varies.
+        psi_c[::3, 5:9, 7:12] = 0
+        phi_c[::3, 5:9, 7:12] = 0
+        psi_c[1::2] = rng.integers(0, 256, psi_c[1::2].shape, dtype=np.uint8)
+        words_r, pad_rows = pack_psi_phi_words(psi_c, phi_c)
+        vxs = rng.uniform(-0.5, 0.5, C).astype(np.float32)
+        vys = rng.uniform(-0.5, 0.5, C).astype(np.float32)
+        dxs, dys = trajectory_offsets(vxs, vys, np.linspace(0, 8, T))
+        # Reference: the per-class kernel (exact for any T).
+        ref, grp = _both(
+            words_r, pad_rows, (T, H, W), dxs, dys,
+            x_min=0, x_max=W, y_min=0, y_max=H, k_results=3,
+        )
+        np.testing.assert_array_equal(np.asarray(ref[0]), np.asarray(grp[0]))
+        np.testing.assert_array_equal(np.asarray(ref[1]), np.asarray(grp[1]))
+
+    def test_dispatcher_routes_long_stack_to_grouped(self):
+        # T = 300 via the public dispatcher: must route to the grouped
+        # kernel (not the per-class fallback) and match it.
+        import kbmod_tpu.ops.search_pallas as sp_mod
+
+        rng = np.random.default_rng(12)
+        T, H, W, C = 300, 16, 24, 8
+        psi_c, phi_c = _stack(rng, T, H, W)
+        words_r, pad_rows = pack_psi_phi_words(psi_c, phi_c)
+        vxs = rng.uniform(-0.3, 0.3, C).astype(np.float32)
+        vys = rng.uniform(-0.3, 0.3, C).astype(np.float32)
+        dxs, dys = trajectory_offsets(vxs, vys, np.linspace(0, 6, T))
+        em = jnp.asarray(EM)
+        kw = dict(shape=(T, H, W), bits=8, pad_rows=pad_rows, interpret=True,
+                  x_min=0, x_max=W, y_min=0, y_max=H, k_results=3)
+
+        taken = {"n": 0}
+        orig = sp_mod.search_topk_paired_grouped
+
+        def spy(*a, **k):
+            taken["n"] += 1
+            return orig(*a, **k)
+
+        sp_mod.search_topk_paired_grouped = spy
+        try:
+            out = search_topk_pallas_packed(
+                words_r, dxs, dys, jnp.float32(2), jnp.float32(0), em, **kw
+            )
+        finally:
+            sp_mod.search_topk_paired_grouped = orig
+        assert taken["n"] == 1
+
+        grp = search_topk_paired_grouped(
+            words_r, dxs, dys, jnp.float32(2), jnp.float32(0), em,
+            **{k: v for k, v in kw.items() if k != "bits"},
+        )
+        np.testing.assert_array_equal(np.asarray(out[0]), np.asarray(grp[0]))
+        np.testing.assert_array_equal(np.asarray(out[1]), np.asarray(grp[1]))
+
+
 class TestDispatcher:
     def test_routes_grouped_and_matches(self):
         rng = np.random.default_rng(9)
