@@ -68,6 +68,17 @@ def configure_kb_search_stack(search, config):
     else:
         search.disable_gpu_sigmag_filter()
 
+    # TPU-build extension: per-row-tile search checkpointing, so a killed
+    # pipeline resumes mid-search instead of re-searching the whole stack
+    # (the reference restarts the search phase from scratch). Env-gated to
+    # keep the SearchConfiguration schema reference-identical; see
+    # docs/env_vars.md.
+    ckpt_dir = os.environ.get("KB_SEARCH_CKPT_DIR")
+    if ckpt_dir:
+        search.enable_search_checkpointing(
+            ckpt_dir, tile_rows=int(os.environ.get("KB_SEARCH_CKPT_TILE_ROWS", "256"))
+        )
+
     search.clear_results()
 
 

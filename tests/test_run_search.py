@@ -141,6 +141,53 @@ class TestMaxResults:
         assert len(keep3) > 100
 
 
+class TestSearchCheckpointEnv:
+    def test_env_knob_routes_runner_through_checkpointing(self, tmp_path, monkeypatch):
+        """KB_SEARCH_CKPT_DIR makes the full SearchRunner pipeline checkpoint
+        the core search per row tile and resume from the finished tiles
+        (TPU-build extension; see docs/env_vars.md)."""
+        num_times = 8
+        ds = FakeDataSet(30, 40, create_fake_times(num_times, t0=60676.0), use_seed=31)
+        ds.insert_object(Trajectory(x=5, y=10, vx=12.0, vy=7.0, flux=300.0))
+        trj_gen = VelocityGridSearch(3, 8.0, 16.0, 3, 3.0, 11.0)
+
+        def run():
+            config = SearchConfiguration()
+            config.set("cpu_only", True)
+            config.set("do_clustering", False)
+            config.set("cnn_filter", False)
+            config.set("lh_level", 0.0)
+            config.set("num_obs", 4)
+            config.set("sigmaG_filter", False)
+            config.set("near_dup_thresh", 1)
+            res = SearchRunner().run_search(config, ds.stack_py, trj_generator=trj_gen)
+            return res
+
+        plain = run()
+
+        ck = str(tmp_path / "runner_ck")
+        monkeypatch.setenv("KB_SEARCH_CKPT_DIR", ck)
+        monkeypatch.setenv("KB_SEARCH_CKPT_TILE_ROWS", "16")
+        tiled = run()
+        tiles = [f for f in os.listdir(ck) if f.startswith("tile_")]
+        assert len(tiles) == 3  # ceil(40 / 16)
+
+        # Resume: identical output with every tile served from disk.
+        import kbmod_tpu.search.checkpoint as ckmod
+
+        def boom(*a, **k):
+            raise AssertionError("core_search called on full resume")
+
+        monkeypatch.setattr(ckmod.search_ops, "core_search", boom)
+        resumed = run()
+
+        for res in (tiled, resumed):
+            assert len(res) == len(plain)
+            for key in ("x", "y", "vx", "vy"):
+                np.testing.assert_array_equal(res[key], plain[key], err_msg=key)
+            np.testing.assert_allclose(res["likelihood"], plain["likelihood"], rtol=1e-6)
+
+
 class TestMaskedImageFiltering:
     def test_overmasked_images_dropped(self):
         num_times, width, height = 10, 15, 10
