@@ -97,6 +97,16 @@ def worker():
             f"tile y=[{y0},{y1}) {dt:.1f}s  {C * rows * HW / dt / 1e9:.2f}e9 evals/s",
             flush=True,
         )
+        # Hard-kill hook for the resume demonstration: SIGKILL (no
+        # cleanup, no atexit) right after a tile's device work completes
+        # — the checkpoint of THIS tile is not yet written, so the resume
+        # must recompute it. Killing at a device-idle moment avoids
+        # wedging the TPU tunnel for the whole gate (a mid-DMA kill can
+        # stall the remote runtime for an hour+).
+        kill_after = int(os.environ.get("KB_GATE_SELFKILL_AFTER", "0"))
+        if kill_after and len(tile_times) >= kill_after:
+            print(f"[worker] self-SIGKILL after {len(tile_times)} tiles", flush=True)
+            os.kill(os.getpid(), signal.SIGKILL)
         # Pixel-major SoA (checkpoint layout); flux/obs for the sparse
         # winners via a host gather over the codes.
         kidx = np.transpose(idx, (1, 2, 0)).reshape(-1)
@@ -195,31 +205,25 @@ def parent():
     for name in os.listdir(CKPT_DIR):
         os.remove(os.path.join(CKPT_DIR, name))
 
-    # Phase 1: run and SIGKILL the worker once ~6 tiles are checkpointed.
+    # Phase 1: the worker SIGKILLs itself (no cleanup) after 6 tiles of
+    # device work; the 6th tile's checkpoint is NOT yet written at that
+    # point, so 5 tiles survive and the resume recomputes 11 of 16.
     print("=== phase 1: run + kill ===", flush=True)
-    proc = subprocess.Popen(
+    kill_after = 6
+    env = dict(os.environ, KB_GATE_SELFKILL_AFTER=str(kill_after))
+    proc = subprocess.run(
         [sys.executable, os.path.abspath(__file__), "--worker"],
-        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env,
+        timeout=3600,
     )
-    t0 = time.time()
-    killed = False
-    while proc.poll() is None:
-        n_tiles = len([f for f in os.listdir(CKPT_DIR) if f.startswith("tile_")])
-        if n_tiles >= 6 and not killed:
-            print(f"[parent] {n_tiles} tiles checkpointed at t={time.time()-t0:.0f}s "
-                  "-> SIGKILL", flush=True)
-            proc.send_signal(signal.SIGKILL)
-            killed = True
-        time.sleep(2)
-    out1 = proc.stdout.read()
-    print(out1[-2000:], flush=True)
-    assert killed, "worker finished before the kill fired — raise the tile threshold"
+    print(proc.stdout[-2500:], flush=True)
+    assert proc.returncode == -signal.SIGKILL, f"expected SIGKILL death, rc={proc.returncode}"
     n_after_kill = len([f for f in os.listdir(CKPT_DIR) if f.startswith("tile_")])
-    print(f"[parent] worker killed; {n_after_kill} tiles survive on disk", flush=True)
+    print(f"[parent] worker died by SIGKILL; {n_after_kill} tiles survive on disk", flush=True)
+    assert n_after_kill == kill_after - 1, n_after_kill
 
-    # The TPU tunnel can be unhealthy for a while after a hard kill.
-    print("[parent] waiting 240s for the device to settle", flush=True)
-    time.sleep(240)
+    print("[parent] waiting 30s for the device to settle", flush=True)
+    time.sleep(30)
 
     # Phase 2: resume to completion.
     print("=== phase 2: resume ===", flush=True)
@@ -230,8 +234,9 @@ def parent():
     )
     print(out2.stdout[-4000:], flush=True)
     assert out2.returncode == 0, "resume phase failed"
-    assert f"Resumed {n_after_kill}/" in out2.stdout or "Resumed" in out2.stdout or n_after_kill == 0
-    assert "WORKER DONE" in out2.stdout and "WINDOW EXACT" in out2.stdout
+    done = json.loads(out2.stdout.split("WORKER DONE ", 1)[1].splitlines()[0])
+    assert done["tiles_computed"] == done["tiles_total"] - n_after_kill, done
+    assert "WINDOW EXACT" in out2.stdout
     print(f"[parent] resume completed in {time.time()-t0:.0f}s; GATE PASSED", flush=True)
 
 
