@@ -1820,7 +1820,7 @@ def search_topk_paired_grouped(
 
     top_lh, top_idx = _paired_grouped_jit(
         words_r, jnp.asarray(tbl), jnp.asarray(grp), jnp.asarray(cok),
-        jnp.asarray(np.asarray(encode_meta, dtype=np.float32).reshape(4)),
+        jnp.asarray(encode_meta, dtype=jnp.float32).reshape(4),
         jnp.float32(min_obs), jnp.float32(min_lh),
         T=T, H=H, HG=HG, W=W, W4=W4, TH=TH, SW4=SW4, K=K, DD=DD, S=S, G=G,
         ROWS1=ROWS1, pad_rows=pad_rows, SH_pad=SH_pad, n_ty=n_ty,
