@@ -1753,7 +1753,7 @@ def search_topk_paired_grouped(
         )
 
     FLUSH = 0 if T <= 257 else 255
-    DD = max(1, min(int(T), 2))
+    DD = max(1, min(int(T), int(os.environ.get("KB_GROUPED_DD", "2"))))
     if row_tile is None:
         row_tile = _grouped_row_tile(SH, SW4, W4, K, DD, G, S, wide=bool(FLUSH))
     TH = int(row_tile)
