@@ -280,5 +280,31 @@ class TestDispatcher:
         np.testing.assert_array_equal(np.asarray(out[0]), np.asarray(ref[0]))
 
 
+class TestRingDepth:
+    def test_deeper_dma_ring_exact(self, monkeypatch):
+        """KB_GROUPED_DD deepens the window-DMA ring (latency hiding on
+        narrow images); results must be bit-identical at any depth."""
+        rng = np.random.default_rng(21)
+        T, H, W, C = 7, 48, 60, 33
+        psi_c, phi_c = _stack(rng, T, H, W)
+        words_r, pad_rows = pack_psi_phi_words(psi_c, phi_c)
+        vxs = rng.uniform(-6, 6, C).astype(np.float32)
+        vys = rng.uniform(-6, 6, C).astype(np.float32)
+        dxs, dys = trajectory_offsets(vxs, vys, np.arange(T) * 0.4)
+        kw = dict(shape=(T, H, W), pad_rows=pad_rows, interpret=True,
+                  x_min=0, x_max=W, y_min=0, y_max=H, k_results=4)
+        em = jnp.asarray(EM)
+        base = search_topk_paired_grouped(
+            words_r, dxs, dys, jnp.float32(2), jnp.float32(0), em, **kw
+        )
+        for dd in ("3", "4"):
+            monkeypatch.setenv("KB_GROUPED_DD", dd)
+            got = search_topk_paired_grouped(
+                words_r, dxs, dys, jnp.float32(2), jnp.float32(0), em, **kw
+            )
+            np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(base[0]))
+            np.testing.assert_array_equal(np.asarray(got[1]), np.asarray(base[1]))
+
+
 if __name__ == "__main__":
     pytest.main([__file__, "-v"])
