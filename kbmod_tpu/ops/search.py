@@ -972,7 +972,45 @@ def assemble_core_results(
         n_pix = SH * SW
         lh_px = results["lh"].reshape(n_pix, k_search)
         order = np.argsort(-lh_px, axis=1, kind="stable")[:, :k]
+        _warn_on_pool_tail_churn(order, lh_px, k, k_search)
         flat = (np.arange(n_pix)[:, None] * k_search + order).reshape(-1)
         results = {key: val[flat] for key, val in results.items()}
 
     return results
+
+
+def sigmag_pool_tail_fraction(order, lh_px, k, k_search):
+    """Diagnostic for the over-provisioned sigma-G mode: the fraction of
+    kept rows that clipping promoted out of the pool's bottom quartile.
+
+    The pool holds the top ``k_search`` candidates per pixel by UNCLIPPED
+    lh (slot index = unclipped rank); a kept row whose slot sits in the
+    pool's tail means clipping re-ordered aggressively there — and a
+    candidate just OUTSIDE the pool could plausibly have been promoted
+    past the boundary too (the documented approximation;
+    docs/STATUS.md's measured miss rates rise with exactly this churn).
+    """
+    kept = order[:, :k]
+    real = np.take_along_axis(lh_px, kept, axis=1) > -FLT_MAX
+    n_real = int(real.sum())
+    if n_real == 0:
+        return 0.0
+    tail_start = k_search - max(k_search // 4, 1)
+    return float(((kept >= tail_start) & real).sum()) / n_real
+
+
+def _warn_on_pool_tail_churn(order, lh_px, k, k_search, threshold=0.01):
+    frac = sigmag_pool_tail_fraction(order, lh_px, k, k_search)
+    if frac > threshold:
+        import logging
+
+        logging.getLogger("kbmod.search").warning(
+            "sigma-G re-rank promoted %.2f%% of kept rows from the bottom "
+            "quartile of the %d-deep unclipped pool — the pool boundary is "
+            "active and results may miss clipped-promoted candidates. "
+            "Consider raising KB_SIGMAG_TOPK_FACTOR or KB_SIGMAG_MODE=exact "
+            "(miss-rate table: docs/STATUS.md).",
+            100.0 * frac,
+            k_search,
+        )
+    return frac

@@ -164,3 +164,42 @@ class TestSigmaGClipPromotion:
         monkeypatch.setenv("KB_SIGMAG_TOPK_FACTOR", "8")
         res = core_search(psi, phi, valid, times, vxs, vys, 0, 1, 0, 1, 1, **kwargs)
         assert res["vy"][0] == 1.0
+
+
+class TestPoolTailDiagnostic:
+    def test_tail_fraction_counts_promoted_rows(self):
+        import numpy as np
+        from kbmod_tpu.ops.search import FLT_MAX, sigmag_pool_tail_fraction
+
+        k, k_search = 2, 8  # tail = slots 6, 7
+        # Pixel 0: keeps slots (0, 7) -> one of two rows from the tail.
+        # Pixel 1: keeps slots (1, 2) -> none. Pixel 2: kept slot 6 is an
+        # EMPTY entry (-FLT_MAX) and must not count.
+        order = np.array([[0, 7], [1, 2], [0, 6]])
+        lh_px = np.full((3, k_search), 5.0, dtype=np.float32)
+        lh_px[2, 6] = -FLT_MAX
+        frac = sigmag_pool_tail_fraction(order, lh_px, k, k_search)
+        assert frac == 1.0 / 5.0
+
+    def test_warning_emitted_on_churn(self):
+        import logging
+        import numpy as np
+        from kbmod_tpu.ops.search import _warn_on_pool_tail_churn
+
+        records = []
+
+        class Grab(logging.Handler):
+            def emit(self, record):
+                records.append(record.getMessage())
+
+        handler = Grab(level=logging.WARNING)
+        logger = logging.getLogger("kbmod.search")
+        logger.addHandler(handler)
+        try:
+            order = np.array([[7, 6]])
+            lh_px = np.full((1, 8), 3.0, dtype=np.float32)
+            frac = _warn_on_pool_tail_churn(order, lh_px, 2, 8)
+        finally:
+            logger.removeHandler(handler)
+        assert frac == 1.0
+        assert any("KB_SIGMAG_TOPK_FACTOR" in m for m in records)
