@@ -1433,6 +1433,7 @@ def _search_kernel_paired_grouped(
     fast_tables=False,
     slice_mode="roll",
     FLUSH=0,
+    idx16=False,
 ):
     """Candidate-grouped variant of _search_kernel_paired (see the module
     comment above): one dual-stream window DMA per (tile, group, time)
@@ -1461,12 +1462,19 @@ def _search_kernel_paired_grouped(
     pg = pl.program_id(1)
     tile_row0 = ty * TH
 
+    # Candidate indices in the top-K lists: uint16 with sentinel 0xFFFF for
+    # empty slots when every global index fits (halves the output VMEM
+    # footprint — the binding constraint on the row tile / ring depth);
+    # int32 with sentinel -1 otherwise. The wrapper converts back.
+    idx_dtype = jnp.uint16 if idx16 else jnp.int32
+    idx_empty = (1 << 16) - 1 if idx16 else -1
+
     @pl.when(pg == 0)
     def _init_topk():
         for ref in (out_lh0, out_lh1):
             ref[...] = jnp.full((K, TH, SW4), -FLT_MAX, dtype=jnp.float32)
         for ref in (out_idx0, out_idx1):
-            ref[...] = jnp.full((K, TH, SW4), -1, dtype=jnp.int32)
+            ref[...] = jnp.full((K, TH, SW4), idx_empty, dtype=idx_dtype)
 
     min_obs = scalars_ref[0]
     min_lh = scalars_ref[1]
@@ -1639,13 +1647,17 @@ def _search_kernel_paired_grouped(
                 if gate_min_lh:
                     ok &= lh >= min_lh
                 new = jnp.where(ok, lh, -jnp.inf)
-                newi = jnp.full((TH, SW4), cok_ref[ci, 1], dtype=jnp.int32)
+                newi32 = jnp.full((TH, SW4), cok_ref[ci, 1], dtype=jnp.int32)
+                newi = newi32.astype(idx_dtype)
                 top = lh_ref[...]
                 topi = idx_ref[...]
                 # Rank-insert with the canonical tie rule: existing entries
                 # stay above the newcomer when strictly better OR equal
-                # with a smaller candidate index.
-                above = (top > new[None]) | ((top == new[None]) & (topi < newi[None]))
+                # with a smaller candidate index. The tie compare widens to
+                # int32 — the VPU has no unsigned 16-bit vector compare
+                # (zero-extension keeps the unsigned order).
+                topi_c = topi.astype(jnp.int32) if idx16 else topi
+                above = (top > new[None]) | ((top == new[None]) & (topi_c < newi32[None]))
                 p = jnp.sum(above.astype(jnp.int32), axis=0)
                 kidx = lax.broadcasted_iota(jnp.int32, (K, TH, SW4), 0)
                 shifted = top if K == 1 else jnp.concatenate([top[:1], top[:-1]], axis=0)
@@ -1665,16 +1677,17 @@ def _search_kernel_paired_grouped(
     pl.run_scoped(run, **scratch)
 
 
-def _grouped_row_tile(SH, SW4, W4, K, DD, G, S, wide=False):
+def _grouped_row_tile(SH, SW4, W4, K, DD, G, S, wide=False, idx16=False):
     """Largest row tile whose grouped-kernel VMEM footprint (double-buffered
     output blocks + G accumulator triples + the DMA ring + the wide T>257
     accumulators when ``wide``) fits."""
     budget = 13 * 1024 * 1024
     acc_arrays = 3 + (6 if wide else 0)
+    idx_bytes = 2 if idx16 else 4
     for TH in (64, 48, 32, 24, 16, 8):
         TBG = TH + 8 + S
         total = (
-            2 * 4 * K * TH * SW4 * 4
+            2 * 2 * K * TH * SW4 * (4 + idx_bytes)
             + acc_arrays * G * TH * SW4 * 4
             + DD * 2 * TBG * W4 * 4
         )
@@ -1754,8 +1767,19 @@ def search_topk_paired_grouped(
 
     FLUSH = 0 if T <= 257 else 255
     DD = max(1, min(int(T), int(os.environ.get("KB_GROUPED_DD", "2"))))
+    # uint16 candidate indices (opt-in): halves the top-K output VMEM —
+    # the binding constraint on row tile / ring depth — but v5e pays more
+    # in 16-bit vector relayouts than the headroom buys (measured 3.7 ->
+    # 2.6e9 evals/s at config 3; docs/STATUS.md), so the default is off.
+    idx16 = (
+        os.environ.get("KB_GROUPED_IDX16", "0") == "1"
+        and int(cand_offset) + C - 1 < (1 << 16) - 1
+        and int(cand_offset) >= 0
+    )
     if row_tile is None:
-        row_tile = _grouped_row_tile(SH, SW4, W4, K, DD, G, S, wide=bool(FLUSH))
+        row_tile = _grouped_row_tile(
+            SH, SW4, W4, K, DD, G, S, wide=bool(FLUSH), idx16=idx16
+        )
     TH = int(row_tile)
     n_ty = pl.cdiv(SH, TH)
     SH_pad = n_ty * TH
@@ -1828,7 +1852,7 @@ def search_topk_paired_grouped(
         gate_min_obs=gate_min_obs, gate_min_lh=gate_min_lh, interpret=interpret,
         bounds_masks=bounds_masks,
         fast_tables=fast_tables, slice_mode=slice_mode if fast_tables else "roll",
-        FLUSH=FLUSH,
+        FLUSH=FLUSH, idx16=idx16,
     )
     return top_lh[:, :SH, :SW], top_idx[:, :SH, :SW]
 
@@ -1839,7 +1863,7 @@ def search_topk_paired_grouped(
         "T", "H", "HG", "W", "W4", "TH", "SW4", "K", "DD", "S", "G",
         "ROWS1", "pad_rows", "SH_pad", "n_ty", "NGC", "n_chunks",
         "gate_min_obs", "gate_min_lh", "interpret", "bounds_masks",
-        "fast_tables", "slice_mode", "FLUSH",
+        "fast_tables", "slice_mode", "FLUSH", "idx16",
     ),
 )
 def _paired_grouped_jit(words_r, tbl, grp, cok, em, min_obs, min_lh, **statics):
@@ -1852,7 +1876,7 @@ def _paired_grouped_traced(
     words_r, tbl, grp, cok, em, min_obs, min_lh,
     *, T, H, HG, W, W4, TH, SW4, K, DD, S, G, ROWS1, pad_rows, SH_pad, n_ty,
     NGC, n_chunks, gate_min_obs, gate_min_lh, interpret, bounds_masks=True,
-    fast_tables=False, slice_mode="roll", FLUSH=0,
+    fast_tables=False, slice_mode="roll", FLUSH=0, idx16=False,
 ):
     """Traced body of the grouped search: also called from inside
     shard_map programs (parallel/sharded.py), where the tables arrive as
@@ -1864,7 +1888,9 @@ def _paired_grouped_traced(
         gate_min_obs=gate_min_obs, gate_min_lh=gate_min_lh,
         bounds_masks=bounds_masks,
         fast_tables=fast_tables, slice_mode=slice_mode, FLUSH=FLUSH,
+        idx16=idx16,
     )
+    idx_dtype = jnp.uint16 if idx16 else jnp.int32
     TBG = TH + 8 + S
 
     def call_chunk(tbl_c, grp_c, cok_c):
@@ -1889,7 +1915,7 @@ def _paired_grouped_traced(
         )
         out_shapes = tuple(
             jax.ShapeDtypeStruct((K, SH_pad, SW4), jnp.float32) for _ in range(2)
-        ) + tuple(jax.ShapeDtypeStruct((K, SH_pad, SW4), jnp.int32) for _ in range(2))
+        ) + tuple(jax.ShapeDtypeStruct((K, SH_pad, SW4), idx_dtype) for _ in range(2))
         scalars = jnp.concatenate(
             [
                 jnp.stack(
@@ -1915,6 +1941,11 @@ def _paired_grouped_traced(
         )(tbl_c, grp_c, cok_c, scalars, words_r)
         lh_i = jnp.stack(outs[:2], axis=-1).reshape(K, SH_pad, SW4 * 2)
         idx_i = jnp.stack(outs[2:], axis=-1).reshape(K, SH_pad, SW4 * 2)
+        if idx16:
+            # Back to the canonical int32 indices with -1 empties.
+            idx_i = jnp.where(
+                idx_i == (1 << 16) - 1, jnp.int32(-1), idx_i.astype(jnp.int32)
+            )
         return lh_i, idx_i
 
     top_lh = top_idx = None

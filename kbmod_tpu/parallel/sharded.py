@@ -143,8 +143,12 @@ def _sharded_paired_grouped(
     if words_r.shape[0] != 2 * ROWS1:
         return None
 
-    DD = max(1, min(T, 2))
-    TH = _grouped_row_tile(SH, SW4, W4, K, DD, G, S, wide=T > 257)
+    DD = max(1, min(T, int(os.environ.get("KB_GROUPED_DD", "2"))))
+    idx16 = (
+        os.environ.get("KB_GROUPED_IDX16", "0") == "1"
+        and dxs_p.shape[0] - 1 < (1 << 16) - 1
+    )
+    TH = _grouped_row_tile(SH, SW4, W4, K, DD, G, S, wide=T > 257, idx16=idx16)
     n_ty = pl.cdiv(SH, TH)
     SH_pad = n_ty * TH
     if pad_rows < _round_up(SH_pad + H + 16 + S, 8):
@@ -214,7 +218,7 @@ def _sharded_paired_grouped(
         interpret=jax.default_backend() != "tpu", bounds_masks=bounds_masks,
         fast_tables=fast_tables,
         slice_mode=slice_mode if fast_tables else "roll",
-        FLUSH=0 if T <= 257 else 255,
+        FLUSH=0 if T <= 257 else 255, idx16=idx16,
     )
     em = jnp.asarray(np.asarray(encode_meta, np.float32).reshape(4))
     min_obs = jnp.float32(min_obs)

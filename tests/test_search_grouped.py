@@ -306,5 +306,58 @@ class TestRingDepth:
             np.testing.assert_array_equal(np.asarray(got[1]), np.asarray(base[1]))
 
 
+class TestIdx16:
+    def _inputs(self):
+        rng = np.random.default_rng(31)
+        T, H, W, C = 6, 40, 56, 29
+        psi_c, phi_c = _stack(rng, T, H, W)
+        words_r, pad_rows = pack_psi_phi_words(psi_c, phi_c)
+        vxs = rng.uniform(-6, 6, C).astype(np.float32)
+        vys = rng.uniform(-6, 6, C).astype(np.float32)
+        dxs, dys = trajectory_offsets(vxs, vys, np.arange(T) * 0.4)
+        kw = dict(shape=(T, H, W), pad_rows=pad_rows, interpret=True,
+                  x_min=0, x_max=W, y_min=0, y_max=H, k_results=4)
+        return words_r, dxs, dys, kw
+
+    def test_u16_indices_match_i32(self, monkeypatch):
+        """uint16 top-K indices (the default when every global candidate
+        index fits) must reproduce the int32 path bit-for-bit, including
+        -1 empties."""
+        words_r, dxs, dys, kw = self._inputs()
+        em = jnp.asarray(EM)
+        monkeypatch.setenv("KB_GROUPED_IDX16", "0")
+        ref = search_topk_paired_grouped(
+            words_r, dxs, dys, jnp.float32(2), jnp.float32(9.0), em,
+            gate_min_lh=True, **kw,
+        )
+        monkeypatch.setenv("KB_GROUPED_IDX16", "1")
+        got = search_topk_paired_grouped(
+            words_r, dxs, dys, jnp.float32(2), jnp.float32(9.0), em,
+            gate_min_lh=True, **kw,
+        )
+        assert np.asarray(got[1]).dtype == np.int32
+        np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(ref[0]))
+        np.testing.assert_array_equal(np.asarray(got[1]), np.asarray(ref[1]))
+        assert (np.asarray(got[1]) == -1).any()  # empties survive conversion
+
+    def test_large_candidate_offset_falls_back_to_i32(self, monkeypatch):
+        """Even with u16 indices requested, global indices past uint16
+        range must route to the int32 path and come back correct."""
+        monkeypatch.setenv("KB_GROUPED_IDX16", "1")
+        words_r, dxs, dys, kw = self._inputs()
+        em = jnp.asarray(EM)
+        base = search_topk_paired_grouped(
+            words_r, dxs, dys, jnp.float32(2), jnp.float32(0), em, **kw,
+        )
+        off = 70_000
+        got = search_topk_paired_grouped(
+            words_r, dxs, dys, jnp.float32(2), jnp.float32(0), em,
+            cand_offset=off, **kw,
+        )
+        bi, gi = np.asarray(base[1]), np.asarray(got[1])
+        np.testing.assert_array_equal(gi[bi >= 0], bi[bi >= 0] + off)
+        np.testing.assert_array_equal(gi[bi < 0], -1)
+
+
 if __name__ == "__main__":
     pytest.main([__file__, "-v"])
