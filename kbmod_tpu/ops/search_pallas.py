@@ -1706,6 +1706,107 @@ def _grouped_cand_chunk(NG, T, G, tcols=2):
     return max(1, min(int(NG), _SMEM_TABLE_BYTES // per_group))
 
 
+def _grouped_device_tables(
+    order, starts, G, S, dxs_np, dys_np, oy0, ox0, pad_rows, HG, W4, TBG, TH,
+    SH, ROWS1, bounds_masks, cand_valid, cand_offset, T,
+):
+    """Build the grouped kernel's chunk-padded DEVICE tables plus the
+    (fast_tables, slice_mode, NGC, n_chunks) decisions they encode.
+
+    Fast-tables variant: the host pre-resolves the per-slot scalar math
+    and the kernel slices only the parity half it needs. Applies when the
+    stream is guarded (no masks) and the window clip provably never binds
+    for any tile.
+    """
+    import os
+
+    fast_tables = False
+    slice_mode = os.environ.get("KB_GROUPED_SLICE", "win")
+    if not bounds_masks and os.environ.get("KB_GROUPED_V2", "1") != "0":
+        fast_kw = dict(cand_valid=cand_valid, cand_offset=cand_offset)
+        tbl_f, grp8, cok_f, (g8_min, g8_max, rs_max) = _grouped_tables_fast(
+            order, starts, G, dxs_np, dys_np, oy0, ox0, pad_rows,
+            HG, W4, TBG, TH=TH if slice_mode == "win" else None, **fast_kw,
+        )
+        if slice_mode == "win" and (rs_max // 8) * 8 + TH + 8 > TBG:
+            # The minimal window cannot cover this spread; use the full
+            # parity half instead.
+            slice_mode = "half"
+            tbl_f, grp8, cok_f, _ = _grouped_tables_fast(
+                order, starts, G, dxs_np, dys_np, oy0, ox0,
+                pad_rows, HG, W4, TBG, **fast_kw,
+            )
+        fast_tables = (
+            g8_min >= 0
+            and g8_max + (pl.cdiv(SH, TH) - 1) * TH + TBG <= ROWS1
+            and rs_max + TH <= TBG
+        )
+    if fast_tables:
+        tbl, grp, cok = tbl_f, grp8, cok_f
+    else:
+        tbl, grp, cok = _grouped_tables(
+            order, starts, G, dxs_np, dys_np, oy0, ox0, pad_rows, HG,
+            cand_valid=cand_valid, cand_offset=cand_offset,
+        )
+    NG = grp.shape[0]
+
+    NGC = _grouped_cand_chunk(NG, T, G, tcols=3 if fast_tables else 2)
+    n_chunks = pl.cdiv(NG, NGC)
+    # Pad to whole chunks with invalid groups (windows pinned at row 0).
+    gpad = n_chunks * NGC - NG
+    if gpad:
+        tbl = np.concatenate([tbl, np.zeros((gpad * G, tbl.shape[1]), np.int32)], axis=0)
+        grp = np.concatenate([grp, np.zeros((gpad, T), np.int32)], axis=0)
+        cok = np.concatenate([cok, np.zeros((gpad * G, 2), np.int32)], axis=0)
+    return (
+        jnp.asarray(tbl), jnp.asarray(grp), jnp.asarray(cok),
+        fast_tables, slice_mode, NGC, n_chunks,
+    )
+
+
+_TABLE_CACHE = {}
+
+
+def _grouped_device_tables_cached(
+    order, starts, G, S, dxs_np, dys_np, oy0, ox0, pad_rows, HG, W4, TBG, TH,
+    SH, ROWS1, bounds_masks, cand_valid, cand_offset, T, max_entries=4,
+):
+    """Content-keyed cache of :func:`_grouped_device_tables`, holding the
+    tables ON DEVICE so repeated searches over the same grid (the
+    steady-state production pattern) skip both the numpy build and the
+    host->device upload."""
+    import hashlib
+    import os
+
+    dxs_np = np.ascontiguousarray(dxs_np)
+    dys_np = np.ascontiguousarray(dys_np)
+    key = (
+        hashlib.sha1(dxs_np).hexdigest(),
+        hashlib.sha1(dys_np).hexdigest(),
+        dys_np.shape,
+        None if cand_valid is None
+        else hashlib.sha1(np.ascontiguousarray(cand_valid)).hexdigest(),
+        int(cand_offset), int(G), int(S), int(oy0), int(ox0), int(pad_rows),
+        int(HG), int(W4), int(TBG), int(TH), int(SH), int(ROWS1),
+        bool(bounds_masks),
+        os.environ.get("KB_GROUPED_SLICE", "win"),
+        os.environ.get("KB_GROUPED_V2", "1"),
+        jax.default_backend(),
+        # The plan identity (starts) is derived from dys/G/S but cheap to pin.
+        len(starts),
+    )
+    hit = _TABLE_CACHE.get(key)
+    if hit is None or hit[0].is_deleted():
+        hit = _grouped_device_tables(
+            order, starts, G, S, dxs_np, dys_np, oy0, ox0, pad_rows, HG, W4,
+            TBG, TH, SH, ROWS1, bounds_masks, cand_valid, cand_offset, T,
+        )
+        if len(_TABLE_CACHE) >= max_entries:
+            _TABLE_CACHE.pop(next(iter(_TABLE_CACHE)))
+        _TABLE_CACHE[key] = hit
+    return hit
+
+
 def search_topk_paired_grouped(
     words_r,
     dxs,
@@ -1795,55 +1896,22 @@ def search_topk_paired_grouped(
     )
     TBG = TH + 8 + S
 
-    # Fast-tables variant: host pre-resolves the per-slot scalar math and
-    # the kernel slices only the parity half it needs. Applies when the
-    # stream is guarded (no masks) and the window clip provably never
-    # binds for any tile.
-    fast_tables = False
-    slice_mode = os.environ.get("KB_GROUPED_SLICE", "win")
-    if not bounds_masks and os.environ.get("KB_GROUPED_V2", "1") != "0":
-        fast_kw = dict(
-            cand_valid=None if cand_valid is None else np.asarray(cand_valid),
-            cand_offset=int(cand_offset),
+    # Device-table construction is content-cached: steady-state production
+    # runs (and benchmarks) repeat the same grid over the same window, and
+    # the host-side table build + upload (~tens of MB for the default
+    # survey grid) would otherwise sit in every call's critical path.
+    tbl_j, grp_j, cok_j, fast_tables, slice_mode, NGC, n_chunks = (
+        _grouped_device_tables_cached(
+            order, starts, G, S, dxs_np, dys_np,
+            int(y_min), int(x_min), pad_rows, HG, W4, TBG, TH,
+            int(SH), ROWS1, bounds_masks,
+            None if cand_valid is None else np.asarray(cand_valid),
+            int(cand_offset), T,
         )
-        tbl_f, grp8, cok_f, (g8_min, g8_max, rs_max) = _grouped_tables_fast(
-            order, starts, G, dxs_np, dys_np, int(y_min), int(x_min), pad_rows,
-            HG, W4, TBG, TH=TH if slice_mode == "win" else None, **fast_kw,
-        )
-        if slice_mode == "win" and (rs_max // 8) * 8 + TH + 8 > TBG:
-            # The minimal window cannot cover this spread; use the full
-            # parity half instead.
-            slice_mode = "half"
-            tbl_f, grp8, cok_f, _ = _grouped_tables_fast(
-                order, starts, G, dxs_np, dys_np, int(y_min), int(x_min),
-                pad_rows, HG, W4, TBG, **fast_kw,
-            )
-        fast_tables = (
-            g8_min >= 0
-            and g8_max + (pl.cdiv(SH, TH) - 1) * TH + TBG <= ROWS1
-            and rs_max + TH <= TBG
-        )
-    if fast_tables:
-        tbl, grp, cok = tbl_f, grp8, cok_f
-    else:
-        tbl, grp, cok = _grouped_tables(
-            order, starts, G, dxs_np, dys_np, int(y_min), int(x_min), pad_rows, HG,
-            cand_valid=None if cand_valid is None else np.asarray(cand_valid),
-            cand_offset=int(cand_offset),
-        )
-    NG = grp.shape[0]
-
-    NGC = _grouped_cand_chunk(NG, T, G, tcols=3 if fast_tables else 2)
-    n_chunks = pl.cdiv(NG, NGC)
-    # Pad to whole chunks with invalid groups (windows pinned at row 0).
-    gpad = n_chunks * NGC - NG
-    if gpad:
-        tbl = np.concatenate([tbl, np.zeros((gpad * G, tbl.shape[1]), np.int32)], axis=0)
-        grp = np.concatenate([grp, np.zeros((gpad, T), np.int32)], axis=0)
-        cok = np.concatenate([cok, np.zeros((gpad * G, 2), np.int32)], axis=0)
+    )
 
     top_lh, top_idx = _paired_grouped_jit(
-        words_r, jnp.asarray(tbl), jnp.asarray(grp), jnp.asarray(cok),
+        words_r, tbl_j, grp_j, cok_j,
         jnp.asarray(encode_meta, dtype=jnp.float32).reshape(4),
         jnp.float32(min_obs), jnp.float32(min_lh),
         T=T, H=H, HG=HG, W=W, W4=W4, TH=TH, SW4=SW4, K=K, DD=DD, S=S, G=G,
