@@ -67,6 +67,103 @@ def _pad_to_multiple(arr, multiple, axis=0, fill=0):
     return np.pad(arr, pad_widths, constant_values=fill), n
 
 
+def _build_shard_tables(
+    plans, G, S, dxs_p, dys_p, cand_valid, oy0, ox0, pad_rows, HG, W4, TBG,
+    TH, n_ty, ROWS1, bounds_masks, n_dev, NG_max, T,
+):
+    """Per-shard grouped tables stacked into dense (n_dev, ...) arrays,
+    plus the (fast_tables, slice_mode, NGC, n_chunks) decisions. Fast-table
+    eligibility must hold for EVERY shard — all shards share one kernel."""
+    import os
+
+    from kbmod_tpu.ops.search_pallas import (
+        _grouped_cand_chunk,
+        _grouped_tables,
+        _grouped_tables_fast,
+    )
+
+    fast_tables = False
+    slice_mode = os.environ.get("KB_GROUPED_SLICE", "win")
+    shard_tables = None
+    if not bounds_masks and os.environ.get("KB_GROUPED_V2", "1") != "0":
+        shard_tables = []
+        ok_all = True
+        for sl, order, starts in plans:
+            tbl, grp, cok, (g8_min, g8_max, rs_max) = _grouped_tables_fast(
+                order, starts, G, dxs_p[sl], dys_p[sl], oy0, ox0,
+                pad_rows, HG, W4, TBG,
+                TH=TH if slice_mode == "win" else None,
+                cand_valid=cand_valid[sl], cand_offset=sl.start,
+            )
+            ok_all &= (
+                g8_min >= 0
+                and g8_max + (n_ty - 1) * TH + TBG <= ROWS1
+                and rs_max + TH <= TBG
+                and (slice_mode != "win" or (rs_max // 8) * 8 + TH + 8 <= TBG)
+            )
+            shard_tables.append((tbl, grp, cok))
+        fast_tables = ok_all
+    if not fast_tables:
+        shard_tables = [
+            _grouped_tables(
+                order, starts, G, dxs_p[sl], dys_p[sl], oy0, ox0,
+                pad_rows, HG,
+                cand_valid=cand_valid[sl], cand_offset=sl.start,
+            )
+            for sl, order, starts in plans
+        ]
+
+    NGC = _grouped_cand_chunk(NG_max, T, G, tcols=3 if fast_tables else 2)
+    n_chunks = pl.cdiv(NG_max, NGC)
+    NG_pad = n_chunks * NGC
+
+    tbls = np.zeros((n_dev, NG_pad * G, (3 if fast_tables else 2) * T), np.int32)
+    grps = np.zeros((n_dev, NG_pad, T), np.int32)
+    coks = np.zeros((n_dev, NG_pad * G, 2), np.int32)
+    for s, (tbl, grp, cok) in enumerate(shard_tables):
+        ng = grp.shape[0]
+        tbls[s, : ng * G] = tbl
+        grps[s, :ng] = grp
+        coks[s, : ng * G] = cok
+    return tbls, grps, coks, fast_tables, slice_mode, NGC, n_chunks
+
+
+_SHARD_TABLE_CACHE = {}
+
+
+def _shard_tables_cached(
+    plans, G, S, dxs_p, dys_p, cand_valid, oy0, ox0, pad_rows, HG, W4, TBG,
+    TH, n_ty, ROWS1, bounds_masks, n_dev, NG_max, T, max_entries=2,
+):
+    """Content-keyed cache of :func:`_build_shard_tables` — repeated
+    sharded searches over the same grid skip the per-shard numpy builds
+    (the same steady-state pattern the single-device dispatcher caches)."""
+    import hashlib
+    import os
+
+    key = (
+        hashlib.sha1(np.ascontiguousarray(dxs_p)).hexdigest(),
+        hashlib.sha1(np.ascontiguousarray(dys_p)).hexdigest(),
+        dys_p.shape,
+        hashlib.sha1(np.ascontiguousarray(cand_valid)).hexdigest(),
+        int(G), int(S), int(oy0), int(ox0), int(pad_rows), int(HG),
+        int(W4), int(TBG), int(TH), int(n_ty), int(ROWS1),
+        bool(bounds_masks), int(n_dev), int(NG_max),
+        os.environ.get("KB_GROUPED_SLICE", "win"),
+        os.environ.get("KB_GROUPED_V2", "1"),
+    )
+    hit = _SHARD_TABLE_CACHE.get(key)
+    if hit is None:
+        hit = _build_shard_tables(
+            plans, G, S, dxs_p, dys_p, cand_valid, oy0, ox0, pad_rows, HG,
+            W4, TBG, TH, n_ty, ROWS1, bounds_masks, n_dev, NG_max, T,
+        )
+        if len(_SHARD_TABLE_CACHE) >= max_entries:
+            _SHARD_TABLE_CACHE.pop(next(iter(_SHARD_TABLE_CACHE)))
+        _SHARD_TABLE_CACHE[key] = hit
+    return hit
+
+
 def _sharded_paired_grouped(
     dxs, dys, mesh, *,
     x_min, x_max, y_min, y_max, k_results,
@@ -163,52 +260,13 @@ def _sharded_paired_grouped(
     NG_max = max(len(starts) for _, _, starts in plans)
     TBG = TH + 8 + S
 
-    # Same fast-tables eligibility as the single-device dispatcher: the
-    # guarded stream plus a provably clip-free window for every tile (the
-    # check must pass for EVERY shard — all shards share one kernel).
-    fast_tables = False
-    slice_mode = os.environ.get("KB_GROUPED_SLICE", "win")
-    shard_tables = None
-    if not bounds_masks and os.environ.get("KB_GROUPED_V2", "1") != "0":
-        shard_tables = []
-        ok_all = True
-        for sl, order, starts in plans:
-            tbl, grp, cok, (g8_min, g8_max, rs_max) = _grouped_tables_fast(
-                order, starts, G, dxs_p[sl], dys_p[sl], int(y_min), int(x_min),
-                pad_rows, HG, W4, TBG,
-                TH=TH if slice_mode == "win" else None,
-                cand_valid=cand_valid[sl], cand_offset=sl.start,
-            )
-            ok_all &= (
-                g8_min >= 0
-                and g8_max + (n_ty - 1) * TH + TBG <= ROWS1
-                and rs_max + TH <= TBG
-                and (slice_mode != "win" or (rs_max // 8) * 8 + TH + 8 <= TBG)
-            )
-            shard_tables.append((tbl, grp, cok))
-        fast_tables = ok_all
-    if not fast_tables:
-        shard_tables = [
-            _grouped_tables(
-                order, starts, G, dxs_p[sl], dys_p[sl], int(y_min), int(x_min),
-                pad_rows, HG,
-                cand_valid=cand_valid[sl], cand_offset=sl.start,
-            )
-            for sl, order, starts in plans
-        ]
-
-    NGC = _grouped_cand_chunk(NG_max, T, G, tcols=3 if fast_tables else 2)
-    n_chunks = pl.cdiv(NG_max, NGC)
-    NG_pad = n_chunks * NGC
-
-    tbls = np.zeros((n_dev, NG_pad * G, (3 if fast_tables else 2) * T), np.int32)
-    grps = np.zeros((n_dev, NG_pad, T), np.int32)
-    coks = np.zeros((n_dev, NG_pad * G, 2), np.int32)
-    for s, (tbl, grp, cok) in enumerate(shard_tables):
-        ng = grp.shape[0]
-        tbls[s, : ng * G] = tbl
-        grps[s, :ng] = grp
-        coks[s, : ng * G] = cok
+    tbls, grps, coks, fast_tables, slice_mode, NGC, n_chunks = (
+        _shard_tables_cached(
+            plans, G, S, dxs_p, dys_p, cand_valid, int(y_min), int(x_min),
+            pad_rows, HG, W4, TBG, TH, n_ty, ROWS1, bounds_masks, n_dev,
+            NG_max, T,
+        )
+    )
 
     statics = dict(
         T=T, H=H, HG=HG, W=W, W4=W4, TH=TH, SW4=SW4, K=K, DD=DD, S=S, G=G,
