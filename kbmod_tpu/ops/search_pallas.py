@@ -1868,10 +1868,10 @@ def search_topk_paired_grouped(
 
     FLUSH = 0 if T <= 257 else 255
     DD = max(1, min(int(T), int(os.environ.get("KB_GROUPED_DD", "2"))))
-    # uint16 candidate indices (opt-in): halves the top-K output VMEM —
-    # the binding constraint on row tile / ring depth — but v5e pays more
-    # in 16-bit vector relayouts than the headroom buys (measured 3.7 ->
-    # 2.6e9 evals/s at config 3; docs/STATUS.md), so the default is off.
+    # uint16 candidate indices (opt-in): halves that output's VMEM.
+    # Measured performance-neutral on v5e at the default tiles (the 16-bit
+    # relayouts in the rank-insert cost about what the headroom returns;
+    # docs/STATUS.md), so the canonical int32 path stays the default.
     idx16 = (
         os.environ.get("KB_GROUPED_IDX16", "0") == "1"
         and int(cand_offset) + C - 1 < (1 << 16) - 1
