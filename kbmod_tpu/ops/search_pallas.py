@@ -1249,6 +1249,34 @@ def _plan_groups(dys_np, G, S):
     return order, starts
 
 
+def _plan_groups_uniform(dys_np, G):
+    """Group candidates whose per-time row offsets are IDENTICAL (row
+    classes). Real survey grids (velocity x angle lattices, e.g. the
+    reference's 257x129 default, configuration.py:196-207) collapse to a
+    few hundred distinct row sequences, so nearly every group is full —
+    and a uniform group lets the kernel hoist the window slice + sublane
+    roll out of the per-candidate loop and run spread-0 (minimal) window
+    DMAs. Groups never span two classes; padding slots mirror the last
+    member as usual, so every group is uniform by construction.
+
+    Returns ``(order, starts)`` like :func:`_plan_groups`.
+    """
+    dys_np = np.ascontiguousarray(np.asarray(dys_np, dtype=np.int32))
+    C, T = dys_np.shape
+    view = dys_np.view([("", dys_np.dtype)] * T).reshape(C)
+    _, inv = np.unique(view, return_inverse=True)
+    # Stable sort keeps same-class candidates in ascending-index order
+    # (tie ranking is index-based, so results are order-independent).
+    order = np.argsort(inv, kind="stable").astype(np.int32)
+    cls_sorted = inv[order]
+    cls_starts = np.flatnonzero(np.r_[True, cls_sorted[1:] != cls_sorted[:-1]])
+    cls_ends = np.append(cls_starts[1:], C)
+    starts = np.concatenate(
+        [np.arange(int(s), int(e), int(G)) for s, e in zip(cls_starts, cls_ends)]
+    )
+    return order, starts.astype(np.int64)
+
+
 def _bounds_free(ox, oy, *, W, H, W4, SW4, SH_pad, geom, row_slack, cols=2,
                  paired=True):
     """True when every read of an encoded kernel — including lane-roll
@@ -1293,10 +1321,11 @@ def _bounds_free(ox, oy, *, W, H, W4, SW4, SH_pad, geom, row_slack, cols=2,
 _PLAN_CACHE = {}
 
 
-def _plan_groups_cached(dys_np, G, S, max_entries=8):
-    """Small content-keyed cache around :func:`_plan_groups` — repeated
-    searches over the same trajectory set (the steady-state production
-    pattern) pay the O(C log C) sort and spread verification once."""
+def _plan_groups_cached(dys_np, G, S, max_entries=8, uniform=False):
+    """Small content-keyed cache around :func:`_plan_groups` /
+    :func:`_plan_groups_uniform` — repeated searches over the same
+    trajectory set (the steady-state production pattern) pay the
+    O(C log C) sort and spread verification once."""
     import hashlib
 
     dys_np = np.ascontiguousarray(dys_np)
@@ -1306,10 +1335,11 @@ def _plan_groups_cached(dys_np, G, S, max_entries=8):
         str(dys_np.dtype),
         int(G),
         int(S),
+        bool(uniform),
     )
     hit = _PLAN_CACHE.get(key)
     if hit is None:
-        hit = _plan_groups(dys_np, G, S)
+        hit = _plan_groups_uniform(dys_np, G) if uniform else _plan_groups(dys_np, G, S)
         if len(_PLAN_CACHE) >= max_entries:
             _PLAN_CACHE.pop(next(iter(_PLAN_CACHE)))
         _PLAN_CACHE[key] = hit
@@ -1352,7 +1382,8 @@ def _grouped_tables(order, starts, G, dxs_np, dys_np, oy0, ox0, pad_rows, H,
 
 
 def _grouped_tables_fast(order, starts, G, dxs_np, dys_np, oy0, ox0, pad_rows, H,
-                         W4, TBG, cand_valid=None, cand_offset=0, TH=None):
+                         W4, TBG, cand_valid=None, cand_offset=0, TH=None,
+                         uniform=False):
     """Host-resolved grouped tables for the fast-tables kernel variant.
 
     Returns ``(tbl, grp8, cok, margins)``: ``tbl`` (NG*G, 3T) int32
@@ -1360,7 +1391,14 @@ def _grouped_tables_fast(order, starts, G, dxs_np, dys_np, oy0, ox0, pad_rows, H
     kernel scalar math pre-applied, lane amounts pre-normalized for the
     non-pow2 rotate quirk), ``grp8`` (NG, T) the 8-aligned group base
     rows, ``cok`` as in :func:`_grouped_tables`, and ``(grp8_min,
-    grp8_max, rsub_max)`` for the caller's clip-freedom check."""
+    grp8_max, rsub_max)`` for the caller's clip-freedom check.
+
+    With ``uniform`` (requires a :func:`_plan_groups_uniform` plan), the
+    row residual — identical across a uniform group's slots and always
+    < 8 relative to the group's 8-aligned DMA base — moves to the group
+    table: returns ``tbl`` (NG*G, T) packing ``lane_amount | parity <<
+    16`` per slot/time and ``grp8`` (NG, 2T) ``[dma_base8 |
+    row_residual]``."""
     C, T = dys_np.shape
     NG = len(starts)
     ends = np.append(starts[1:], C)
@@ -1384,6 +1422,21 @@ def _grouped_tables_fast(order, starts, G, dxs_np, dys_np, oy0, ox0, pad_rows, H
     dw = (ox + par) // 2  # exact (ox + par is even)
     aln = (-dw) % int(W4)
     rsub = rows - grp8.reshape(NG, 1, T).repeat(G, axis=1).reshape(NG * G, T)
+    idxg = (flat.astype(np.int64) + int(cand_offset)).astype(np.int32)
+    cok = np.stack([slot_ok.reshape(-1), idxg], axis=1).astype(np.int32)
+    margins = (int(grp8.min()), int(grp8.max()), int(rsub.max()))
+    if uniform:
+        # Uniform plan: every slot of a group shares rows (padding slots
+        # mirror a member, so they share too), so the residual is the
+        # shared row mod 8. Move it to the group table and pack the slot
+        # table as lane | parity<<16.
+        rsub_g = rsub.reshape(NG, G, T)
+        if (rsub_g != rsub_g[:, :1]).any() or rsub.max() >= 8:
+            raise ValueError("uniform grouped tables require a uniform plan")
+        rs_g = rsub_g[:, 0]  # (NG, T), all values in [0, 8)
+        tbl = (aln | (par << 16)).astype(np.int32)  # (NG*G, T)
+        grp_u = np.concatenate([grp8, rs_g], axis=1).astype(np.int32)  # (NG, 2T)
+        return tbl, grp_u, cok, margins
     pbase = par * int(TBG)
     if TH is not None:
         # "win" tables: fold the 8-aligned residual into the base so the
@@ -1393,10 +1446,6 @@ def _grouped_tables_fast(order, starts, G, dxs_np, dys_np, oy0, ox0, pad_rows, H
     else:
         base, rs = pbase, rsub
     tbl = np.concatenate([aln, rs, base], axis=1).astype(np.int32)
-
-    idxg = (flat.astype(np.int64) + int(cand_offset)).astype(np.int32)
-    cok = np.stack([slot_ok.reshape(-1), idxg], axis=1).astype(np.int32)
-    margins = (int(grp8.min()), int(grp8.max()), int(rsub.max()))
     return tbl, grp8.astype(np.int32), cok, margins
 
 
@@ -1434,6 +1483,7 @@ def _search_kernel_paired_grouped(
     slice_mode="roll",
     FLUSH=0,
     idx16=False,
+    uniform=False,
 ):
     """Candidate-grouped variant of _search_kernel_paired (see the module
     comment above): one dual-stream window DMA per (tile, group, time)
@@ -1456,7 +1506,15 @@ def _search_kernel_paired_grouped(
     binds; ``grp_ref`` then carries the 8-aligned group base rows.
     ``slice_mode="half"`` additionally replaces the full stacked-buffer
     sublane roll by a dynamic slice of the one parity half the slot needs
-    (half the roll input)."""
+    (half the roll input).
+
+    ``uniform`` (implies ``fast_tables``) runs a :func:`_plan_groups_uniform`
+    plan: every slot of a group shares its per-time rows, so the kernel
+    slices + sublane-rolls the two parity halves ONCE per (tile, group,
+    time) — static TH+8 windows at the buffer base, spread S=0 — and the
+    per-candidate loop only selects a parity half, lane-rolls it, and
+    accumulates. ``grp_ref`` is (NGC, 2T) ``[dma_base8 | row_residual]``;
+    ``tbl_ref`` is (NGC*G, T) packing ``lane_amount | parity << 16``."""
     TBG = TH + 8 + S
     ty = pl.program_id(0)
     pg = pl.program_id(1)
@@ -1482,6 +1540,9 @@ def _search_kernel_paired_grouped(
     psi_scale = scalars_ref[5]
     phi_min = scalars_ref[6]
     phi_scale = scalars_ref[7]
+
+    if uniform:
+        assert fast_tables and not bounds_masks
 
     if fast_tables:
         assert not bounds_masks, "fast tables require the guard-padded stream"
@@ -1518,7 +1579,7 @@ def _search_kernel_paired_grouped(
     LO16 = jnp.int32(0x0000FFFF)
     HI16 = jnp.int32(-65536)  # 0xFFFF0000
 
-    def run(acc_psi, acc_phi, acc_obs, acc_wide=None):
+    def run(acc_psi, acc_phi, acc_obs, acc_wide=None, pw_scr=None):
         for gi in range(G):
             acc_psi[gi] = jnp.zeros((TH, SW4), dtype=jnp.int32)
             acc_phi[gi] = jnp.zeros((TH, SW4), dtype=jnp.int32)
@@ -1543,11 +1604,33 @@ def _search_kernel_paired_grouped(
 
             r8 = base_for(t)
             buf = None
-            if not (fast_tables and slice_mode == "half"):
+            if uniform:
+                # Shared rows: slice + sublane-roll each parity half ONCE
+                # for the whole group. The slice bases are STATIC (the
+                # group's residual is its shared row mod 8 < 8).
+                rs = grp_ref[pg, T + t]
+                SLu = TH + 8
+                pw0 = pltpu.roll(word_buf[slot, :SLu], SLu - rs, 0)[:TH]
+                pw1 = pltpu.roll(word_buf[slot, TBG : TBG + SLu], SLu - rs, 0)[:TH]
+                if slice_mode == "uslice":
+                    # Parity select via a dynamic sublane slice of the
+                    # stacked halves (reads only the half it needs).
+                    pw_scr[:TH] = pw0
+                    pw_scr[TH:] = pw1
+            elif not (fast_tables and slice_mode == "half"):
                 buf = word_buf[slot]  # (2*TBG, W4)
             for gi in range(G):
                 ci = pg * G + gi
-                if fast_tables:
+                if uniform:
+                    v = tbl_ref[ci, t]
+                    aln = lax.rem(v, jnp.int32(1 << 16))
+                    if slice_mode == "uslice":
+                        pbase = lax.shift_right_logical(v, 16) * TH
+                        pw = pw_scr[pl.ds(pl.multiple_of(pbase, 8), TH)]
+                    else:
+                        pw = jnp.where(v >= (1 << 16), pw1, pw0)
+                    wm = pltpu.roll(pw, aln, 1)[:, :SW4]
+                elif fast_tables:
                     # Host-resolved tables: normalized lane amount, row
                     # residual, 8-aligned slice base. In "win" mode the
                     # base already folds the parity half AND the 8-aligned
@@ -1674,13 +1757,17 @@ def _search_kernel_paired_grouped(
     )
     if FLUSH:
         scratch["acc_wide"] = pltpu.VMEM((G, 6, TH, SW4), jnp.int32)
+    if uniform and slice_mode == "uslice":
+        scratch["pw_scr"] = pltpu.VMEM((2 * TH, W4), jnp.int32)
     pl.run_scoped(run, **scratch)
 
 
-def _grouped_row_tile(SH, SW4, W4, K, DD, G, S, wide=False, idx16=False):
+def _grouped_row_tile(SH, SW4, W4, K, DD, G, S, wide=False, idx16=False,
+                      uniform=False):
     """Largest row tile whose grouped-kernel VMEM footprint (double-buffered
     output blocks + G accumulator triples + the DMA ring + the wide T>257
-    accumulators when ``wide``) fits."""
+    accumulators when ``wide`` + the uniform variant's stacked parity
+    scratch) fits."""
     budget = 13 * 1024 * 1024
     acc_arrays = 3 + (6 if wide else 0)
     idx_bytes = 2 if idx16 else 4
@@ -1690,6 +1777,7 @@ def _grouped_row_tile(SH, SW4, W4, K, DD, G, S, wide=False, idx16=False):
             2 * 2 * K * TH * SW4 * (4 + idx_bytes)
             + acc_arrays * G * TH * SW4 * 4
             + DD * 2 * TBG * W4 * 4
+            + (2 * TH * W4 * 4 if uniform else 0)
         )
         if total <= budget:
             return min(TH, _round_up(SH, 8))
@@ -1700,23 +1788,28 @@ def _grouped_cand_chunk(NG, T, G, tcols=2):
     """Groups per kernel call under the SMEM table budget (tbl is lane-
     padded to 128 columns per slot; cok costs one padded row per slot).
     ``tcols`` is the number of per-time table columns (2 for the offset
-    tables, 3 for the host-resolved fast tables)."""
+    tables, 3 for the host-resolved fast tables, 1 for the uniform
+    variant whose group table carries 3T columns instead of T)."""
     per_slot = (_round_up_int(int(tcols) * int(T), 128) + 128) * 4
-    per_group = G * per_slot + _round_up_int(int(T), 128) * 4
+    grp_cols = 2 * int(T) if int(tcols) == 1 else int(T)
+    per_group = G * per_slot + _round_up_int(grp_cols, 128) * 4
     return max(1, min(int(NG), _SMEM_TABLE_BYTES // per_group))
 
 
 def _grouped_device_tables(
     order, starts, G, S, dxs_np, dys_np, oy0, ox0, pad_rows, HG, W4, TBG, TH,
-    SH, ROWS1, bounds_masks, cand_valid, cand_offset, T,
+    SH, ROWS1, bounds_masks, cand_valid, cand_offset, T, uniform=False,
 ):
     """Build the grouped kernel's chunk-padded DEVICE tables plus the
-    (fast_tables, slice_mode, NGC, n_chunks) decisions they encode.
+    (fast_tables, slice_mode, NGC, n_chunks, uniform) decisions they
+    encode.
 
     Fast-tables variant: the host pre-resolves the per-slot scalar math
     and the kernel slices only the parity half it needs. Applies when the
     stream is guarded (no masks) and the window clip provably never binds
-    for any tile.
+    for any tile. ``uniform`` requires a uniform plan (and implies fast
+    tables); it falls back to the regular fast path when the clip-freedom
+    margins fail.
     """
     import os
 
@@ -1726,9 +1819,10 @@ def _grouped_device_tables(
         fast_kw = dict(cand_valid=cand_valid, cand_offset=cand_offset)
         tbl_f, grp8, cok_f, (g8_min, g8_max, rs_max) = _grouped_tables_fast(
             order, starts, G, dxs_np, dys_np, oy0, ox0, pad_rows,
-            HG, W4, TBG, TH=TH if slice_mode == "win" else None, **fast_kw,
+            HG, W4, TBG, TH=TH if (slice_mode == "win" or uniform) else None,
+            uniform=uniform, **fast_kw,
         )
-        if slice_mode == "win" and (rs_max // 8) * 8 + TH + 8 > TBG:
+        if not uniform and slice_mode == "win" and (rs_max // 8) * 8 + TH + 8 > TBG:
             # The minimal window cannot cover this spread; use the full
             # parity half instead.
             slice_mode = "half"
@@ -1744,23 +1838,27 @@ def _grouped_device_tables(
     if fast_tables:
         tbl, grp, cok = tbl_f, grp8, cok_f
     else:
+        uniform = False
         tbl, grp, cok = _grouped_tables(
             order, starts, G, dxs_np, dys_np, oy0, ox0, pad_rows, HG,
             cand_valid=cand_valid, cand_offset=cand_offset,
         )
+    uniform = uniform and fast_tables
     NG = grp.shape[0]
 
-    NGC = _grouped_cand_chunk(NG, T, G, tcols=3 if fast_tables else 2)
+    NGC = _grouped_cand_chunk(
+        NG, T, G, tcols=1 if uniform else (3 if fast_tables else 2)
+    )
     n_chunks = pl.cdiv(NG, NGC)
     # Pad to whole chunks with invalid groups (windows pinned at row 0).
     gpad = n_chunks * NGC - NG
     if gpad:
         tbl = np.concatenate([tbl, np.zeros((gpad * G, tbl.shape[1]), np.int32)], axis=0)
-        grp = np.concatenate([grp, np.zeros((gpad, T), np.int32)], axis=0)
+        grp = np.concatenate([grp, np.zeros((gpad, grp.shape[1]), np.int32)], axis=0)
         cok = np.concatenate([cok, np.zeros((gpad * G, 2), np.int32)], axis=0)
     return (
         jnp.asarray(tbl), jnp.asarray(grp), jnp.asarray(cok),
-        fast_tables, slice_mode, NGC, n_chunks,
+        fast_tables, slice_mode, NGC, n_chunks, uniform,
     )
 
 
@@ -1770,6 +1868,7 @@ _TABLE_CACHE = {}
 def _grouped_device_tables_cached(
     order, starts, G, S, dxs_np, dys_np, oy0, ox0, pad_rows, HG, W4, TBG, TH,
     SH, ROWS1, bounds_masks, cand_valid, cand_offset, T, max_entries=4,
+    uniform=False,
 ):
     """Content-keyed cache of :func:`_grouped_device_tables`, holding the
     tables ON DEVICE so repeated searches over the same grid (the
@@ -1794,12 +1893,14 @@ def _grouped_device_tables_cached(
         jax.default_backend(),
         # The plan identity (starts) is derived from dys/G/S but cheap to pin.
         len(starts),
+        bool(uniform),
     )
     hit = _TABLE_CACHE.get(key)
     if hit is None or hit[0].is_deleted():
         hit = _grouped_device_tables(
             order, starts, G, S, dxs_np, dys_np, oy0, ox0, pad_rows, HG, W4,
             TBG, TH, SH, ROWS1, bounds_masks, cand_valid, cand_offset, T,
+            uniform=uniform,
         )
         if len(_TABLE_CACHE) >= max_entries:
             _TABLE_CACHE.pop(next(iter(_TABLE_CACHE)))
@@ -1877,6 +1978,7 @@ def search_topk_paired_grouped(
         and int(cand_offset) + C - 1 < (1 << 16) - 1
         and int(cand_offset) >= 0
     )
+    row_tile_explicit = row_tile is not None
     if row_tile is None:
         row_tile = _grouped_row_tile(
             SH, SW4, W4, K, DD, G, S, wide=bool(FLUSH), idx16=idx16
@@ -1894,19 +1996,63 @@ def search_topk_paired_grouped(
         int(x_min) + dxs_np, int(y_min) + dys_np,
         W=W, H=H, W4=W4, SW4=SW4, SH_pad=SH_pad, geom=geom, row_slack=8 + S,
     )
+
+    # Uniform (exact-row) plan: real survey grids (velocity x angle
+    # lattices) collapse to a few hundred distinct row sequences, so
+    # groups whose members share EVERY per-time row cover ~98% of the
+    # default grid. The uniform kernel hoists the window slice + sublane
+    # roll out of the per-candidate loop and runs spread-0 windows; worth
+    # it unless the class structure is too ragged (slot overhead bound).
+    uniform = False
+    if (
+        os.environ.get("KB_GROUPED_UNIFORM", "1") != "0"
+        and os.environ.get("KB_GROUPED_V2", "1") != "0"
+    ):
+        # Note: judged on the uniform plan's OWN spread-0 geometry — a
+        # stream that needs masks at S=8 can still be guard-free at S=0.
+        # Wider groups amortize the shared subroll and the window DMA
+        # over more candidates (measured +12% at G=16 vs 8 on the default
+        # survey grid), so prefer the widest uniform G whose padding-slot
+        # overhead stays bounded relative to the spread plan's slots.
+        slots_spread = len(starts) * G
+        G_wide = int(os.environ.get("KB_GROUP_G_UNIFORM", "16"))
+        for G_u in dict.fromkeys((G_wide, G)):
+            order_u, starts_u = _plan_groups_cached(dys_np, G_u, 0, uniform=True)
+            if len(starts_u) * G_u > max(1.25 * slots_spread, slots_spread + 2 * G_u):
+                continue
+            S_u = 0
+            TH_u = TH if row_tile_explicit else int(
+                _grouped_row_tile(
+                    SH, SW4, W4, K, DD, G_u, S_u,
+                    wide=bool(FLUSH), idx16=idx16, uniform=True,
+                )
+            )
+            n_ty_u = pl.cdiv(SH, TH_u)
+            SH_pad_u = n_ty_u * TH_u
+            if pad_rows >= _round_up(SH_pad_u + H + 16 + S_u, 8) and _bounds_free(
+                int(x_min) + dxs_np, int(y_min) + dys_np,
+                W=W, H=H, W4=W4, SW4=SW4, SH_pad=SH_pad_u, geom=geom,
+                row_slack=8 + S_u,
+            ):
+                uniform = True
+                bounds_masks = False
+                order, starts = order_u, starts_u
+                S, TH, n_ty, SH_pad = S_u, TH_u, n_ty_u, SH_pad_u
+                G = G_u
+                break
     TBG = TH + 8 + S
 
     # Device-table construction is content-cached: steady-state production
     # runs (and benchmarks) repeat the same grid over the same window, and
     # the host-side table build + upload (~tens of MB for the default
     # survey grid) would otherwise sit in every call's critical path.
-    tbl_j, grp_j, cok_j, fast_tables, slice_mode, NGC, n_chunks = (
+    tbl_j, grp_j, cok_j, fast_tables, slice_mode, NGC, n_chunks, uniform = (
         _grouped_device_tables_cached(
             order, starts, G, S, dxs_np, dys_np,
             int(y_min), int(x_min), pad_rows, HG, W4, TBG, TH,
             int(SH), ROWS1, bounds_masks,
             None if cand_valid is None else np.asarray(cand_valid),
-            int(cand_offset), T,
+            int(cand_offset), T, uniform=uniform,
         )
     )
 
@@ -1919,8 +2065,13 @@ def search_topk_paired_grouped(
         NGC=NGC, n_chunks=n_chunks,
         gate_min_obs=gate_min_obs, gate_min_lh=gate_min_lh, interpret=interpret,
         bounds_masks=bounds_masks,
-        fast_tables=fast_tables, slice_mode=slice_mode if fast_tables else "roll",
-        FLUSH=FLUSH, idx16=idx16,
+        fast_tables=fast_tables,
+        slice_mode=(
+            ("uwhere" if os.environ.get("KB_UNIFORM_SEL", "slice") == "where" else "uslice")
+            if uniform
+            else (slice_mode if fast_tables else "roll")
+        ),
+        FLUSH=FLUSH, idx16=idx16, uniform=uniform,
     )
     return top_lh[:, :SH, :SW], top_idx[:, :SH, :SW]
 
@@ -1931,7 +2082,7 @@ def search_topk_paired_grouped(
         "T", "H", "HG", "W", "W4", "TH", "SW4", "K", "DD", "S", "G",
         "ROWS1", "pad_rows", "SH_pad", "n_ty", "NGC", "n_chunks",
         "gate_min_obs", "gate_min_lh", "interpret", "bounds_masks",
-        "fast_tables", "slice_mode", "FLUSH", "idx16",
+        "fast_tables", "slice_mode", "FLUSH", "idx16", "uniform",
     ),
 )
 def _paired_grouped_jit(words_r, tbl, grp, cok, em, min_obs, min_lh, **statics):
@@ -1944,7 +2095,7 @@ def _paired_grouped_traced(
     words_r, tbl, grp, cok, em, min_obs, min_lh,
     *, T, H, HG, W, W4, TH, SW4, K, DD, S, G, ROWS1, pad_rows, SH_pad, n_ty,
     NGC, n_chunks, gate_min_obs, gate_min_lh, interpret, bounds_masks=True,
-    fast_tables=False, slice_mode="roll", FLUSH=0, idx16=False,
+    fast_tables=False, slice_mode="roll", FLUSH=0, idx16=False, uniform=False,
 ):
     """Traced body of the grouped search: also called from inside
     shard_map programs (parallel/sharded.py), where the tables arrive as
@@ -1956,7 +2107,7 @@ def _paired_grouped_traced(
         gate_min_obs=gate_min_obs, gate_min_lh=gate_min_lh,
         bounds_masks=bounds_masks,
         fast_tables=fast_tables, slice_mode=slice_mode, FLUSH=FLUSH,
-        idx16=idx16,
+        idx16=idx16, uniform=uniform,
     )
     idx_dtype = jnp.uint16 if idx16 else jnp.int32
     TBG = TH + 8 + S

@@ -359,5 +359,141 @@ class TestIdx16:
         np.testing.assert_array_equal(gi[bi < 0], -1)
 
 
+class TestUniformGroups:
+    """Exact-row (uniform) grouping: survey lattices (velocity x angle,
+    e.g. the reference's 257x129 default grid, configuration.py:196-207)
+    collapse to a few hundred distinct row sequences, so groups whose
+    members share EVERY per-time row cover ~98% of the grid. The uniform
+    kernel hoists the window slice + sublane roll out of the
+    per-candidate loop and runs spread-0 windows; results stay
+    bit-identical to the per-candidate packed kernel."""
+
+    def _lattice(self, T, n_vx=14, vy_set=(-2.0, 0.0, 3.0)):
+        vy = np.array(vy_set, dtype=np.float32)
+        vx = np.linspace(-6, 6, n_vx).astype(np.float32)
+        vv, yy = np.meshgrid(vx, vy, indexing="ij")
+        dxs, dys = trajectory_offsets(
+            vv.ravel(), yy.ravel(), np.arange(T, dtype=np.float64) * 0.5
+        )
+        return np.asarray(dxs, np.int32), np.asarray(dys, np.int32)
+
+    def test_plan_uniform_groups_never_span_classes(self):
+        from kbmod_tpu.ops.search_pallas import _plan_groups_uniform
+
+        dxs, dys = self._lattice(T=6, n_vx=21, vy_set=(-3.0, -1.0, 0.0, 2.0))
+        C = dys.shape[0]
+        order, starts = _plan_groups_uniform(dys, G=8)
+        assert sorted(order.tolist()) == list(range(C))
+        d = dys[order]
+        ends = np.append(starts[1:], C)
+        for a, b in zip(starts, ends):
+            assert b - a <= 8
+            # every member of a group shares every per-time row
+            assert (d[a:b] == d[a]).all()
+
+    def _spy(self, monkeypatch):
+        import kbmod_tpu.ops.search_pallas as sp_mod
+
+        seen = {}
+        orig = sp_mod._search_kernel_paired_grouped
+
+        def spy(*a, **k):
+            seen.update(uniform=k.get("uniform"), S=k.get("S"),
+                        slice_mode=k.get("slice_mode"))
+            return orig(*a, **k)
+
+        monkeypatch.setattr(sp_mod, "_search_kernel_paired_grouped", spy)
+        return seen
+
+    @pytest.mark.parametrize("sel", ["slice", "where"])
+    def test_uniform_engaged_and_exact(self, monkeypatch, sel):
+        monkeypatch.setenv("KB_UNIFORM_SEL", sel)
+        seen = self._spy(monkeypatch)
+        rng = np.random.default_rng(31)
+        T, H, W = 5, 24, 40
+        psi_c, phi_c = _stack(rng, T, H, W)
+        words_r, pad_rows = pack_psi_phi_words(psi_c, phi_c)
+        dxs, dys = self._lattice(T, n_vx=10, vy_set=(-2.0, 1.0))
+        kw = dict(shape=(T, H, W), pad_rows=pad_rows, interpret=True,
+                  x_min=0, x_max=W, y_min=0, y_max=H, k_results=3)
+        em = jnp.asarray(EM)
+        grp = search_topk_paired_grouped(
+            words_r, dxs, dys, jnp.float32(2), jnp.float32(0), em, **kw
+        )
+        assert seen["uniform"] is True
+        assert seen["S"] == 0
+        assert seen["slice_mode"] == ("uslice" if sel == "slice" else "uwhere")
+        ref = _search_topk_pallas_packed_jit(
+            words_r, jnp.asarray(dxs), jnp.asarray(dys),
+            jnp.float32(2), jnp.float32(0), em, bits=8, **kw,
+        )
+        np.testing.assert_array_equal(np.asarray(ref[0]), np.asarray(grp[0]))
+        np.testing.assert_array_equal(np.asarray(ref[1]), np.asarray(grp[1]))
+
+    def test_ragged_grid_falls_back(self, monkeypatch):
+        # A random-velocity grid has ~no repeated row sequences: the
+        # uniform plan would blow up the slot count, so the dispatcher
+        # must keep the spread plan.
+        seen = self._spy(monkeypatch)
+        rng = np.random.default_rng(32)
+        T, H, W, C = 6, 24, 40, 24
+        psi_c, phi_c = _stack(rng, T, H, W)
+        words_r, pad_rows = pack_psi_phi_words(psi_c, phi_c)
+        vxs = rng.uniform(-6, 6, C).astype(np.float32)
+        vys = rng.uniform(-6, 6, C).astype(np.float32)
+        dxs, dys = trajectory_offsets(vxs, vys, np.arange(T) * 0.4)
+        search_topk_paired_grouped(
+            words_r, dxs, dys, jnp.float32(2), jnp.float32(0), jnp.asarray(EM),
+            shape=(T, H, W), pad_rows=pad_rows, interpret=True,
+            x_min=0, x_max=W, y_min=0, y_max=H, k_results=3,
+        )
+        assert seen["uniform"] is False
+
+    def test_env_gate_disables_uniform(self, monkeypatch):
+        monkeypatch.setenv("KB_GROUPED_UNIFORM", "0")
+        seen = self._spy(monkeypatch)
+        rng = np.random.default_rng(33)
+        T, H, W = 5, 24, 40
+        psi_c, phi_c = _stack(rng, T, H, W)
+        words_r, pad_rows = pack_psi_phi_words(psi_c, phi_c)
+        dxs, dys = self._lattice(T, n_vx=10, vy_set=(-2.0, 1.0))
+        search_topk_paired_grouped(
+            words_r, dxs, dys, jnp.float32(2), jnp.float32(0), jnp.asarray(EM),
+            shape=(T, H, W), pad_rows=pad_rows, interpret=True,
+            x_min=0, x_max=W, y_min=0, y_max=H, k_results=3,
+        )
+        assert seen["uniform"] is False
+
+    def test_uniform_flush_long_stack(self, monkeypatch):
+        # T > 257 on the uniform path: FLUSH drains the packed field sums
+        # with rows shared group-wide. All-saturated codes overflow the
+        # 16-bit fields at t = 258 without the flush.
+        seen = self._spy(monkeypatch)
+        T, H, W = 260, 16, 24
+        rng = np.random.default_rng(34)
+        psi_c = np.full((T, H, W), 255, dtype=np.uint8)
+        phi_c = np.full((T, H, W), 255, dtype=np.uint8)
+        psi_c[1::2] = rng.integers(0, 256, psi_c[1::2].shape, dtype=np.uint8)
+        words_r, pad_rows = pack_psi_phi_words(psi_c, phi_c)
+        vy = np.array([-0.2, 0.1], dtype=np.float32)
+        vx = np.linspace(-0.3, 0.3, 5).astype(np.float32)
+        vv, yy = np.meshgrid(vx, vy, indexing="ij")
+        dxs, dys = trajectory_offsets(vv.ravel(), yy.ravel(), np.linspace(0, 8, T))
+        dxs, dys = np.asarray(dxs, np.int32), np.asarray(dys, np.int32)
+        kw = dict(shape=(T, H, W), pad_rows=pad_rows, interpret=True,
+                  x_min=0, x_max=W, y_min=0, y_max=H, k_results=3)
+        em = jnp.asarray(EM)
+        grp = search_topk_paired_grouped(
+            words_r, dxs, dys, jnp.float32(2), jnp.float32(0), em, **kw
+        )
+        assert seen["uniform"] is True
+        ref = _search_topk_pallas_packed_jit(
+            words_r, jnp.asarray(dxs), jnp.asarray(dys),
+            jnp.float32(2), jnp.float32(0), em, bits=8, **kw,
+        )
+        np.testing.assert_array_equal(np.asarray(ref[0]), np.asarray(grp[0]))
+        np.testing.assert_array_equal(np.asarray(ref[1]), np.asarray(grp[1]))
+
+
 if __name__ == "__main__":
     pytest.main([__file__, "-v"])
