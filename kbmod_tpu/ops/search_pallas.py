@@ -138,6 +138,35 @@ def _merge_pair(lh_a, idx_a, lh_b, idx_b, K):
     return out_lh, out_idx
 
 
+def _merge_pair_banded(lh_a, idx_a, lh_b, idx_b, K, max_elems=32 * 1024 * 1024):
+    """Row-banded :func:`_merge_pair`: the sort-free merge materializes
+    (K, K, SH, SW) compare tensors, which at survey scale (4k x 4k frames,
+    hundreds of table chunks) exceeds HBM. Scanning over row bands bounds
+    the intermediates to ``max_elems`` while producing identical output."""
+    K_, SH, SW = lh_a.shape
+    band = max(8, min(SH, max_elems // max(1, K * K * SW)))
+    nb = -(-SH // band)
+    if nb <= 1:
+        return _merge_pair(lh_a, idx_a, lh_b, idx_b, K)
+    pad = nb * band - SH
+
+    def to_bands(x):
+        if pad:
+            x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+        return x.reshape(K, nb, band, SW).swapaxes(0, 1)
+
+    out_lh, out_idx = lax.map(
+        lambda args: _merge_pair(args[0], args[1], args[2], args[3], K),
+        tuple(map(to_bands, (lh_a, idx_a, lh_b, idx_b))),
+    )
+
+    def from_bands(x):
+        x = x.swapaxes(0, 1).reshape(K, nb * band, SW)
+        return x[:, :SH] if pad else x
+
+    return from_bands(out_lh), from_bands(out_idx)
+
+
 def _search_kernel(
     # Scalar-prefetch arrays (SMEM, full arrays indexed by the grid)
     tbl_ref,  # (C, 3T) int32: [source row | x offset | y offset] per time
@@ -2175,7 +2204,7 @@ def _paired_grouped_traced(
         if top_lh is None:
             top_lh, top_idx = lh_c, idx_c
         else:
-            top_lh, top_idx = _merge_pair(top_lh, top_idx, lh_c, idx_c, K)
+            top_lh, top_idx = _merge_pair_banded(top_lh, top_idx, lh_c, idx_c, K)
     return top_lh, top_idx
 
 

@@ -23,18 +23,34 @@ psi_c = rng.integers(0, 256, (T, H, W), dtype=np.uint8)
 phi_c = rng.integers(1, 256, (T, H, W), dtype=np.uint8)
 em = jnp.asarray(np.array([-6.0, 12.0 / 254, 0.1, 4.0 / 254], dtype=np.float32))
 times = np.linspace(0, 12, T)
-vel = rng.uniform(1, 60, C).astype(np.float32)
-ang = rng.uniform(-0.4, 0.4, C).astype(np.float32)
+# KB_SURVEY_GRID=random (default): C random velocity/angle draws — an
+# unstructured worst case. =default: a C-candidate subsample of the
+# reference's default survey lattice (257 velocities x 129 angles,
+# configuration.py:196-207, scaled to this cadence) — the structured
+# production grid whose row classes enable the uniform grouped kernel.
+grid = os.environ.get("KB_SURVEY_GRID", "random")
+if grid == "default":
+    vel_full = np.linspace(92.0, 526.0, 257) / 8.0  # px/day over a 12-day span
+    n_ang = max(1, min(129, -(-C // 257)))  # whole angle rows keep the lattice
+    ang_full = np.linspace(-np.pi / 15, np.pi / 15, 129)[:n_ang]
+    vv, aa = np.meshgrid(vel_full, ang_full, indexing="ij")
+    vel, ang = vv.ravel(), aa.ravel()
+    C = len(vel)
+else:
+    vel = rng.uniform(1, 60, C).astype(np.float32)
+    ang = rng.uniform(-0.4, 0.4, C).astype(np.float32)
 dxs, dys = (jnp.asarray(a) for a in trajectory_offsets(np.cos(ang) * vel, np.sin(ang) * vel, times))
 print(f"stack: T={T} {H}x{W} u8, C={C}", flush=True)
 t0 = time.time()
-# Guards sized for this config's trajectory reach (|dx| <= 720 -> 360
-# words; |dy| <= ~280): searches fitting the guards run the mask-free
-# kernel variant.
+# Guards sized for this grid's concrete trajectory reach (col_slack is in
+# words = 2 px): searches fitting the guards run the mask-free variants.
+dx_np, dy_np = np.asarray(dxs), np.asarray(dys)
+guard_auto = int(np.abs(dy_np).max()) + 48
+slack_auto = int(np.abs(dx_np).max()) // 2 + 48
 words_r, pad_rows = pack_psi_phi_words(
     psi_c, phi_c, t_chunk=8,
-    row_guard=int(os.environ.get("KB_PACK_GUARD", 384)),
-    col_slack=int(os.environ.get("KB_PACK_COLSLACK", 384)),
+    row_guard=int(os.environ.get("KB_PACK_GUARD", guard_auto)),
+    col_slack=int(os.environ.get("KB_PACK_COLSLACK", slack_auto)),
 )
 words_r.block_until_ready()
 print("pack", time.time() - t0, flush=True)

@@ -359,6 +359,30 @@ class TestIdx16:
         np.testing.assert_array_equal(gi[bi < 0], -1)
 
 
+class TestBandedMerge:
+    def test_banded_merge_matches_unbanded(self):
+        """The row-banded chunk merge (bounded intermediates for 4k-frame
+        full-grid searches) must equal the one-shot merge exactly."""
+        from kbmod_tpu.ops.search_pallas import _merge_pair, _merge_pair_banded
+
+        rng = np.random.default_rng(40)
+        K, SH, SW = 4, 37, 24
+
+        def topk(seed):
+            r = np.random.default_rng(seed)
+            lh = -np.sort(-r.normal(0, 1, (K, SH, SW)).astype(np.float32), axis=0)
+            idx = r.integers(0, 500, (K, SH, SW), dtype=np.int32)
+            return jnp.asarray(lh), jnp.asarray(idx)
+
+        lh_a, idx_a = topk(1)
+        lh_b, idx_b = topk(2)
+        ref = _merge_pair(lh_a, idx_a, lh_b, idx_b, K)
+        # tiny max_elems forces many bands (incl. a ragged final band)
+        got = _merge_pair_banded(lh_a, idx_a, lh_b, idx_b, K, max_elems=K * K * SW * 8)
+        np.testing.assert_array_equal(np.asarray(ref[0]), np.asarray(got[0]))
+        np.testing.assert_array_equal(np.asarray(ref[1]), np.asarray(got[1]))
+
+
 class TestUniformGroups:
     """Exact-row (uniform) grouping: survey lattices (velocity x angle,
     e.g. the reference's 257x129 default grid, configuration.py:196-207)
