@@ -69,11 +69,16 @@ def _pad_to_multiple(arr, multiple, axis=0, fill=0):
 
 def _build_shard_tables(
     plans, G, S, dxs_p, dys_p, cand_valid, oy0, ox0, pad_rows, HG, W4, TBG,
-    TH, n_ty, ROWS1, bounds_masks, n_dev, NG_max, T,
+    TH, n_ty, ROWS1, bounds_masks, n_dev, NG_max, T, uniform=False,
 ):
     """Per-shard grouped tables stacked into dense (n_dev, ...) arrays,
     plus the (fast_tables, slice_mode, NGC, n_chunks) decisions. Fast-table
-    eligibility must hold for EVERY shard — all shards share one kernel."""
+    eligibility must hold for EVERY shard — all shards share one kernel.
+
+    With ``uniform`` (requires uniform per-shard plans and a guard-free
+    stream), builds the exact-row variant's tables instead; returns None
+    when any shard's clip-freedom margins fail so the caller can fall
+    back to the spread-plan flow."""
     import os
 
     from kbmod_tpu.ops.search_pallas import (
@@ -81,6 +86,34 @@ def _build_shard_tables(
         _grouped_tables,
         _grouped_tables_fast,
     )
+
+    if uniform:
+        shard_tables = []
+        for sl, order, starts in plans:
+            tbl, grp, cok, (g8_min, g8_max, rs_max) = _grouped_tables_fast(
+                order, starts, G, dxs_p[sl], dys_p[sl], oy0, ox0,
+                pad_rows, HG, W4, TBG, TH=TH, uniform=True,
+                cand_valid=cand_valid[sl], cand_offset=sl.start,
+            )
+            if not (
+                g8_min >= 0
+                and g8_max + (n_ty - 1) * TH + TBG <= ROWS1
+                and rs_max + TH <= TBG
+            ):
+                return None
+            shard_tables.append((tbl, grp, cok))
+        NGC = _grouped_cand_chunk(NG_max, T, G, tcols=1)
+        n_chunks = pl.cdiv(NG_max, NGC)
+        NG_pad = n_chunks * NGC
+        tbls = np.zeros((n_dev, NG_pad * G, T), np.int32)
+        grps = np.zeros((n_dev, NG_pad, 2 * T), np.int32)
+        coks = np.zeros((n_dev, NG_pad * G, 2), np.int32)
+        for s, (tbl, grp, cok) in enumerate(shard_tables):
+            ng = grp.shape[0]
+            tbls[s, : ng * G] = tbl
+            grps[s, :ng] = grp
+            coks[s, : ng * G] = cok
+        return tbls, grps, coks, True, "uslice", NGC, n_chunks
 
     fast_tables = False
     slice_mode = os.environ.get("KB_GROUPED_SLICE", "win")
@@ -134,10 +167,12 @@ _SHARD_TABLE_CACHE = {}
 def _shard_tables_cached(
     plans, G, S, dxs_p, dys_p, cand_valid, oy0, ox0, pad_rows, HG, W4, TBG,
     TH, n_ty, ROWS1, bounds_masks, n_dev, NG_max, T, max_entries=2,
+    uniform=False,
 ):
     """Content-keyed cache of :func:`_build_shard_tables` — repeated
     sharded searches over the same grid skip the per-shard numpy builds
-    (the same steady-state pattern the single-device dispatcher caches)."""
+    (the same steady-state pattern the single-device dispatcher caches).
+    A ``None`` build result (uniform margins failed) is cached too."""
     import hashlib
     import os
 
@@ -148,20 +183,20 @@ def _shard_tables_cached(
         hashlib.sha1(np.ascontiguousarray(cand_valid)).hexdigest(),
         int(G), int(S), int(oy0), int(ox0), int(pad_rows), int(HG),
         int(W4), int(TBG), int(TH), int(n_ty), int(ROWS1),
-        bool(bounds_masks), int(n_dev), int(NG_max),
+        bool(bounds_masks), int(n_dev), int(NG_max), bool(uniform),
         os.environ.get("KB_GROUPED_SLICE", "win"),
         os.environ.get("KB_GROUPED_V2", "1"),
     )
-    hit = _SHARD_TABLE_CACHE.get(key)
-    if hit is None:
+    if key not in _SHARD_TABLE_CACHE:
         hit = _build_shard_tables(
             plans, G, S, dxs_p, dys_p, cand_valid, oy0, ox0, pad_rows, HG,
             W4, TBG, TH, n_ty, ROWS1, bounds_masks, n_dev, NG_max, T,
+            uniform=uniform,
         )
         if len(_SHARD_TABLE_CACHE) >= max_entries:
             _SHARD_TABLE_CACHE.pop(next(iter(_SHARD_TABLE_CACHE)))
         _SHARD_TABLE_CACHE[key] = hit
-    return hit
+    return _SHARD_TABLE_CACHE[key]
 
 
 def _sharded_paired_grouped(
@@ -187,6 +222,7 @@ def _sharded_paired_grouped(
         _norm_geom,
         _paired_grouped_traced,
         _plan_groups,
+        _plan_groups_cached,
         _round_up,
         pack_psi_phi_words,
     )
@@ -257,16 +293,71 @@ def _sharded_paired_grouped(
         W=W, H=H, W4=W4, SW4=SW4, SH_pad=SH_pad, geom=geom, row_slack=8 + S,
     )
 
-    NG_max = max(len(starts) for _, _, starts in plans)
-    TBG = TH + 8 + S
+    # Uniform (exact-row) upgrade, mirroring the single-device
+    # dispatcher: when every shard's slice collapses into row classes
+    # with bounded padding overhead AND the stream stays guard-free at
+    # the spread-0 geometry, all shards run the uniform kernel (the
+    # shard_map body is one kernel, so the decision is global).
+    uniform = False
+    built = None
+    if (
+        os.environ.get("KB_GROUPED_UNIFORM", "1") != "0"
+        and os.environ.get("KB_GROUPED_V2", "1") != "0"
+    ):
+        slots_spread = total_groups * G
+        G_wide = int(os.environ.get("KB_GROUP_G_UNIFORM", "16"))
+        for G_u in dict.fromkeys((G_wide, G)):
+            plans_u, total_u = [], 0
+            for s in range(n_dev):
+                sl = slice(s * c_local, (s + 1) * c_local)
+                order_u, starts_u = _plan_groups_cached(
+                    dys_p[sl], G_u, 0, uniform=True
+                )
+                plans_u.append((sl, order_u, starts_u))
+                total_u += len(starts_u)
+            if total_u * G_u > max(
+                1.25 * slots_spread, slots_spread + 2 * G_u * n_dev
+            ):
+                continue
+            S_u = 0
+            TH_u = _grouped_row_tile(
+                SH, SW4, W4, K, DD, G_u, S_u, wide=T > 257, idx16=idx16,
+                uniform=True,
+            )
+            n_ty_u = pl.cdiv(SH, TH_u)
+            SH_pad_u = n_ty_u * TH_u
+            if pad_rows < _round_up(SH_pad_u + H + 16 + S_u, 8):
+                continue
+            if not _bounds_free(
+                int(x_min) + dxs_p[cand_valid.astype(bool)],
+                int(y_min) + dys_p[cand_valid.astype(bool)],
+                W=W, H=H, W4=W4, SW4=SW4, SH_pad=SH_pad_u, geom=geom,
+                row_slack=8 + S_u,
+            ):
+                continue
+            NG_max_u = max(len(st) for _, _, st in plans_u)
+            TBG_u = TH_u + 8 + S_u
+            built = _shard_tables_cached(
+                plans_u, G_u, S_u, dxs_p, dys_p, cand_valid, int(y_min),
+                int(x_min), pad_rows, HG, W4, TBG_u, TH_u, n_ty_u, ROWS1,
+                False, n_dev, NG_max_u, T, uniform=True,
+            )
+            if built is None:
+                continue
+            uniform = True
+            bounds_masks = False
+            G, S, TH, n_ty, SH_pad, TBG = G_u, S_u, TH_u, n_ty_u, SH_pad_u, TBG_u
+            break
 
-    tbls, grps, coks, fast_tables, slice_mode, NGC, n_chunks = (
-        _shard_tables_cached(
+    if not uniform:
+        NG_max = max(len(starts) for _, _, starts in plans)
+        TBG = TH + 8 + S
+        built = _shard_tables_cached(
             plans, G, S, dxs_p, dys_p, cand_valid, int(y_min), int(x_min),
             pad_rows, HG, W4, TBG, TH, n_ty, ROWS1, bounds_masks, n_dev,
             NG_max, T,
         )
-    )
+    tbls, grps, coks, fast_tables, slice_mode, NGC, n_chunks = built
 
     statics = dict(
         T=T, H=H, HG=HG, W=W, W4=W4, TH=TH, SW4=SW4, K=K, DD=DD, S=S, G=G,
@@ -275,8 +366,12 @@ def _sharded_paired_grouped(
         gate_min_obs=gate_min_obs, gate_min_lh=gate_min_lh,
         interpret=jax.default_backend() != "tpu", bounds_masks=bounds_masks,
         fast_tables=fast_tables,
-        slice_mode=slice_mode if fast_tables else "roll",
-        FLUSH=0 if T <= 257 else 255, idx16=idx16,
+        slice_mode=(
+            ("uwhere" if os.environ.get("KB_UNIFORM_SEL", "slice") == "where" else "uslice")
+            if uniform
+            else (slice_mode if fast_tables else "roll")
+        ),
+        FLUSH=0 if T <= 257 else 255, idx16=idx16, uniform=uniform,
     )
     em = jnp.asarray(np.asarray(encode_meta, np.float32).reshape(4))
     min_obs = jnp.float32(min_obs)

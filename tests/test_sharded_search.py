@@ -186,6 +186,57 @@ class TestShardedPallas:
             os.environ.pop("KB_GROUPED", None)
         np.testing.assert_allclose(gen_lh, ref_lh, rtol=1e-5, atol=1e-5)
 
+    def test_candidates_uniform_plan(self, monkeypatch):
+        """A vy-major lattice grid (each shard's contiguous slice shares a
+        row class) must engage the uniform (exact-row) kernel in the
+        sharded candidates mode and produce results identical to the
+        spread-plan path (KB_GROUPED_UNIFORM=0)."""
+        import kbmod_tpu.parallel.sharded as sh_mod
+        from kbmod_tpu.ops.psi_phi import PsiPhiArray, fill_psi_phi_array
+        from kbmod_tpu.ops.search import trajectory_offsets
+
+        rng = np.random.default_rng(23)
+        T, H, W = 4, 24, 32
+        times = np.arange(T) * 0.4
+        psi_l = [rng.normal(0, 1, (H, W)).astype(np.float32) for _ in range(T)]
+        phi_l = [rng.uniform(0.5, 2.0, (H, W)).astype(np.float32) for _ in range(T)]
+        arr = PsiPhiArray()
+        fill_psi_phi_array(arr, 1, psi_l, phi_l, times)
+        m = arr.meta
+        em = np.array([m.psi_min_val, m.psi_scale, m.phi_min_val, m.phi_scale], np.float32)
+        psi_z, phi_z, valid = arr.decoded_psi_phi()
+        # 8 row classes x 16 column velocities, vy-major: shard s gets
+        # exactly the class vy = s - 4.
+        vy_vals = np.arange(-4.0, 4.0)
+        vx_vals = np.linspace(-3.0, 3.0, 16)
+        vv, xx = np.meshgrid(vy_vals, vx_vals, indexing="ij")
+        vys, vxs = vv.ravel().astype(np.float32), xx.ravel().astype(np.float32)
+        dxs, dys = trajectory_offsets(vxs, vys, times)
+        meta = dict(x_min=0, x_max=W, y_min=0, y_max=H, k_results=3)
+        mesh = build_mesh()
+
+        seen = []
+        orig = sh_mod._build_shard_tables
+
+        def spy(*a, **k):
+            seen.append(bool(k.get("uniform", False)))
+            return orig(*a, **k)
+
+        monkeypatch.setattr(sh_mod, "_build_shard_tables", spy)
+        uni_lh, uni_idx = sharded_search_topk(
+            psi_z, phi_z, valid, dxs, dys, mesh, kernel="pallas",
+            psi_codes=arr.psi, phi_codes=arr.phi, encode_meta=em, **meta
+        )
+        assert True in seen, "uniform plan did not engage on a lattice grid"
+
+        monkeypatch.setenv("KB_GROUPED_UNIFORM", "0")
+        ref_lh, ref_idx = sharded_search_topk(
+            psi_z, phi_z, valid, dxs, dys, mesh, kernel="pallas",
+            psi_codes=arr.psi, phi_codes=arr.phi, encode_meta=em, **meta
+        )
+        np.testing.assert_array_equal(np.asarray(uni_lh), np.asarray(ref_lh))
+        np.testing.assert_array_equal(np.asarray(uni_idx), np.asarray(ref_idx))
+
 
 class TestShardedPixelsPallas:
     @pytest.mark.parametrize("kernel", ["pallas"])
