@@ -141,30 +141,41 @@ def _merge_pair(lh_a, idx_a, lh_b, idx_b, K):
 def _merge_pair_banded(lh_a, idx_a, lh_b, idx_b, K, max_elems=32 * 1024 * 1024):
     """Row-banded :func:`_merge_pair`: the sort-free merge materializes
     (K, K, SH, SW) compare tensors, which at survey scale (4k x 4k frames,
-    hundreds of table chunks) exceeds HBM. Scanning over row bands bounds
-    the intermediates to ``max_elems`` while producing identical output."""
+    hundreds of table chunks) exceeds HBM. A fori_loop merges one row band
+    at a time (intermediates bounded to ``max_elems`` elements) straight
+    into the output via dynamic_update_slice — no padded/transposed input
+    copies — producing identical output. A ragged final band is merged
+    separately so the loop bands stay static-shaped."""
     K_, SH, SW = lh_a.shape
     band = max(8, min(SH, max_elems // max(1, K * K * SW)))
-    nb = -(-SH // band)
-    if nb <= 1:
+    nb_full = SH // band
+    if nb_full * band == SH and nb_full <= 1:
         return _merge_pair(lh_a, idx_a, lh_b, idx_b, K)
-    pad = nb * band - SH
 
-    def to_bands(x):
-        if pad:
-            x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
-        return x.reshape(K, nb, band, SW).swapaxes(0, 1)
+    def body(i, carry):
+        out_lh, out_idx = carry
+        r0 = i * band
 
-    out_lh, out_idx = lax.map(
-        lambda args: _merge_pair(args[0], args[1], args[2], args[3], K),
-        tuple(map(to_bands, (lh_a, idx_a, lh_b, idx_b))),
+        def sl(x):
+            return lax.dynamic_slice_in_dim(x, r0, band, axis=1)
+
+        ml, mi = _merge_pair(sl(lh_a), sl(idx_a), sl(lh_b), sl(idx_b), K)
+        return (
+            lax.dynamic_update_slice_in_dim(out_lh, ml, r0, axis=1),
+            lax.dynamic_update_slice_in_dim(out_idx, mi, r0, axis=1),
+        )
+
+    out_lh, out_idx = lax.fori_loop(
+        0, nb_full, body, (jnp.zeros_like(lh_a), jnp.zeros_like(idx_a))
     )
-
-    def from_bands(x):
-        x = x.swapaxes(0, 1).reshape(K, nb * band, SW)
-        return x[:, :SH] if pad else x
-
-    return from_bands(out_lh), from_bands(out_idx)
+    tail = SH - nb_full * band
+    if tail:
+        ml, mi = _merge_pair(
+            lh_a[:, -tail:], idx_a[:, -tail:], lh_b[:, -tail:], idx_b[:, -tail:], K
+        )
+        out_lh = lax.dynamic_update_slice_in_dim(out_lh, ml, SH - tail, axis=1)
+        out_idx = lax.dynamic_update_slice_in_dim(out_idx, mi, SH - tail, axis=1)
+    return out_lh, out_idx
 
 
 def _search_kernel(
@@ -1983,6 +1994,56 @@ def search_topk_paired_grouped(
 
     geom = _norm_geom(pad_rows)
     pad_rows = geom.pad_rows
+
+    # Stripe guard: run oversized searches in disjoint row stripes
+    # (output rows are independent; concatenated results are identical).
+    # Two bounds, the stricter wins:
+    #   * HBM — a full-frame 4k search's top-K maps (K, SH, SW) cost
+    #     ~1 GB apiece and the chunk loop keeps several live (carry
+    #     double-buffers + the current chunk + merge scratch) beside the
+    #     multi-GB word stream.
+    #   * per-execution work — one XLA program scanning the full survey
+    #     grid over a full 4k frame runs for minutes; bounding the
+    #     slot-steps per dispatch keeps each program short (tolerant of
+    #     RPC/tunnel execution deadlines, measured to kill the TPU worker
+    #     past ~90 s here, and a finer interrupt/checkpoint grain).
+    if SH >= 1024:
+        stream_bytes = int(words_r.size) * 4
+        map_bytes = 2 * K * SH * (-(-SW // 2) * 2) * 4  # lh f32 + idx i32
+        budget = float(os.environ.get("KB_HBM_BUDGET_GB", "12.5")) * 2**30
+        avail = budget - stream_bytes
+        n_mem = (
+            int(np.ceil(6 * map_bytes / avail))
+            if avail > 0 and 6 * map_bytes > avail
+            else 1
+        )
+        max_steps = float(os.environ.get("KB_MAX_EXEC_SLOTSTEPS", "1e13"))
+        n_work = (
+            int(np.ceil(float(C) * SH * SW * T / max_steps)) if max_steps > 0 else 1
+        )
+        n_str = min(max(n_mem, n_work), SH // 512)
+        if n_str > 1:
+            rows = -(-SH // n_str)
+            rows = _round_up(rows, 8)
+            outs = []
+            for y0 in range(y_min, y_max, rows):
+                outs.append(
+                    search_topk_paired_grouped(
+                        words_r, dxs, dys, min_obs, min_lh, encode_meta,
+                        shape=shape, pad_rows=geom,
+                        x_min=x_min, x_max=x_max,
+                        y_min=y0, y_max=min(y0 + rows, y_max),
+                        k_results=k_results,
+                        gate_min_obs=gate_min_obs, gate_min_lh=gate_min_lh,
+                        row_tile=row_tile, interpret=interpret,
+                        cand_offset=cand_offset, cand_valid=cand_valid,
+                        group_size=group_size, spread=spread, _plan=_plan,
+                    )
+                )
+            return (
+                jnp.concatenate([o[0] for o in outs], axis=1),
+                jnp.concatenate([o[1] for o in outs], axis=1),
+            )
     HG = H + geom.row_guard
     SW4 = pl.cdiv(SW, 2)
     W4 = words_r.shape[1]
@@ -2101,6 +2162,7 @@ def search_topk_paired_grouped(
             else (slice_mode if fast_tables else "roll")
         ),
         FLUSH=FLUSH, idx16=idx16, uniform=uniform,
+        scan_chunks=int(os.environ.get("KB_GROUPED_SCAN_CHUNKS", "8")),
     )
     return top_lh[:, :SH, :SW], top_idx[:, :SH, :SW]
 
@@ -2112,6 +2174,7 @@ def search_topk_paired_grouped(
         "ROWS1", "pad_rows", "SH_pad", "n_ty", "NGC", "n_chunks",
         "gate_min_obs", "gate_min_lh", "interpret", "bounds_masks",
         "fast_tables", "slice_mode", "FLUSH", "idx16", "uniform",
+        "scan_chunks",
     ),
 )
 def _paired_grouped_jit(words_r, tbl, grp, cok, em, min_obs, min_lh, **statics):
@@ -2125,6 +2188,7 @@ def _paired_grouped_traced(
     *, T, H, HG, W, W4, TH, SW4, K, DD, S, G, ROWS1, pad_rows, SH_pad, n_ty,
     NGC, n_chunks, gate_min_obs, gate_min_lh, interpret, bounds_masks=True,
     fast_tables=False, slice_mode="roll", FLUSH=0, idx16=False, uniform=False,
+    scan_chunks=None,
 ):
     """Traced body of the grouped search: also called from inside
     shard_map programs (parallel/sharded.py), where the tables arrive as
@@ -2195,6 +2259,30 @@ def _paired_grouped_traced(
                 idx_i == (1 << 16) - 1, jnp.int32(-1), idx_i.astype(jnp.int32)
             )
         return lh_i, idx_i
+
+    # Many-chunk searches (full 4k frames over the full survey grid span
+    # ~180 SMEM table chunks) roll the chunk loop into a fori_loop: ONE
+    # pallas_call in the program (compile time and HLO size stay O(1)) and
+    # provably one live chunk-output buffer beside the carried top-K.
+    # The carry starts as a kernel-empty map (-FLT_MAX, -1), which the
+    # tie-ranked merge treats as a bit-exact no-op, so the rolled loop
+    # produces the unrolled path's results exactly.
+    if scan_chunks is None:
+        scan_chunks = int(os.environ.get("KB_GROUPED_SCAN_CHUNKS", "8"))
+    if n_chunks > max(1, int(scan_chunks)):
+        def chunk_body(ci, carry):
+            top_lh, top_idx = carry
+            tbl_c = lax.dynamic_slice_in_dim(tbl, ci * NGC * G, NGC * G, 0)
+            grp_c = lax.dynamic_slice_in_dim(grp, ci * NGC, NGC, 0)
+            cok_c = lax.dynamic_slice_in_dim(cok, ci * NGC * G, NGC * G, 0)
+            lh_c, idx_c = call_chunk(tbl_c, grp_c, cok_c)
+            return _merge_pair_banded(top_lh, top_idx, lh_c, idx_c, K)
+
+        init = (
+            jnp.full((K, SH_pad, SW4 * 2), -FLT_MAX, dtype=jnp.float32),
+            jnp.full((K, SH_pad, SW4 * 2), -1, dtype=jnp.int32),
+        )
+        return lax.fori_loop(0, n_chunks, chunk_body, init)
 
     top_lh = top_idx = None
     for ci in range(n_chunks):

@@ -372,6 +372,7 @@ def _sharded_paired_grouped(
             else (slice_mode if fast_tables else "roll")
         ),
         FLUSH=0 if T <= 257 else 255, idx16=idx16, uniform=uniform,
+        scan_chunks=int(os.environ.get("KB_GROUPED_SCAN_CHUNKS", "8")),
     )
     em = jnp.asarray(np.asarray(encode_meta, np.float32).reshape(4))
     min_obs = jnp.float32(min_obs)

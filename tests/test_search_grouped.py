@@ -359,6 +359,74 @@ class TestIdx16:
         np.testing.assert_array_equal(gi[bi < 0], -1)
 
 
+class TestScanChunks:
+    def test_scan_chunk_loop_matches_unrolled(self, monkeypatch):
+        """The rolled (fori_loop) chunk loop — used when a search spans
+        many SMEM table chunks, e.g. full 4k frames over the full survey
+        grid — must produce the unrolled Python loop's results exactly."""
+        import kbmod_tpu.ops.search_pallas as sp
+
+        rng = np.random.default_rng(41)
+        T, H, W, C = 5, 40, 48, 64
+        psi_c, phi_c = _stack(rng, T, H, W)
+        words_r, pad_rows = pack_psi_phi_words(psi_c, phi_c)
+        vxs = rng.uniform(-6, 6, C).astype(np.float32)
+        vys = rng.uniform(-6, 6, C).astype(np.float32)
+        dxs, dys = trajectory_offsets(vxs, vys, np.arange(T) * 0.4)
+        kw = dict(
+            shape=(T, H, W), pad_rows=pad_rows, interpret=True,
+            x_min=0, x_max=W, y_min=0, y_max=H, k_results=3,
+        )
+        em = jnp.asarray(EM)
+
+        # A tiny SMEM table budget forces one group per chunk (many
+        # chunks); the caches would otherwise serve tables sized for the
+        # real budget.
+        monkeypatch.setattr(sp, "_SMEM_TABLE_BYTES", 4 * 512)
+        monkeypatch.setattr(sp, "_TABLE_CACHE", {})
+        monkeypatch.setenv("KB_GROUPED_SCAN_CHUNKS", "999999")
+        ref = search_topk_paired_grouped(
+            words_r, dxs, dys, jnp.float32(2), jnp.float32(0), em, **kw
+        )
+        monkeypatch.setenv("KB_GROUPED_SCAN_CHUNKS", "1")
+        got = search_topk_paired_grouped(
+            words_r, dxs, dys, jnp.float32(2), jnp.float32(0), em, **kw
+        )
+        np.testing.assert_array_equal(np.asarray(ref[0]), np.asarray(got[0]))
+        np.testing.assert_array_equal(np.asarray(ref[1]), np.asarray(got[1]))
+
+
+class TestRowStripes:
+    def test_hbm_stripe_split_matches_whole(self, monkeypatch):
+        """The HBM-budget row-stripe split (full-frame surveys whose top-K
+        maps + stream exceed the budget) must equal the single-call path
+        exactly — output rows are independent."""
+        rng = np.random.default_rng(42)
+        T, H, W, C = 3, 1024, 48, 40
+        psi_c, phi_c = _stack(rng, T, H, W)
+        words_r, pad_rows = pack_psi_phi_words(psi_c, phi_c)
+        vxs = rng.uniform(-4, 4, C).astype(np.float32)
+        vys = rng.uniform(-4, 4, C).astype(np.float32)
+        dxs, dys = trajectory_offsets(vxs, vys, np.arange(T) * 0.4)
+        em = jnp.asarray(EM)
+        kw = dict(
+            shape=(T, H, W), pad_rows=pad_rows, interpret=True,
+            x_min=0, x_max=W, y_min=0, y_max=H, k_results=2,
+        )
+        ref = search_topk_paired_grouped(
+            words_r, dxs, dys, jnp.float32(2), jnp.float32(0), em, **kw
+        )
+        # Budget between stream and stream + 6 maps -> a real split.
+        stream_gb = words_r.size * 4 / 2**30
+        maps_gb = 2 * 2 * H * W * 4 / 2**30
+        monkeypatch.setenv("KB_HBM_BUDGET_GB", str(stream_gb + 3 * maps_gb))
+        got = search_topk_paired_grouped(
+            words_r, dxs, dys, jnp.float32(2), jnp.float32(0), em, **kw
+        )
+        np.testing.assert_array_equal(np.asarray(ref[0]), np.asarray(got[0]))
+        np.testing.assert_array_equal(np.asarray(ref[1]), np.asarray(got[1]))
+
+
 class TestBandedMerge:
     def test_banded_merge_matches_unbanded(self):
         """The row-banded chunk merge (bounded intermediates for 4k-frame
