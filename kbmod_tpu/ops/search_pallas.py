@@ -35,6 +35,7 @@ sigma-G prefilter is on), lh = -1 for phi_sum <= 0, empty top-K slots at
 """
 
 import functools
+import os
 import typing
 
 import numpy as np
@@ -2007,7 +2008,7 @@ def search_topk_paired_grouped(
     #     slot-steps per dispatch keeps each program short (tolerant of
     #     RPC/tunnel execution deadlines, measured to kill the TPU worker
     #     past ~90 s here, and a finer interrupt/checkpoint grain).
-    if SH >= 1024:
+    if SH >= 512:
         stream_bytes = int(words_r.size) * 4
         map_bytes = 2 * K * SH * (-(-SW // 2) * 2) * 4  # lh f32 + idx i32
         budget = float(os.environ.get("KB_HBM_BUDGET_GB", "12.5")) * 2**30
@@ -2021,7 +2022,10 @@ def search_topk_paired_grouped(
         n_work = (
             int(np.ceil(float(C) * SH * SW * T / max_steps)) if max_steps > 0 else 1
         )
-        n_str = min(max(n_mem, n_work), SH // 512)
+        # Best-effort: stripes no finer than 256 rows (a finer split would
+        # need a candidate axis; at 256 rows even extreme T/C configs stay
+        # well under the ~90 s execution ceiling measured on v5e).
+        n_str = min(max(n_mem, n_work), SH // 256)
         if n_str > 1:
             rows = -(-SH // n_str)
             rows = _round_up(rows, 8)
@@ -2093,6 +2097,8 @@ def search_topk_paired_grouped(
     # default grid. The uniform kernel hoists the window slice + sublane
     # roll out of the per-candidate loop and runs spread-0 windows; worth
     # it unless the class structure is too ragged (slot overhead bound).
+    # NOTE: parallel/sharded.py mirrors this engagement logic per shard
+    # (global decision over the mesh) — keep the two in sync.
     uniform = False
     if (
         os.environ.get("KB_GROUPED_UNIFORM", "1") != "0"

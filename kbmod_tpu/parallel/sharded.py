@@ -166,7 +166,7 @@ _SHARD_TABLE_CACHE = {}
 
 def _shard_tables_cached(
     plans, G, S, dxs_p, dys_p, cand_valid, oy0, ox0, pad_rows, HG, W4, TBG,
-    TH, n_ty, ROWS1, bounds_masks, n_dev, NG_max, T, max_entries=2,
+    TH, n_ty, ROWS1, bounds_masks, n_dev, NG_max, T, max_entries=6,
     uniform=False,
 ):
     """Content-keyed cache of :func:`_build_shard_tables` — repeated
