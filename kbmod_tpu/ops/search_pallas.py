@@ -497,7 +497,7 @@ def search_topk_pallas(
             if top_lh is None:
                 top_lh, top_idx = lh_c, idx_c
             else:
-                top_lh, top_idx = _merge_pair(top_lh, top_idx, lh_c, idx_c, K)
+                top_lh, top_idx = _merge_pair_banded(top_lh, top_idx, lh_c, idx_c, K)
 
     return top_lh[:, :SH, :], top_idx[:, :SH, :]
 
@@ -895,7 +895,7 @@ def _run_encoded_search(
             if top_lh is None:
                 top_lh, top_idx = lh_c, idx_c
             else:
-                top_lh, top_idx = _merge_pair(top_lh, top_idx, lh_c, idx_c, K)
+                top_lh, top_idx = _merge_pair_banded(top_lh, top_idx, lh_c, idx_c, K)
 
     return top_lh[:, :SH, :SW], top_idx[:, :SH, :SW]
 
@@ -1225,7 +1225,7 @@ def _run_paired_search(
             if top_lh is None:
                 top_lh, top_idx = lh_c, idx_c
             else:
-                top_lh, top_idx = _merge_pair(top_lh, top_idx, lh_c, idx_c, K)
+                top_lh, top_idx = _merge_pair_banded(top_lh, top_idx, lh_c, idx_c, K)
 
     return top_lh[:, :SH, :SW], top_idx[:, :SH, :SW]
 
@@ -2523,6 +2523,48 @@ def search_topk_pallas_packed(
                 min_obs, min_lh, encode_meta,
                 group_size=G, spread=S, _plan=(order, starts), **kw,
             )
+    if concrete:
+        # Same stripe guard as the grouped path (which stripes internally):
+        # bound the per-candidate kernels' live top-K maps and the work per
+        # XLA program by splitting oversized searches into independent row
+        # stripes. Identical results (output rows are independent).
+        SH_d = int(kwargs["y_max"]) - int(kwargs["y_min"])
+        SW_d = int(kwargs["x_max"]) - int(kwargs["x_min"])
+        if SH_d >= 512:
+            K_d = int(kwargs["k_results"])
+            C_d = int(np.asarray(dys).shape[0])
+            stream_bytes = int(words_r.size) * 4
+            map_bytes = 2 * K_d * SH_d * (-(-SW_d // 2) * 2) * 4
+            budget = float(os.environ.get("KB_HBM_BUDGET_GB", "12.5")) * 2**30
+            avail = budget - stream_bytes
+            n_mem = (
+                int(np.ceil(6 * map_bytes / avail))
+                if avail > 0 and 6 * map_bytes > avail
+                else 1
+            )
+            max_steps = float(os.environ.get("KB_MAX_EXEC_SLOTSTEPS", "1e13"))
+            n_work = (
+                int(np.ceil(float(C_d) * SH_d * SW_d * T / max_steps))
+                if max_steps > 0
+                else 1
+            )
+            n_str = min(max(n_mem, n_work), SH_d // 256)
+            if n_str > 1:
+                rows = _round_up(-(-SH_d // n_str), 8)
+                y_min0, y_max0 = int(kwargs["y_min"]), int(kwargs["y_max"])
+                outs = []
+                for y0 in range(y_min0, y_max0, rows):
+                    kw = dict(kwargs)
+                    kw["y_min"], kw["y_max"] = y0, min(y0 + rows, y_max0)
+                    outs.append(
+                        search_topk_pallas_packed(
+                            words_r, dxs, dys, min_obs, min_lh, encode_meta, **kw
+                        )
+                    )
+                return (
+                    jnp.concatenate([o[0] for o in outs], axis=1),
+                    jnp.concatenate([o[1] for o in outs], axis=1),
+                )
     if concrete and "bounds_masks" not in kwargs:
         # Per-candidate kernels, concrete offsets: still pick the mask-free
         # variant when every read lands on the stream's zero guards

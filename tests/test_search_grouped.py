@@ -427,6 +427,38 @@ class TestRowStripes:
         np.testing.assert_array_equal(np.asarray(ref[1]), np.asarray(got[1]))
 
 
+class TestRowStripesPerCandidate:
+    def test_per_candidate_stripe_split_matches_whole(self, monkeypatch):
+        """The dispatcher-level stripe guard must also cover the
+        per-candidate kernels (forced here via an explicit row_tile, which
+        bypasses the grouped route) with identical results."""
+        rng = np.random.default_rng(43)
+        T, H, W, C = 3, 1024, 48, 24
+        psi_c, phi_c = _stack(rng, T, H, W)
+        words_r, pad_rows = pack_psi_phi_words(psi_c, phi_c)
+        vxs = rng.uniform(-4, 4, C).astype(np.float32)
+        vys = rng.uniform(-4, 4, C).astype(np.float32)
+        dxs, dys = trajectory_offsets(vxs, vys, np.arange(T) * 0.4)
+        em = jnp.asarray(EM)
+        kw = dict(
+            shape=(T, H, W), pad_rows=pad_rows, bits=8, interpret=True,
+            x_min=0, x_max=W, y_min=0, y_max=H, k_results=2, row_tile=8,
+        )
+        ref = search_topk_pallas_packed(
+            words_r, jnp.asarray(dxs), jnp.asarray(dys),
+            jnp.float32(2), jnp.float32(0), em, **kw
+        )
+        stream_gb = words_r.size * 4 / 2**30
+        maps_gb = 2 * 2 * H * W * 4 / 2**30
+        monkeypatch.setenv("KB_HBM_BUDGET_GB", str(stream_gb + 3 * maps_gb))
+        got = search_topk_pallas_packed(
+            words_r, jnp.asarray(dxs), jnp.asarray(dys),
+            jnp.float32(2), jnp.float32(0), em, **kw
+        )
+        np.testing.assert_array_equal(np.asarray(ref[0]), np.asarray(got[0]))
+        np.testing.assert_array_equal(np.asarray(ref[1]), np.asarray(got[1]))
+
+
 class TestBandedMerge:
     def test_banded_merge_matches_unbanded(self):
         """The row-banded chunk merge (bounded intermediates for 4k-frame
