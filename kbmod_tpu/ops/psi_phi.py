@@ -230,16 +230,42 @@ class PsiPhiArray:
         self._on_device = False
         self._packed = None  # (words_r, pad_rows) cache for the Pallas path
 
-    def packed_words(self):
+    def packed_words(self, min_row_guard=None, min_col_slack=None):
         """The interleaved int32 word stream for the encoded Pallas kernel
         (built once with bounded memory, then cached — survey-scale stacks
-        are too large for the in-wrapper packing). Quantized arrays only."""
+        are too large for the in-wrapper packing). Quantized arrays only.
+
+        ``min_row_guard``/``min_col_slack`` size the stream's zero guards
+        for a search's actual trajectory reach (rows / words): the
+        mask-free kernel variants (~20% faster at survey scale) engage
+        only when every read lands on guard zeros, and the default 256s
+        are too small for e.g. the 12-day default grid's ~790 px column
+        reach. A cached stream whose guards already cover the request is
+        reused; a larger request re-packs once. Explicit KB_PACK_GUARD /
+        KB_PACK_COLSLACK env settings win over the request."""
+        import os
+
         if self.meta.num_bytes not in (1, 2):
             raise RuntimeError("packed_words requires a uint8/uint16 quantized array.")
-        if self._packed is None:
-            from kbmod_tpu.ops.search_pallas import pack_psi_phi_words
+        from kbmod_tpu.ops.search_pallas import PackGeom, pack_psi_phi_words
 
-            self._packed = pack_psi_phi_words(self.psi, self.phi)
+        want_guard = want_slack = None
+        if os.environ.get("KB_PACK_GUARD") is None and min_row_guard is not None:
+            want_guard = max(256, int(min_row_guard))
+        if os.environ.get("KB_PACK_COLSLACK") is None and min_col_slack is not None:
+            want_slack = max(256, int(min_col_slack))
+        if self._packed is not None and (want_guard or want_slack):
+            geom = self._packed[1]
+            if isinstance(geom, PackGeom) and (
+                (want_guard or 0) > geom.row_guard
+                or (want_slack or 0) > geom.col_slack
+            ):
+                self._packed = None  # guards too small for this search
+        if self._packed is None:
+            self._packed = pack_psi_phi_words(
+                self.psi, self.phi,
+                row_guard=want_guard, col_slack=want_slack,
+            )
         return self._packed
 
     # --- reference-compatible metadata accessors ---

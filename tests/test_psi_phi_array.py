@@ -94,6 +94,28 @@ class TestPsiPhiArray:
         arr, _, _ = self._make(-1)
         assert np.isclose(arr.read_time(1), 0.1)
 
+    def test_packed_words_guard_resize(self, monkeypatch):
+        """packed_words re-packs (once) when a search requests larger
+        guards than the cached stream carries — wide grids (e.g. the
+        12-day default, ~790 px column reach) need bigger zero guards for
+        the mask-free kernel variants — and honors env overrides."""
+        monkeypatch.delenv("KB_PACK_GUARD", raising=False)
+        monkeypatch.delenv("KB_PACK_COLSLACK", raising=False)
+        arr, _, _ = self._make(1)
+        w0, g0 = arr.packed_words()
+        assert arr.packed_words()[0] is w0  # cached
+        w1, g1 = arr.packed_words(min_row_guard=g0.row_guard + 8,
+                                  min_col_slack=g0.col_slack + 128)
+        assert w1 is not w0
+        assert g1.row_guard >= g0.row_guard + 8
+        assert g1.col_slack >= g0.col_slack + 128
+        # A smaller (covered) request reuses the bigger stream.
+        assert arr.packed_words(min_row_guard=8, min_col_slack=128)[0] is w1
+        # Env overrides win: no re-pack even for a larger request.
+        monkeypatch.setenv("KB_PACK_GUARD", "256")
+        monkeypatch.setenv("KB_PACK_COLSLACK", "256")
+        assert arr.packed_words(min_row_guard=10_000, min_col_slack=10_000)[0] is w1
+
 
 class TestGeneratePsiPhi:
     def test_from_sci_var(self):
