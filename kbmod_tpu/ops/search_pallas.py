@@ -2458,6 +2458,122 @@ def pack_psi_phi_words(
     return words_r, PackGeom(pad_rows, row_guard, col_slack)
 
 
+_DEDUP_CACHE = {}
+
+
+def _dedup_plan_cached(dxs_np, dys_np, min_factor, max_entries=8):
+    """Content-keyed cache around :func:`_dedup_plan` (same rationale as
+    :func:`_plan_groups_cached`: steady-state searches reuse one grid)."""
+    import hashlib
+
+    dxs_np = np.ascontiguousarray(dxs_np)
+    dys_np = np.ascontiguousarray(dys_np)
+    key = (
+        hashlib.sha1(dxs_np).hexdigest(),
+        hashlib.sha1(dys_np).hexdigest(),
+        dys_np.shape,
+        str(dys_np.dtype),
+        float(min_factor),
+    )
+    if key not in _DEDUP_CACHE:
+        if len(_DEDUP_CACHE) >= max_entries:
+            _DEDUP_CACHE.pop(next(iter(_DEDUP_CACHE)))
+        _DEDUP_CACHE[key] = _dedup_plan(dxs_np, dys_np, min_factor)
+    return _DEDUP_CACHE[key]
+
+
+def _dedup_plan(dxs_np, dys_np, min_factor):
+    """Collapse candidates whose rounded pixel-offset sequences are
+    identical into offset classes.
+
+    Distinct (vx, vy) pairs frequently round to the same integer offsets —
+    the reference's default survey grid (configuration.py:196-207) has
+    33,153 candidates but only ~23k distinct offset sequences over a
+    4-day baseline — yet the reference scores every duplicate from scratch
+    (kernels.cu:252-332 loops all trajectories). Scoring depends on the
+    offsets alone, so each class is searched once and the top-K maps are
+    expanded back to original candidate indices afterwards
+    (:func:`_expand_topk_classes`).
+
+    Returns ``None`` when C/n_classes < min_factor, else
+    ``(u_dxs, u_dys, members, counts)`` with classes ordered by FIRST
+    OCCURRENCE so the kernel's tie ordering by class index agrees with
+    tie ordering by each class's minimum original index; ``members`` is
+    (n_classes, max_count) int32, -1 padded, each row the class's original
+    candidate indices ascending.
+    """
+    C, T = dys_np.shape
+    dd = np.concatenate(
+        [dxs_np.astype(np.int32, copy=False), dys_np.astype(np.int32, copy=False)],
+        axis=1,
+    )
+    _, first_idx, inv = np.unique(dd, axis=0, return_index=True, return_inverse=True)
+    n = len(first_idx)
+    if n == C or C < min_factor * n:
+        return None
+    order = np.argsort(first_idx, kind="stable")
+    rank = np.empty(n, dtype=np.int64)
+    rank[order] = np.arange(n)
+    cls = rank[inv.reshape(-1)]  # per-candidate class id, first-occurrence order
+    counts = np.bincount(cls, minlength=n).astype(np.int32)
+    members = np.full((n, int(counts.max())), -1, dtype=np.int32)
+    by_cls = np.argsort(cls, kind="stable")  # class-major, index-ascending
+    starts = np.cumsum(counts) - counts
+    cols = np.arange(C) - starts[cls[by_cls]]
+    members[cls[by_cls], cols] = by_cls
+    reps = first_idx[order]
+    return (
+        np.ascontiguousarray(dxs_np[reps]),
+        np.ascontiguousarray(dys_np[reps]),
+        members,
+        counts,
+    )
+
+
+def _expand_topk_classes(top_lh, top_idx, members, counts, row_band=None):
+    """Expand per-pixel top-K OFFSET-CLASS maps into top-K ORIGINAL-candidate
+    maps (inverse of :func:`_dedup_plan`). BIT-EXACT, ties included.
+
+    Each class slot (lh, class) expands to that class's members — all with
+    the identical lh, ascending index order — and the merged per-pixel
+    stream is sorted by (lh desc, idx asc), the per-candidate kernels'
+    exact ordering, THEN truncated back to K. Exactness: a candidate of a
+    class OUTSIDE the kernel's top-K classes cannot belong to the true
+    top-K — each of the K better-ranked classes contributes at least its
+    minimum member strictly ahead of it (higher lh, or equal lh and a
+    smaller index, by the first-occurrence class ordering) — and likewise
+    a class's (K+1)-th member trails K of its own, so per-class
+    contributions clip to K and the dense (K, min(M, K)) merge is exact.
+    """
+    K, SH, SW = top_lh.shape
+    n = members.shape[0]
+    Km = min(members.shape[1], K)
+    # Class -1 (empty slot) indexes the sentinel tail row: all members -1.
+    members_j = jnp.asarray(
+        np.concatenate([members[:, :Km], np.full((1, Km), -1, np.int32)])
+    )
+    int_max = np.int32(np.iinfo(np.int32).max)
+    # Bound the dense (K*Km, rows*SW) merge intermediates to ~64M elements.
+    if row_band is None:
+        row_band = max(8, (1 << 26) // max(K * Km * SW, 1))
+    out_lh, out_idx = [], []
+    for y0 in range(0, SH, row_band):
+        rows = top_lh[:, y0 : y0 + row_band].shape[1]
+        lh = top_lh[:, y0 : y0 + row_band].reshape(K, 1, -1)
+        idx = top_idx[:, y0 : y0 + row_band].reshape(K, -1)
+        mem = members_j[jnp.where(idx >= 0, idx, n)]  # (K, P, Km)
+        mem = jnp.transpose(mem, (0, 2, 1))  # (K, Km, P)
+        exp_lh = jnp.where(mem >= 0, lh, -FLT_MAX).reshape(K * Km, -1)
+        key_idx = jnp.where(mem >= 0, mem, int_max).reshape(K * Km, -1)
+        # (lh desc, idx asc): sort ascending on (-lh, idx); empties last.
+        neg_s, idx_s = lax.sort((-exp_lh, key_idx), dimension=0, num_keys=2, is_stable=True)
+        out_lh.append((-neg_s[:K]).reshape(K, rows, SW))
+        out_idx.append(jnp.where(idx_s[:K] == int_max, -1, idx_s[:K]).reshape(K, rows, SW))
+    if len(out_lh) == 1:
+        return out_lh[0], out_idx[0]
+    return jnp.concatenate(out_lh, axis=1), jnp.concatenate(out_idx, axis=1)
+
+
 def search_topk_pallas_packed(
     words_r,
     dxs,
@@ -2482,6 +2598,26 @@ def search_topk_pallas_packed(
             for v in (dxs, dys, kwargs.get("cand_valid"), kwargs.get("cand_offset", 0))
         )
     )
+    if (
+        concrete
+        and os.environ.get("KB_DEDUP_CANDIDATES", "1") != "0"
+        and kwargs.get("cand_valid") is None
+        and not kwargs.get("cand_offset", 0)
+    ):
+        # Offset-class dedup: distinct (vx, vy) that round to identical
+        # pixel-offset sequences score identically, so search each class
+        # once and expand the maps back to original candidate indices.
+        dedup = _dedup_plan_cached(
+            np.asarray(dxs, np.int32),
+            np.asarray(dys, np.int32),
+            float(os.environ.get("KB_DEDUP_MIN_FACTOR", "1.1")),
+        )
+        if dedup is not None:
+            u_dxs, u_dys, members, counts = dedup
+            top_lh, top_idx = search_topk_pallas_packed(
+                words_r, u_dxs, u_dys, min_obs, min_lh, encode_meta, **kwargs
+            )
+            return _expand_topk_classes(top_lh, top_idx, members, counts)
     paired = False
     paired_stream = False
     if concrete:
