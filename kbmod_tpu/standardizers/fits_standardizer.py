@@ -45,7 +45,10 @@ class FitsStandardizer(Standardizer):
     @classmethod
     def resolveFromPath(cls, tgt):
         """(canStandardize, {'hdulist': ...}) when tgt is a readable FITS
-        path."""
+        path or an already-open HDUList (the reference's resolveTarget
+        likewise accepts both; fits_standardizer.py:118-162)."""
+        if isinstance(tgt, fits_io.HDUList):
+            return len(tgt) > 0, {"hdulist": tgt}
         if not isinstance(tgt, str) or not os.path.isfile(tgt):
             return False, {}
         if not tgt.lower().endswith(cls.valid_extensions):
