@@ -749,6 +749,7 @@ def core_search(
     k_search = max(k_search, k)
 
     dxs, dys = trajectory_offsets(vxs, vys, times)
+    escalate = _SigmaGEscalation(do_sigmag, sigmag_mode, over, k, num_cand)
     encoded = encode_meta is not None and psi_codes is not None
     has_masked = (not encoded) and bool(np.asarray(jnp.min(jnp.asarray(valid))) == 0)
 
@@ -757,99 +758,113 @@ def core_search(
     if kernel is None:
         default = "pallas" if jax.default_backend() == "tpu" else "xla"
         kernel = os.environ.get("KB_SEARCH_KERNEL", default)
-    kernel_kwargs = dict(
-        x_min=int(x_min),
-        x_max=int(x_max),
-        y_min=int(y_min),
-        y_max=int(y_max),
-        k_results=int(k_search),
-        gate_min_obs=gate_min_obs,
-        gate_min_lh=bool(do_sigmag),
-        has_masked=has_masked,
-    )
-    if sigmag_mode == "exact":
-        # Reference-exact in-kernel sigma-G: every candidate scored and
-        # gated by its clipped lh (kernels.cu:184-241). Runs on the decoded
-        # planes (valid for encoded stacks too).
-        top_lh, top_idx = search_topk_sigmag_exact(
-            psi, phi, valid, dxs, dys, min_obs, min_lh, sigmag_coeff,
-            x_min=int(x_min), x_max=int(x_max), y_min=int(y_min), y_max=int(y_max),
-            k_results=int(k_search), sgl_L=sgl_L, sgl_H=sgl_H,
+    def _topk_maps(k_search, sigmag_mode):
+        """One kernel dispatch at the given pool depth / mode."""
+        kernel_kwargs = dict(
+            x_min=int(x_min),
+            x_max=int(x_max),
+            y_min=int(y_min),
+            y_max=int(y_max),
+            k_results=int(k_search),
+            gate_min_obs=gate_min_obs,
+            gate_min_lh=bool(do_sigmag),
+            has_masked=has_masked,
         )
-    elif encoded:
-        # Quantized hot path: stream the uint8/uint16 codes directly.
-        args = (
-            jnp.asarray(psi_codes),
-            jnp.asarray(phi_codes),
-            jnp.zeros((1, 1, 1), jnp.uint8),
-            jnp.asarray(dxs),
-            jnp.asarray(dys),
-            jnp.float32(min_obs),
-            jnp.float32(min_lh),
-        )
-        if kernel == "pallas":
-            from kbmod_tpu.ops.search_pallas import (
-                search_topk_pallas_encoded,
-                search_topk_pallas_packed,
+        if sigmag_mode == "exact":
+            # Reference-exact in-kernel sigma-G: every candidate scored and
+            # gated by its clipped lh (kernels.cu:184-241). Runs on the decoded
+            # planes (valid for encoded stacks too).
+            top_lh, top_idx = search_topk_sigmag_exact(
+                psi, phi, valid, dxs, dys, min_obs, min_lh, sigmag_coeff,
+                x_min=int(x_min), x_max=int(x_max), y_min=int(y_min), y_max=int(y_max),
+                k_results=int(k_search), sgl_L=sgl_L, sgl_H=sgl_H,
             )
+        elif encoded:
+            # Quantized hot path: stream the uint8/uint16 codes directly.
+            args = (
+                jnp.asarray(psi_codes),
+                jnp.asarray(phi_codes),
+                jnp.zeros((1, 1, 1), jnp.uint8),
+                jnp.asarray(dxs),
+                jnp.asarray(dys),
+                jnp.float32(min_obs),
+                jnp.float32(min_lh),
+            )
+            if kernel == "pallas":
+                from kbmod_tpu.ops.search_pallas import (
+                    search_topk_pallas_encoded,
+                    search_topk_pallas_packed,
+                )
 
-            interpret = jax.default_backend() != "tpu"
-            kw = {k: v for k, v in kernel_kwargs.items() if k != "has_masked"}
-            done = False
-            if packed_provider is not None:
-                # Survey-scale path: reuse the cached interleaved word
-                # stream instead of re-packing per call.
-                words_r, pad_rows = packed_provider()
-                codes = np.asarray(psi_codes)
-                try:
-                    # Host offsets stay host-side: the dispatcher needs
-                    # them concrete for grouping plans and bounds checks.
-                    top_lh, top_idx = search_topk_pallas_packed(
-                        words_r, np.asarray(dxs, np.int32), np.asarray(dys, np.int32),
+                interpret = jax.default_backend() != "tpu"
+                kw = {k: v for k, v in kernel_kwargs.items() if k != "has_masked"}
+                done = False
+                if packed_provider is not None:
+                    # Survey-scale path: reuse the cached interleaved word
+                    # stream instead of re-packing per call.
+                    words_r, pad_rows = packed_provider()
+                    codes = np.asarray(psi_codes)
+                    try:
+                        # Host offsets stay host-side: the dispatcher needs
+                        # them concrete for grouping plans and bounds checks.
+                        top_lh, top_idx = search_topk_pallas_packed(
+                            words_r, np.asarray(dxs, np.int32), np.asarray(dys, np.int32),
+                            jnp.float32(min_obs), jnp.float32(min_lh),
+                            jnp.asarray(np.asarray(encode_meta, dtype=np.float32)),
+                            shape=codes.shape, bits=8 * codes.dtype.itemsize,
+                            pad_rows=pad_rows, interpret=interpret, **kw,
+                        )
+                        done = True
+                    except ValueError:
+                        # Stream packed for a smaller window (extended bounds):
+                        # fall back to the in-wrapper packing.
+                        pass
+                if not done:
+                    top_lh, top_idx = search_topk_pallas_encoded(
+                        jnp.asarray(psi_codes), jnp.asarray(phi_codes),
+                        jnp.asarray(dxs), jnp.asarray(dys),
                         jnp.float32(min_obs), jnp.float32(min_lh),
                         jnp.asarray(np.asarray(encode_meta, dtype=np.float32)),
-                        shape=codes.shape, bits=8 * codes.dtype.itemsize,
-                        pad_rows=pad_rows, interpret=interpret, **kw,
+                        interpret=interpret, **kw,
                     )
-                    done = True
-                except ValueError:
-                    # Stream packed for a smaller window (extended bounds):
-                    # fall back to the in-wrapper packing.
-                    pass
-            if not done:
-                top_lh, top_idx = search_topk_pallas_encoded(
-                    jnp.asarray(psi_codes), jnp.asarray(phi_codes),
-                    jnp.asarray(dxs), jnp.asarray(dys),
-                    jnp.float32(min_obs), jnp.float32(min_lh),
-                    jnp.asarray(np.asarray(encode_meta, dtype=np.float32)),
-                    interpret=interpret, **kw,
-                )
+            else:
+                kernel_kwargs["encode_meta"] = jnp.asarray(np.asarray(encode_meta, dtype=np.float32))
+                top_lh, top_idx = search_topk_shift(*args, **kernel_kwargs)
         else:
-            kernel_kwargs["encode_meta"] = jnp.asarray(np.asarray(encode_meta, dtype=np.float32))
-            top_lh, top_idx = search_topk_shift(*args, **kernel_kwargs)
-    else:
-        args = (
-            jnp.asarray(psi),
-            jnp.asarray(phi),
-            jnp.asarray(valid),
-            jnp.asarray(dxs),
-            jnp.asarray(dys),
-            jnp.float32(min_obs),
-            jnp.float32(min_lh),
-        )
-        if kernel == "pallas":
-            from kbmod_tpu.ops.search_pallas import search_topk_pallas
+            args = (
+                jnp.asarray(psi),
+                jnp.asarray(phi),
+                jnp.asarray(valid),
+                jnp.asarray(dxs),
+                jnp.asarray(dys),
+                jnp.float32(min_obs),
+                jnp.float32(min_lh),
+            )
+            if kernel == "pallas":
+                from kbmod_tpu.ops.search_pallas import search_topk_pallas
 
-            interpret = jax.default_backend() != "tpu"
-            top_lh, top_idx = search_topk_pallas(*args, interpret=interpret, **kernel_kwargs)
-        else:
-            top_lh, top_idx = search_topk_shift(*args, **kernel_kwargs)
-    return assemble_core_results(
+                interpret = jax.default_backend() != "tpu"
+                top_lh, top_idx = search_topk_pallas(*args, interpret=interpret, **kernel_kwargs)
+            else:
+                top_lh, top_idx = search_topk_shift(*args, **kernel_kwargs)
+        return top_lh, top_idx
+
+    top_lh, top_idx = _topk_maps(k_search, sigmag_mode)
+    refine_fn = None
+    if escalate.enabled:
+        refine_fn = partial(
+            exact_refine_pixels, psi=psi, phi=phi, valid=valid, times=times,
+            vxs=vxs, vys=vys, k=k, min_obs=min_obs, min_lh=min_lh,
+            sgl_L=sgl_L, sgl_H=sgl_H, sigmag_coeff=sigmag_coeff,
+        )
+    results, _ = assemble_core_results(
         top_lh, top_idx, psi, phi, valid, times, vxs, vys,
         k=k, k_search=k_search, x_min=x_min, y_min=y_min, SH=SH, SW=SW,
         min_obs=min_obs, min_lh=min_lh, do_sigmag=do_sigmag,
         sgl_L=sgl_L, sgl_H=sgl_H, sigmag_coeff=sigmag_coeff,
+        warn_on_churn=not escalate.enabled, refine_fn=refine_fn,
     )
+    return results
 
 
 def _fetch_topk(top_lh, top_idx):
@@ -890,7 +905,7 @@ def assemble_core_results(
     top_lh, top_idx, psi, phi, valid, times, vxs, vys,
     *, k, k_search, x_min, y_min, SH, SW, min_obs, min_lh,
     do_sigmag=False, sgl_L=0.25, sgl_H=0.75, sigmag_coeff=-1.0,
-    curves_fn=None, eval_fn=None,
+    curves_fn=None, eval_fn=None, warn_on_churn=True, refine_fn=None,
 ):
     """Turn (K', SH, SW) top-K maps into the pixel-major struct-of-arrays
     result set, re-scoring the winners exactly (flux/obs and, with
@@ -899,6 +914,12 @@ def assemble_core_results(
     ``curves_fn`` / ``eval_fn`` default to the single-device gathers; the
     sharded path substitutes mesh-sharded versions so the winner
     re-scoring is not a single-chip bottleneck at survey scale.
+
+    Returns ``(results, pool_tail_frac)`` — the second value is the sigma-G
+    pool-boundary churn diagnostic (0.0 when no over-provisioned re-rank
+    ran), which drives the auto-escalation loop in :func:`core_search`.
+    ``warn_on_churn`` keeps the log warning for callers that do not
+    escalate.
     """
     if curves_fn is None:
         curves_fn = _curves_and_stats
@@ -967,16 +988,40 @@ def assemble_core_results(
         "obs_count": obs,
     }
 
+    tail_frac = 0.0
     if do_sigmag and k_search > k:
         # Re-rank within each pixel by clipped lh and keep only K per pixel.
         n_pix = SH * SW
         lh_px = results["lh"].reshape(n_pix, k_search)
         order = np.argsort(-lh_px, axis=1, kind="stable")[:, :k]
-        _warn_on_pool_tail_churn(order, lh_px, k, k_search)
+        if warn_on_churn:
+            tail_frac = _warn_on_pool_tail_churn(order, lh_px, k, k_search)
+        else:
+            tail_frac = sigmag_pool_tail_fraction(order, lh_px, k, k_search)
+        kept_real = np.take_along_axis(lh_px, order, axis=1) > -FLT_MAX
         flat = (np.arange(n_pix)[:, None] * k_search + order).reshape(-1)
         results = {key: val[flat] for key, val in results.items()}
+        if refine_fn is not None:
+            # Re-score a pixel exactly when the pool boundary is suspect:
+            # (a) the clipped re-rank CHANGED the kept top-K membership
+            #     (a kept slot from outside the unclipped top-K), or
+            # (b) boundary inversion: the pool is full and the kept K-th
+            #     clipped lh fell BELOW the pool's minimum unclipped lh —
+            #     an out-of-pool candidate (unclipped lh just under the
+            #     pool floor) could clip upward past the kept set.
+            membership_changed = ((order >= k) & kept_real).any(axis=1)
+            klh_px = klh.reshape(n_pix, k_search)
+            real_slots = klh_px > -FLT_MAX / 2
+            pool_full = real_slots.all(axis=1)
+            pool_floor = np.where(real_slots, klh_px, FLT_MAX).min(axis=1)
+            kept_clipped = np.take_along_axis(lh_px, order, axis=1)
+            kept_floor = np.where(kept_real, kept_clipped, FLT_MAX).min(axis=1)
+            inverted = pool_full & (kept_floor < pool_floor)
+            flagged = np.nonzero(membership_changed | inverted)[0]
+            if len(flagged):
+                results = refine_fn(results, flagged)
 
-    return results
+    return results, tail_frac
 
 
 def sigmag_pool_tail_fraction(order, lh_px, k, k_search):
@@ -1014,3 +1059,95 @@ def _warn_on_pool_tail_churn(order, lh_px, k, k_search, threshold=0.01):
             k_search,
         )
     return frac
+
+
+class _SigmaGEscalation:
+    """Gate for the sigma-G pixel-exact refinement pass.
+
+    The default sigma-G mode ranks each pixel's top ``over*K`` candidates
+    by UNCLIPPED lh and re-ranks that pool by clipped lh — an approximation
+    that can miss candidates clipping would promote past the pool boundary
+    (docs/STATUS.md's miss-rate table). When enabled (the default;
+    KB_SIGMAG_AUTO=0 restores warn-only behavior), any pixel whose kept
+    top-K membership was CHANGED by the clipped re-rank is re-scored
+    against every candidate with the reference-exact clipping
+    (:func:`exact_refine_pixels`) — clipping demonstrably mattered there,
+    so the boundary is suspect. Cost scales with the fraction of flagged
+    pixels (~the churn diagnostic), not with the frame.
+
+    Residual gap, documented: a pixel where clipping did not reorder the
+    kept K at all is never flagged, yet an out-of-pool candidate could
+    still clip upward past it (requires a promotion with zero in-pool
+    churn). KB_SIGMAG_MODE=exact remains the sound fallback.
+    """
+
+    def __init__(self, do_sigmag, sigmag_mode, over, k, num_cand):
+        self.enabled = (
+            bool(do_sigmag)
+            and sigmag_mode != "exact"
+            and int(over) * int(k) < int(num_cand)  # full pool is already exact
+            and os.environ.get("KB_SIGMAG_AUTO", "1") != "0"
+        )
+
+
+def exact_refine_pixels(
+    results, pix_idx, *, psi, phi, valid, times, vxs, vys, k,
+    min_obs, min_lh, sgl_L, sgl_H, sigmag_coeff, curves_fn=None,
+    max_chunk=1 << 20,
+):
+    """Re-score the flagged pixels against EVERY candidate with the
+    reference-exact clipped gating (kernels.cu:184-241 semantics: clip when
+    the unclipped result passes min_obs/min_lh, insert by the final lh),
+    replacing their K rows in the pixel-major ``results`` dict.
+
+    ``pix_idx`` are flat pixel indices into the (SH*SW, K) row layout.
+    ``curves_fn`` defaults to the single-device gather; the sharded path
+    passes its mesh-sharded version.
+    """
+    if curves_fn is None:
+        curves_fn = _curves_and_stats
+    vxs = np.asarray(vxs, dtype=np.float32).reshape(-1)
+    vys = np.asarray(vys, dtype=np.float32).reshape(-1)
+    C = len(vxs)
+    xs_pix = results["x"].reshape(-1, k)[pix_idx, 0]
+    ys_pix = results["y"].reshape(-1, k)[pix_idx, 0]
+
+    import logging
+
+    logging.getLogger("kbmod.search").info(
+        "sigma-G pool boundary active on %d pixels — re-scoring them "
+        "against all %d candidates with exact clipping.", len(pix_idx), C,
+    )
+
+    pix_chunk = max(1, max_chunk // C)
+    for lo in range(0, len(pix_idx), pix_chunk):
+        chunk = pix_idx[lo : lo + pix_chunk]
+        P = len(chunk)
+        xs = np.repeat(xs_pix[lo : lo + pix_chunk], C)
+        ys = np.repeat(ys_pix[lo : lo + pix_chunk], C)
+        vx = np.tile(vxs, P)
+        vy = np.tile(vys, P)
+        psi_v, phi_v, ok, stats = curves_fn(psi, phi, valid, times, xs, ys, vx, vy)
+        clipped_lh, clipped_flux, _, _ = clipped_sigmag_scores(
+            psi_v, phi_v, ok, sgl_L, sgl_H, sigmag_coeff
+        )
+        passed = (stats["obs_count"] >= min_obs) & (stats["lh"] >= min_lh)
+        final_lh = np.where(passed, clipped_lh, stats["lh"])
+        final_flux = np.where(passed, clipped_flux, stats["flux"])
+        insertable = (stats["obs_count"] >= min_obs) & (final_lh >= min_lh)
+        final_lh = np.where(insertable, final_lh, -FLT_MAX).reshape(P, C)
+        # Top-K by (clipped lh desc, candidate index asc) — the kernels'
+        # tie order.
+        order = np.argsort(-final_lh, axis=1, kind="stable")[:, :k]
+        top_lh = np.take_along_axis(final_lh, order, axis=1)
+        real = top_lh > -FLT_MAX
+        rows = (np.asarray(chunk)[:, None] * k + np.arange(k)[None, :]).reshape(-1)
+        flat_order = (np.arange(P)[:, None] * C + order).reshape(-1)
+        results["lh"][rows] = top_lh.reshape(-1)
+        results["flux"][rows] = np.where(real, final_flux[flat_order].reshape(P, k), 0.0).reshape(-1)
+        results["vx"][rows] = np.where(real, vxs[order], 0.0).reshape(-1)
+        results["vy"][rows] = np.where(real, vys[order], 0.0).reshape(-1)
+        results["obs_count"][rows] = np.where(
+            real, stats["obs_count"].reshape(P, C)[np.arange(P)[:, None], order], 0
+        ).reshape(-1)
+    return results

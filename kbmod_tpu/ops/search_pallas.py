@@ -2471,6 +2471,8 @@ def _dedup_plan_cached(dxs_np, dys_np, min_factor, max_entries=8):
     key = (
         hashlib.sha1(dxs_np).hexdigest(),
         hashlib.sha1(dys_np).hexdigest(),
+        dxs_np.shape,
+        str(dxs_np.dtype),
         dys_np.shape,
         str(dys_np.dtype),
         float(min_factor),
@@ -2530,7 +2532,7 @@ def _dedup_plan(dxs_np, dys_np, min_factor):
     )
 
 
-def _expand_topk_classes(top_lh, top_idx, members, counts, row_band=None):
+def _expand_topk_classes(top_lh, top_idx, members, row_band=None):
     """Expand per-pixel top-K OFFSET-CLASS maps into top-K ORIGINAL-candidate
     maps (inverse of :func:`_dedup_plan`). BIT-EXACT, ties included.
 
@@ -2553,9 +2555,12 @@ def _expand_topk_classes(top_lh, top_idx, members, counts, row_band=None):
         np.concatenate([members[:, :Km], np.full((1, Km), -1, np.int32)])
     )
     int_max = np.int32(np.iinfo(np.int32).max)
-    # Bound the dense (K*Km, rows*SW) merge intermediates to ~64M elements.
+    # Band rows so each dense (K*Km, rows*SW) intermediate stays <= 2^24
+    # elements (64 MB at f32). exp_lh, key_idx, and both lax.sort outputs
+    # are live at once, so total peak is ~4x that (~256 MB) — well inside
+    # the KB_HBM_BUDGET_GB accounting the stripe guard uses.
     if row_band is None:
-        row_band = max(8, (1 << 26) // max(K * Km * SW, 1))
+        row_band = max(8, (1 << 24) // max(K * Km * SW, 1))
     out_lh, out_idx = [], []
     for y0 in range(0, SH, row_band):
         rows = top_lh[:, y0 : y0 + row_band].shape[1]
@@ -2617,7 +2622,7 @@ def search_topk_pallas_packed(
             top_lh, top_idx = search_topk_pallas_packed(
                 words_r, u_dxs, u_dys, min_obs, min_lh, encode_meta, **kwargs
             )
-            return _expand_topk_classes(top_lh, top_idx, members, counts)
+            return _expand_topk_classes(top_lh, top_idx, members)
     paired = False
     paired_stream = False
     if concrete:

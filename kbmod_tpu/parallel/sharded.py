@@ -828,15 +828,16 @@ def sharded_core_search(
     )
 
     dxs, dys = trajectory_offsets(vxs, vys, times)
-    if sigmag_mode == "exact":
-        top_lh, top_idx = sharded_sigmag_exact_topk(
-            psi, phi, valid, dxs, dys, mesh,
-            x_min=x_min, x_max=x_max, y_min=y_min, y_max=y_max,
-            k_results=k_search, min_obs=float(min_obs), min_lh=float(min_lh),
-            sigmag_coeff=sigmag_coeff, sgl_L=sgl_L, sgl_H=sgl_H,
-        )
-    else:
-        top_lh, top_idx = sharded_search_topk(
+
+    def _topk_maps(k_search, sigmag_mode):
+        if sigmag_mode == "exact":
+            return sharded_sigmag_exact_topk(
+                psi, phi, valid, dxs, dys, mesh,
+                x_min=x_min, x_max=x_max, y_min=y_min, y_max=y_max,
+                k_results=k_search, min_obs=float(min_obs), min_lh=float(min_lh),
+                sigmag_coeff=sigmag_coeff, sgl_L=sgl_L, sgl_H=sgl_H,
+            )
+        return sharded_search_topk(
             psi, phi, valid, dxs, dys, mesh,
             x_min=x_min, x_max=x_max, y_min=y_min, y_max=y_max,
             k_results=k_search, min_obs=float(min_obs), min_lh=float(min_lh),
@@ -846,11 +847,27 @@ def sharded_core_search(
             packed_provider=packed_provider,
         )
 
+    from functools import partial
+
+    from kbmod_tpu.ops.search import _SigmaGEscalation, exact_refine_pixels
+
     curves_fn, eval_fn = make_sharded_evaluators(mesh)
-    return assemble_core_results(
+    escalate = _SigmaGEscalation(do_sigmag, sigmag_mode, over, k, num_cand)
+    refine_fn = None
+    if escalate.enabled:
+        refine_fn = partial(
+            exact_refine_pixels, psi=psi, phi=phi, valid=valid, times=times,
+            vxs=vxs, vys=vys, k=k, min_obs=min_obs, min_lh=min_lh,
+            sgl_L=sgl_L, sgl_H=sgl_H, sigmag_coeff=sigmag_coeff,
+            curves_fn=curves_fn,
+        )
+    top_lh, top_idx = _topk_maps(k_search, sigmag_mode)
+    results, _ = assemble_core_results(
         top_lh, top_idx, psi, phi, valid, times, vxs, vys,
         k=k, k_search=k_search, x_min=x_min, y_min=y_min, SH=SH, SW=SW,
         min_obs=min_obs, min_lh=min_lh, do_sigmag=do_sigmag,
         sgl_L=sgl_L, sgl_H=sgl_H, sigmag_coeff=sigmag_coeff,
         curves_fn=curves_fn, eval_fn=eval_fn,
+        warn_on_churn=not escalate.enabled, refine_fn=refine_fn,
     )
+    return results

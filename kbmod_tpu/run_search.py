@@ -36,33 +36,43 @@ from kbmod_tpu.trajectory_utils import predict_pixel_locations
 logger = logging.getLogger("kbmod.run_search")
 
 
-def configure_kb_search_stack(search, config):
-    """Configure a StackSearch from a SearchConfiguration
-    (reference run_search.py:25-72)."""
-    width = search.get_image_width()
-    height = search.get_image_height()
+def _resolve_start_bounds(config, axis, image_extent):
+    """Starting-pixel bounds along one axis, or None for the image default.
 
+    Explicit ``{x,y}_pixel_bounds`` win; otherwise a positive
+    ``{x,y}_pixel_buffer`` widens the image extent symmetrically so
+    trajectories may start off-chip and drift on.
+    """
+    bounds = config[f"{axis}_pixel_bounds"]
+    if bounds and len(bounds) == 2:
+        return int(bounds[0]), int(bounds[1])
+    buffer = config[f"{axis}_pixel_buffer"]
+    if buffer and buffer > 0:
+        return -int(buffer), image_extent + int(buffer)
+    return None
+
+
+def configure_kb_search_stack(search, config):
+    """Push a SearchConfiguration's filtering, bounds, and in-kernel
+    sigma-G settings into a StackSearch (binding surface of the reference's
+    run_search.py:25-72)."""
     search.set_min_obs(int(config["num_obs"]))
     search.set_min_lh(config["lh_level"])
-
-    if config["x_pixel_bounds"] and len(config["x_pixel_bounds"]) == 2:
-        search.set_start_bounds_x(config["x_pixel_bounds"][0], config["x_pixel_bounds"][1])
-    elif config["x_pixel_buffer"] and config["x_pixel_buffer"] > 0:
-        search.set_start_bounds_x(-config["x_pixel_buffer"], width + config["x_pixel_buffer"])
-
-    if config["y_pixel_bounds"] and len(config["y_pixel_bounds"]) == 2:
-        search.set_start_bounds_y(config["y_pixel_bounds"][0], config["y_pixel_bounds"][1])
-    elif config["y_pixel_buffer"] and config["y_pixel_buffer"] > 0:
-        search.set_start_bounds_y(-config["y_pixel_buffer"], height + config["y_pixel_buffer"])
-
     search.set_results_per_pixel(config["results_per_pixel"])
 
+    x_bounds = _resolve_start_bounds(config, "x", search.get_image_width())
+    if x_bounds is not None:
+        search.set_start_bounds_x(*x_bounds)
+    y_bounds = _resolve_start_bounds(config, "y", search.get_image_height())
+    if y_bounds is not None:
+        search.set_start_bounds_y(*y_bounds)
+
     if config["sigmaG_filter"] and config["gpu_filter"]:
-        logger.debug("Using in-line device sigmaG filtering methods")
-        coeff = SigmaGClipping.find_sigma_g_coeff(config["sigmaG_lims"][0], config["sigmaG_lims"][1])
+        lo, hi = config["sigmaG_lims"]
+        logger.debug(f"In-kernel sigma-G enabled (percentiles [{lo}, {hi}]).")
         search.enable_gpu_sigmag_filter(
-            np.array(config["sigmaG_lims"]) / 100.0,
-            coeff,
+            np.array([lo, hi]) / 100.0,
+            SigmaGClipping.find_sigma_g_coeff(lo, hi),
             config["lh_level"],
         )
     else:
@@ -207,14 +217,12 @@ class SearchRunner:
 
         result_list = search.results  # TrajectoryList (struct of arrays)
         num_raw = len(result_list)
-        logger.info(f"Retrieving Results (total={num_raw})")
+        logger.info(f"Device search produced {num_raw} raw trajectories.")
         if num_raw < 1:
-            logger.info("No results found.")
             self._end_phase("load_and_filter_results")
             return keep
         arrays = result_list.get_arrays()
-        logger.info(f"Max Likelihood = {arrays['lh'][0]}")
-        logger.info(f"Min. Likelihood = {arrays['lh'][-1]}")
+        logger.info(f"Raw likelihood range: [{arrays['lh'][-1]}, {arrays['lh'][0]}]")
 
         # Near-duplicate prefilter on the raw trajectories (vectorized grid).
         if config["near_dup_thresh"] is not None and config["near_dup_thresh"] > 0:
@@ -222,9 +230,11 @@ class SearchRunner:
             bin_width = config["near_dup_thresh"]
             zt = np.asarray(search.zeroed_times)
             max_dt = float(np.max(zt) - np.min(zt))
-            logger.info(f"Prefiltering Near Duplicates (bin_width={bin_width}, max_dt={max_dt})")
             arrays, _ = apply_trajectory_grid_filter(arrays, bin_width, max_dt)
-            logger.info(f"After prefiltering {len(arrays['x'])} remaining.")
+            logger.info(
+                f"Near-duplicate grid prefilter (bin={bin_width}px, dt={max_dt}): "
+                f"{len(arrays['x'])} of {num_raw} kept."
+            )
             self._end_phase("near duplicate removal")
 
         num_kept = len(arrays["x"])
@@ -323,13 +333,14 @@ class SearchRunner:
                 stack.filter_images(keep_mask)
         logger.debug(f"Number of images to use in search: {stack.num_times}")
 
-        # Auto-set num_obs from the number of usable images.
-        img_count = np.count_nonzero(stack.get_masked_fractions() < 0.9)
-        if img_count == 0:
+        # num_obs can never exceed the number of usable (<90% masked)
+        # images; -1 means "derive it from the stack".
+        usable = int(np.count_nonzero(stack.get_masked_fractions() < 0.9))
+        if usable == 0:
             raise ValueError("No valid images in input.")
-        if config["num_obs"] == -1 or config["num_obs"] >= img_count:
-            logger.info(f"Automatically setting num_obs = {img_count} (from {config['num_obs']}).")
-            config.set("num_obs", int(img_count))
+        if config["num_obs"] == -1 or config["num_obs"] >= usable:
+            logger.info(f"num_obs={config['num_obs']} capped to the {usable} usable images.")
+            config.set("num_obs", usable)
 
         self._start_phase("KBMOD")
         self._maybe_start_profiler()
@@ -352,7 +363,7 @@ class SearchRunner:
         # Truncate to max_results (by likelihood) before adding stamps.
         if config["max_results"] > -1 and config["max_results"] < len(keep):
             self._start_phase("max_results")
-            logger.info(f"Filtering {len(keep)} results to max_results={config['max_results']}")
+            logger.info(f"Keeping the {config['max_results']} highest-likelihood of {len(keep)} rows.")
             keep.sort("likelihood", descending=True)
             keep.filter_rows(np.arange(config["max_results"]), "max_results")
             self._end_phase("max_results")
@@ -430,15 +441,20 @@ class SearchRunner:
                 overwrite=True,
             )
             if config["save_config"]:
-                result_dir = os.path.dirname(config["result_filename"])
-                base_file = os.path.basename(config["result_filename"])
+                # The run's exact config goes to a <stem>_provenance/ dir
+                # next to the results file (same layout the reference's
+                # readers expect; run_search.py:575-585).
+                from pathlib import Path
+
+                result_path = Path(config["result_filename"])
+                stem = result_path.name
                 for ext in keep._supported_formats:
-                    if base_file.endswith(ext):
-                        base_file = base_file[: -len(ext)]
+                    if stem.endswith(ext):
+                        stem = stem[: -len(ext)]
                         break
-                provenance_dir = os.path.join(result_dir, base_file + "_provenance")
-                os.makedirs(provenance_dir, exist_ok=True)
-                config.to_file(os.path.join(provenance_dir, base_file + "_config.yaml"), overwrite=True)
+                provenance = result_path.parent / f"{stem}_provenance"
+                provenance.mkdir(parents=True, exist_ok=True)
+                config.to_file(str(provenance / f"{stem}_config.yaml"), overwrite=True)
         self._end_phase("write results")
 
         self._end_phase("KBMOD")

@@ -143,7 +143,7 @@ class TestDedupDispatcher:
         idx = rng.integers(-1, n, (K, SH, SW)).astype(np.int32)
         lh = jnp.asarray(np.where(idx >= 0, rng.normal(5, 1, idx.shape), -np.inf).astype(np.float32))
         idx = jnp.asarray(idx)
-        a = _expand_topk_classes(lh, idx, members, counts, row_band=SH)
-        b = _expand_topk_classes(lh, idx, members, counts, row_band=6)
+        a = _expand_topk_classes(lh, idx, members, row_band=SH)
+        b = _expand_topk_classes(lh, idx, members, row_band=6)
         np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
         np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))
