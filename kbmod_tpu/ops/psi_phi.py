@@ -96,16 +96,28 @@ def generate_all_psi_phi_images(sci, var, psfs):
     for i, k in enumerate(kernels):
         groups.setdefault((k.shape, k.tobytes()), []).append(i)
 
+    # Bound the per-dispatch device footprint: sci/var in + psi/phi out is
+    # 4 float planes per image, so a whole 100-image 4k x4k group would put
+    # ~27 GB on one chip. Chunks of `batch` images keep the build streaming
+    # (KB_CONV_BATCH_BYTES overrides the ~2 GiB default budget).
+    import os
+
+    h, w = np.asanyarray(sci[0]).shape
+    budget = float(os.environ.get("KB_CONV_BATCH_BYTES", 2 * 2**30))
+    batch = max(1, int(budget // (4 * h * w * 4)))
+
     for (_, _), idxs in groups.items():
         k = kernels[idxs[0]]
-        sci_b = jnp.asarray(np.stack([np.asanyarray(sci[i]) for i in idxs]), dtype=jnp.float32)
-        var_b = jnp.asarray(np.stack([np.asanyarray(var[i]) for i in idxs]), dtype=jnp.float32)
-        psi_b, phi_b = _psi_phi_from_sci_var(sci_b, var_b, jnp.asarray(k))
-        psi_b = np.asarray(psi_b)
-        phi_b = np.asarray(phi_b)
-        for j, i in enumerate(idxs):
-            psi_out[i] = psi_b[j]
-            phi_out[i] = phi_b[j]
+        for lo in range(0, len(idxs), batch):
+            chunk = idxs[lo : lo + batch]
+            sci_b = jnp.asarray(np.stack([np.asanyarray(sci[i]) for i in chunk]), dtype=jnp.float32)
+            var_b = jnp.asarray(np.stack([np.asanyarray(var[i]) for i in chunk]), dtype=jnp.float32)
+            psi_b, phi_b = _psi_phi_from_sci_var(sci_b, var_b, jnp.asarray(k))
+            psi_b = np.asarray(psi_b)
+            phi_b = np.asarray(phi_b)
+            for j, i in enumerate(chunk):
+                psi_out[i] = psi_b[j]
+                phi_out[i] = phi_b[j]
     return psi_out, phi_out
 
 

@@ -35,6 +35,7 @@ the candidate scan carry, mirroring the reference's per-thread insertion sort
 
 import os
 from functools import partial
+from typing import NamedTuple
 
 import numpy as np
 import jax
@@ -76,15 +77,83 @@ def predict_index(pos0, vel0, time):
 # single-trajectory eval, and re-scoring search winners)
 # ----------------------------------------------------------------------
 
+class EncodedPlanes(NamedTuple):
+    """Quantized psi/phi code planes + decode metadata, accepted by the
+    winner-eval / curve gathers in place of decoded float planes.
+
+    At survey scale, materializing decoded (T, H, W) float32 psi/phi (+ a
+    validity plane) costs ~9x the uint8 codes' HBM (~15 GB at 100x4k x4k,
+    which cannot coexist with the packed kernel stream on one chip).
+    Gathering the codes and decoding per-sample keeps evaluation memory at
+    the codes' footprint. Decode semantics match
+    ``PsiPhiArray.decoded_psi_phi`` (psi_phi_array_ds.h:40-47: code 0 =
+    masked, value = (code - 1) * scale + min); the validity mask is exact,
+    values agree with decoded-plane gathers to one float32 ulp (XLA may
+    contract the decode's multiply-add into an fma differently across
+    fusions).
+    """
+
+    psi_codes: jax.Array  # (T, H, W) uint8 or uint16
+    phi_codes: jax.Array  # (T, H, W) same dtype
+    em: jax.Array         # (4,) float32: psi_min, psi_scale, phi_min, phi_scale
+
+    @property
+    def shape(self):
+        return self.psi_codes.shape
+
+    def decode_full(self):
+        """Materialize the decoded (psi, phi, valid) planes (the memory-
+        heavy path; only for consumers that need whole planes, e.g. the
+        exact sigma-G kernel)."""
+        pc = jnp.asarray(self.psi_codes)
+        fc = jnp.asarray(self.phi_codes)
+        em = jnp.asarray(self.em, dtype=jnp.float32)
+        valid = (pc != 0).astype(jnp.uint8)
+        psi = jnp.where(pc == 0, 0.0, (pc.astype(jnp.float32) - 1.0) * em[1] + em[0])
+        phi = jnp.where(fc == 0, 0.0, (fc.astype(jnp.float32) - 1.0) * em[3] + em[2])
+        return psi, phi, valid
+
+
+def _traj_sample_indices(shape, xs, ys, dxs, dys):
+    """Per-(trajectory, time) sample coordinates: in-bounds mask plus
+    (t*H + y, x) 2-level indices (the row index stays < T*H, so the gather
+    is int32-safe even when T*H*W exceeds 2^31 at survey scale)."""
+    T, H, W = shape
+    px = xs[:, None] + dxs
+    py = ys[:, None] + dys
+    inb = (px >= 0) & (px < W) & (py >= 0) & (py < H)
+    pxc = jnp.clip(px, 0, W - 1)
+    pyc = jnp.clip(py, 0, H - 1)
+    tt = jnp.arange(T, dtype=jnp.int32)[None, :]
+    return inb, tt * H + pyc, pxc
+
+
 @jax.jit
 def _gather_curves(psi, phi, valid, xs, ys, dxs, dys):
     """Gather per-time psi/phi values along trajectories.
 
-    psi, phi: (T, H, W) float32 zero-filled at masked; valid: (T, H, W) uint8.
+    psi, phi: (T, H, W) float32 zero-filled at masked; valid: (T, H, W)
+    uint8. Alternatively psi may be an :class:`EncodedPlanes` (phi and
+    valid are then ignored — pass None): the codes are gathered and decoded
+    per-sample (exact validity; values to 1 float32 ulp of the
+    decoded-plane gather).
     xs, ys: (N,) int32 starting pixels; dxs, dys: (N, T) int32 offsets.
 
     Returns psi_v, phi_v: (N, T) float32 (0 where invalid) and ok: (N, T) bool.
     """
+    if isinstance(psi, EncodedPlanes):
+        planes = psi
+        inb, row, col = _traj_sample_indices(planes.psi_codes.shape, xs, ys, dxs, dys)
+        T, H, W = planes.psi_codes.shape
+        pc = planes.psi_codes.reshape(T * H, W)[row, col]
+        fc = planes.phi_codes.reshape(T * H, W)[row, col]
+        em = jnp.asarray(planes.em, dtype=jnp.float32)
+        ok = inb & (pc != 0)
+        psi_v = jnp.where(ok, (pc.astype(jnp.float32) - 1.0) * em[1] + em[0], 0.0)
+        phi_v = jnp.where(
+            ok & (fc != 0), (fc.astype(jnp.float32) - 1.0) * em[3] + em[2], 0.0
+        )
+        return psi_v, phi_v, ok
     T, H, W = psi.shape
     px = xs[:, None] + dxs
     py = ys[:, None] + dys
@@ -710,13 +779,22 @@ def core_search(
     sgl_H=0.75,
     sigmag_coeff=-1.0,
     gate_min_obs=True,
+    gate_min_lh=None,
     kernel=None,
     psi_codes=None,
     phi_codes=None,
     encode_meta=None,
     packed_provider=None,
+    compact_min_lh=None,
 ):
     """Run the full top-K search and assemble per-result statistics.
+
+    ``gate_min_lh=None`` (default) gates top-K insertion at min_lh only in
+    sigma-G mode (matching kernels.cu:318-320); ``True`` forces the gate —
+    post-filter results are identical (the gate uses the same ``>=`` as
+    ``filter_by_likelihood``) but the maps leave sub-threshold slots empty,
+    which is what lets the device-side compaction in :func:`_fetch_topk`
+    engage at survey scale.
 
     Returns a dict of numpy arrays (x, y, vx, vy, lh, flux, obs_count) laid
     out pixel-major with K entries per pixel (reference layout,
@@ -728,6 +806,11 @@ def core_search(
     the surviving top-K per pixel with an over-provisioned K (so that
     clipping-induced reordering is captured), mirroring kernels.cu:213-241.
     """
+    if isinstance(psi, EncodedPlanes) and psi_codes is None:
+        # Callers may pass the code planes once (as the eval planes) and
+        # let the kernel arguments derive from them.
+        psi_codes, phi_codes = psi.psi_codes, psi.phi_codes
+        encode_meta = psi.em
     T, H, W = psi.shape
     SH, SW = y_max - y_min, x_max - x_min
     num_cand = len(vxs)
@@ -743,6 +826,8 @@ def core_search(
     # clipping does not promote past the pool boundary; KB_SIGMAG_MODE=exact
     # selects the reference-exact (~T log T per eval) kernel instead.
     # KB_SIGMAG_TOPK_FACTOR tunes the pool size.
+    if gate_min_lh is None:
+        gate_min_lh = bool(do_sigmag)
     sigmag_mode = os.environ.get("KB_SIGMAG_MODE", "overprovision") if do_sigmag else ""
     over = int(os.environ.get("KB_SIGMAG_TOPK_FACTOR", "4"))
     k_search = min(num_cand, over * k if (do_sigmag and sigmag_mode != "exact") else k)
@@ -767,15 +852,19 @@ def core_search(
             y_max=int(y_max),
             k_results=int(k_search),
             gate_min_obs=gate_min_obs,
-            gate_min_lh=bool(do_sigmag),
+            gate_min_lh=bool(gate_min_lh),
             has_masked=has_masked,
         )
         if sigmag_mode == "exact":
             # Reference-exact in-kernel sigma-G: every candidate scored and
             # gated by its clipped lh (kernels.cu:184-241). Runs on the decoded
-            # planes (valid for encoded stacks too).
+            # planes (valid for encoded stacks too; EncodedPlanes callers pay
+            # the full decode here — the exact kernel needs whole planes).
+            psi_x, phi_x, valid_x = (
+                psi.decode_full() if isinstance(psi, EncodedPlanes) else (psi, phi, valid)
+            )
             top_lh, top_idx = search_topk_sigmag_exact(
-                psi, phi, valid, dxs, dys, min_obs, min_lh, sigmag_coeff,
+                psi_x, phi_x, valid_x, dxs, dys, min_obs, min_lh, sigmag_coeff,
                 x_min=int(x_min), x_max=int(x_max), y_min=int(y_min), y_max=int(y_max),
                 k_results=int(k_search), sgl_L=sgl_L, sgl_H=sgl_H,
             )
@@ -863,6 +952,7 @@ def core_search(
         min_obs=min_obs, min_lh=min_lh, do_sigmag=do_sigmag,
         sgl_L=sgl_L, sgl_H=sgl_H, sigmag_coeff=sigmag_coeff,
         warn_on_churn=not escalate.enabled, refine_fn=refine_fn,
+        compact_min_lh=compact_min_lh,
     )
     return results
 
@@ -906,6 +996,7 @@ def assemble_core_results(
     *, k, k_search, x_min, y_min, SH, SW, min_obs, min_lh,
     do_sigmag=False, sgl_L=0.25, sgl_H=0.75, sigmag_coeff=-1.0,
     curves_fn=None, eval_fn=None, warn_on_churn=True, refine_fn=None,
+    compact_min_lh=None,
 ):
     """Turn (K', SH, SW) top-K maps into the pixel-major struct-of-arrays
     result set, re-scoring the winners exactly (flux/obs and, with
@@ -914,6 +1005,16 @@ def assemble_core_results(
     ``curves_fn`` / ``eval_fn`` default to the single-device gathers; the
     sharded path substitutes mesh-sharded versions so the winner
     re-scoring is not a single-chip bottleneck at survey scale.
+
+    ``compact_min_lh`` (opt-in) drops rows whose KERNEL likelihood fails
+    that bound before assembly, skipping the dense per-slot arrays
+    entirely: at survey scale the empty/sub-threshold slots dominate
+    (>90% of 134M slots at 4k), and every caller of the raw result set
+    applies ``filter_by_likelihood(min_lh)`` immediately, so with
+    ``compact_min_lh == min_lh`` the post-filter rows are identical to
+    the dense assembly's (sigma-G clipping can still lower a kept row's
+    final lh below the bound afterward — exactly as in the dense layout —
+    so the caller's filter still applies).
 
     Returns ``(results, pool_tail_frac)`` — the second value is the sigma-G
     pool-boundary churn diagnostic (0.0 when no over-provisioned re-rank
@@ -932,9 +1033,20 @@ def assemble_core_results(
     kidx = np.transpose(top_idx, (1, 2, 0)).reshape(-1)  # (SH*SW*K',)
     klh = np.transpose(top_lh, (1, 2, 0)).reshape(-1)
 
-    jjg, iig = np.meshgrid(np.arange(SW), np.arange(SH))
-    xs_all = np.repeat((jjg + x_min).reshape(-1), k_search).astype(np.int32)
-    ys_all = np.repeat((iig + y_min).reshape(-1), k_search).astype(np.int32)
+    # The over-provisioned sigma-G re-rank needs the dense (n_pix, K')
+    # pools; compaction then happens after it instead (below).
+    compact_early = compact_min_lh is not None and not (do_sigmag and k_search > k)
+    if compact_early:
+        sel = np.nonzero((kidx >= 0) & (klh >= float(compact_min_lh)))[0]
+        kidx = kidx[sel]
+        klh = klh[sel]
+        pix = sel // k_search
+        xs_all = (pix % SW + x_min).astype(np.int32)
+        ys_all = (pix // SW + y_min).astype(np.int32)
+    else:
+        jjg, iig = np.meshgrid(np.arange(SW), np.arange(SH))
+        xs_all = np.repeat((jjg + x_min).reshape(-1), k_search).astype(np.int32)
+        ys_all = np.repeat((iig + y_min).reshape(-1), k_search).astype(np.int32)
 
     filled = kidx >= 0
     vx_arr = np.zeros(len(kidx), dtype=np.float32)
@@ -1020,6 +1132,10 @@ def assemble_core_results(
             flagged = np.nonzero(membership_changed | inverted)[0]
             if len(flagged):
                 results = refine_fn(results, flagged)
+
+    if compact_min_lh is not None and not compact_early:
+        keepm = results["lh"] >= float(compact_min_lh)
+        results = {key: val[keepm] for key, val in results.items()}
 
     return results, tail_frac
 

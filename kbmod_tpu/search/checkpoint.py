@@ -35,6 +35,55 @@ logger = logging.getLogger(__name__)
 _RESULT_KEYS = ("x", "y", "vx", "vy", "lh", "flux", "obs_count")
 
 
+class _TileWriter:
+    """Background checkpoint writer: one thread drains a bounded queue of
+    (path, arrays) jobs so tile persistence overlaps the next tile's device
+    work instead of sitting on the search's critical path (the r3 survey
+    gate measured 76% of wall clock outside device search; VERDICT r3 #2).
+
+    Files are published atomically — written to a hidden ``.<name>.tmp.npz``
+    sibling then ``os.replace``d — so a SIGKILL at any point leaves only
+    complete ``tile_*.npz`` files (plus at most one hidden tmp, which a
+    resume ignores). ``close()`` drains the queue and re-raises the first
+    write error, so success still guarantees every tile is on disk.
+    """
+
+    def __init__(self, directory, max_pending=2):
+        import queue
+        import threading
+
+        self._dir = directory
+        self._queue = queue.Queue(maxsize=max_pending)
+        self._error = None
+        self._thread = threading.Thread(target=self._drain, daemon=True)
+        self._thread.start()
+
+    def _drain(self):
+        while True:
+            job = self._queue.get()
+            if job is None:
+                return
+            path, arrays = job
+            try:
+                tmp = os.path.join(self._dir, "." + os.path.basename(path) + ".tmp.npz")
+                np.savez(tmp, **arrays)
+                os.replace(tmp, path)
+            except Exception as exc:  # surfaced by close()
+                if self._error is None:
+                    self._error = exc
+
+    def submit(self, path, arrays):
+        if self._error is not None:
+            raise self._error
+        self._queue.put((path, arrays))
+
+    def close(self):
+        self._queue.put(None)
+        self._thread.join()
+        if self._error is not None:
+            raise self._error
+
+
 def _fingerprint(psi, phi, valid, times, vxs, vys, bounds, rpp, kwargs):
     """Cheap content hash binding a checkpoint dir to one search setup.
 
@@ -47,13 +96,24 @@ def _fingerprint(psi, phi, valid, times, vxs, vys, bounds, rpp, kwargs):
     h = hashlib.sha256()
 
     def upd_sample(a):
-        a = np.asarray(a)
-        h.update(np.asarray(a.shape, dtype=np.int64).tobytes())
-        sample = a.ravel()[:: max(1, a.size // 4096)]
-        h.update(np.ascontiguousarray(sample).tobytes())
+        # Slice BEFORE any host conversion: device arrays stay on device
+        # and only the ~4096-element sample crosses to the host (a full
+        # np.asarray of a survey-scale code plane is a multi-GB fetch).
+        shape = tuple(int(s) for s in a.shape)
+        h.update(np.asarray(shape, dtype=np.int64).tobytes())
+        size = int(np.prod(shape)) if shape else 1
+        sample = a.reshape(-1)[:: max(1, size // 4096)]
+        h.update(np.ascontiguousarray(np.asarray(sample)).tobytes())
 
-    upd_sample(psi)
-    upd_sample(phi)
+    if isinstance(psi, search_ops.EncodedPlanes):
+        # Survey-scale eval planes: fingerprint the code planes + decode
+        # metadata (phi/valid are None in this calling convention).
+        upd_sample(psi.psi_codes)
+        upd_sample(psi.phi_codes)
+        upd_sample(psi.em)
+    else:
+        upd_sample(psi)
+        upd_sample(phi)
     if valid is not None:
         upd_sample(valid)
     h.update(np.asarray(times, dtype=np.float64).tobytes())
@@ -123,7 +183,11 @@ def checkpointed_core_search(
             f"Checkpoint dir {checkpoint_dir} belongs to a different search; discarding it."
         )
         for name in os.listdir(checkpoint_dir):
-            if name == "manifest.json" or (name.startswith("tile_") and name.endswith(".npz")):
+            if (
+                name == "manifest.json"
+                or (name.startswith("tile_") and name.endswith(".npz"))
+                or (name.startswith(".tile_") and name.endswith(".tmp.npz"))
+            ):
                 os.remove(os.path.join(checkpoint_dir, name))
     with open(manifest_path, "w") as f:
         json.dump({"fingerprint": fp, "tile_rows": int(tile_rows), "bounds": bounds}, f)
@@ -132,23 +196,28 @@ def checkpointed_core_search(
     tiles = list(zip(edges[:-1], edges[1:]))
     parts = []
     n_loaded = 0
-    for y0, y1 in tiles:
-        path = os.path.join(checkpoint_dir, f"tile_{y0}_{y1}.npz")
-        if os.path.exists(path):
-            with np.load(path) as z:
-                parts.append({k: z[k] for k in _RESULT_KEYS})
-            n_loaded += 1
-            continue
-        part = search_fn(
-            psi, phi, valid, times, vxs, vys,
-            x_min, x_max, y0, y1, results_per_pixel, **core_kwargs,
-        )
-        # Atomic publish: a tile file either exists complete or not at all.
-        tmp = path + ".tmp.npz"
-        np.savez(tmp, **{k: part[k] for k in _RESULT_KEYS})
-        os.replace(tmp, path)
-        parts.append(part)
-        logger.debug(f"Checkpointed search tile y=[{y0},{y1}) -> {path}")
+    writer = _TileWriter(checkpoint_dir)
+    try:
+        for y0, y1 in tiles:
+            path = os.path.join(checkpoint_dir, f"tile_{y0}_{y1}.npz")
+            if os.path.exists(path):
+                with np.load(path) as z:
+                    parts.append({k: z[k] for k in _RESULT_KEYS})
+                n_loaded += 1
+                continue
+            part = search_fn(
+                psi, phi, valid, times, vxs, vys,
+                x_min, x_max, y0, y1, results_per_pixel, **core_kwargs,
+            )
+            # Publish off the critical path: the writer thread persists
+            # this tile while the NEXT tile's device work runs. Each file
+            # still lands atomically (hidden tmp + os.replace), so a kill
+            # at any moment leaves only complete tiles behind.
+            writer.submit(path, {k: part[k] for k in _RESULT_KEYS})
+            parts.append(part)
+            logger.debug(f"Checkpointed search tile y=[{y0},{y1}) -> {path}")
+    finally:
+        writer.close()
     if n_loaded:
         logger.info(f"Resumed {n_loaded}/{len(tiles)} search tiles from {checkpoint_dir}.")
 

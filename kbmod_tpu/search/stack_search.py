@@ -11,6 +11,7 @@ kbmod_tpu.ops.search instead of the CUDA gather kernel.
 
 import logging
 
+import jax.numpy as jnp
 import numpy as np
 
 from kbmod_tpu.ops.psi_phi import PsiPhiArray, fill_psi_phi_array_from_image_arrays
@@ -182,13 +183,40 @@ class StackSearch:
     def _decoded(self):
         return self.psi_phi_array.decoded_psi_phi()
 
+    def _eval_planes(self):
+        """Planes for winner re-scoring / psi-phi curve extraction, as the
+        (psi, phi, valid) triple the gather kernels accept.
+
+        Quantized stacks return an :class:`EncodedPlanes` wrapper over the
+        code planes (with phi/valid = None): gathering the uint8/uint16
+        codes and decoding per-sample matches gathering decoded planes
+        (exact validity mask; values to 1 float32 ulp — fma contraction)
+        but never materializes the ~9x-larger float planes — at
+        survey scale (100x4k x4k) decoded planes plus the packed kernel
+        stream exceed a chip's HBM.
+        """
+        meta = self.psi_phi_array.meta
+        if meta.num_bytes in (1, 2):
+            planes = search_ops.EncodedPlanes(
+                jnp.asarray(self.psi_phi_array.psi),
+                jnp.asarray(self.psi_phi_array.phi),
+                jnp.asarray(
+                    np.array(
+                        [meta.psi_min_val, meta.psi_scale, meta.phi_min_val, meta.phi_scale],
+                        dtype=np.float32,
+                    )
+                ),
+            )
+            return planes, None, None
+        return self._decoded()
+
     def evaluate_single_trajectory(self, trj, use_kernel=False):
         """Evaluate one trajectory in place (lh, flux, obs_count).
 
         ``use_kernel=True`` additionally applies the in-kernel sigma-G
         refinement when enabled (kernels.cu:213-241); ``False`` matches
         evaluate_trajectory_cpu (no sigma-G)."""
-        psi, phi, valid = self._decoded()
+        psi, phi, valid = self._eval_planes()
         stats = search_ops.evaluate_trajectories(
             psi, phi, valid, self._zeroed_times, [trj.x], [trj.y], [trj.vx], [trj.vy]
         )
@@ -204,10 +232,8 @@ class StackSearch:
                 psi, phi, valid, self._zeroed_times, [trj.x], [trj.y], [trj.vx], [trj.vy]
             )
             dxs, dys = search_ops.trajectory_offsets([trj.vx], [trj.vy], self._zeroed_times)
-            import jax.numpy as jnp
-
             _, _, ok = search_ops._gather_curves(
-                jnp.asarray(psi), jnp.asarray(phi), jnp.asarray(valid),
+                psi, phi, valid,
                 jnp.asarray(np.array([trj.x], np.int32)), jnp.asarray(np.array([trj.y], np.int32)),
                 jnp.asarray(dxs), jnp.asarray(dys),
             )
@@ -229,6 +255,23 @@ class StackSearch:
         if p.y_start_min >= p.y_start_max:
             raise RuntimeError(f"Invalid search bounds for the y pixel [{p.y_start_min}, {p.y_start_max}]")
         return (p.x_start_max - p.x_start_min) * (p.y_start_max - p.y_start_min) * p.results_per_pixel
+
+    def _compact_min_lh(self):
+        """Row-compaction bound for the raw core-search output.
+
+        ``search_all`` applies ``filter_by_likelihood(min_lh)`` to the raw
+        result set unconditionally (stack_search.cpp:267-281), so rows the
+        kernel already scored below min_lh — the overwhelming majority at
+        survey scale (>90% of 134M slots at 4k) — can be dropped inside the
+        assembly instead of being materialized, checkpointed, and filtered.
+        The post-filter results are identical. KB_COMPACT_RESULTS=0 keeps
+        the dense reference layout (kernels.cu:286) for debugging.
+        """
+        import os
+
+        if os.environ.get("KB_COMPACT_RESULTS", "1") == "0":
+            return None
+        return self.params.min_lh
 
     def _packed_provider(self, vxs, vys):
         """Packed-stream provider sized for this search's trajectory reach:
@@ -365,19 +408,20 @@ class StackSearch:
             return
 
         # Quantized stacks stream their codes straight through the kernel
-        # (decode in-register); the float path passes decoded planes.
+        # (decode in-register) AND re-score winners by gathering the code
+        # planes directly (EncodedPlanes) — decoded float planes are never
+        # materialized, which is what lets a 100x4k x4k search coexist with
+        # the packed stream on one chip. The float path passes decoded
+        # planes.
         meta = self.psi_phi_array.meta
         if meta.num_bytes in (1, 2):
             encode_kwargs = dict(
-                psi_codes=self.psi_phi_array.psi,
-                phi_codes=self.psi_phi_array.phi,
-                encode_meta=(meta.psi_min_val, meta.psi_scale, meta.phi_min_val, meta.phi_scale),
                 # Lazy: only the Pallas kernel path packs (and then caches)
-                # the interleaved word stream.
+                # the interleaved word stream. psi_codes/encode_meta derive
+                # from the EncodedPlanes inside core_search.
                 packed_provider=self._packed_provider(vxs, vys),
             )
-            # The winner re-scoring paths still use decoded planes.
-            psi, phi, valid = self._decoded()
+            psi, phi, valid = self._eval_planes()
         else:
             encode_kwargs = {}
             psi, phi, valid = self._decoded()
@@ -390,8 +434,15 @@ class StackSearch:
             sgl_H=p.sgl_H,
             sigmag_coeff=p.sigmag_coeff,
             gate_min_obs=gate_min_obs,
+            compact_min_lh=self._compact_min_lh(),
             **encode_kwargs,
         )
+        if on_gpu and common["compact_min_lh"] is not None and p.min_lh > 0:
+            # Gate top-K insertion at min_lh too (same >= as the post-hoc
+            # filter, so post-filter results are unchanged): sub-threshold
+            # slots then stay empty and the device-side map compaction
+            # engages at survey scale.
+            common["gate_min_lh"] = True
         ckpt_dir = getattr(self, "_checkpoint_dir", None)
         if ckpt_dir:
             from kbmod_tpu.search.checkpoint import checkpointed_core_search
@@ -435,7 +486,7 @@ class StackSearch:
             ys = np.array([t.y for t in trajectories], dtype=np.int32)
             vxs = np.array([t.vx for t in trajectories], dtype=np.float32)
             vys = np.array([t.vy for t in trajectories], dtype=np.float32)
-        psi, phi, valid = self._decoded()
+        psi, phi, valid = self._eval_planes()
         psi_v, phi_v = search_ops.extract_psi_phi_curves(
             psi, phi, valid, self._zeroed_times, xs, ys, vxs, vys
         )

@@ -1,4 +1,4 @@
-"""Sustained full-grid survey gate (VERDICT r2 #3).
+"""Sustained full-grid survey gate (VERDICT r2 #3, host-overhead cut r3 #2).
 
 Runs the reference's DEFAULT 33,153-candidate grid (EclipticCenteredSearch
 velocities [92, 526] x 257, angles +-pi/15 x 129 — configuration.py:196-207)
@@ -7,9 +7,22 @@ checkpointing, KILLS the worker (SIGKILL) mid-run, resumes, and records:
 
   * wall time of each phase and the whole search,
   * steady-state evals/s over the completed tiles,
-  * checkpoint overhead (tile .npz write time / tile search time),
+  * checkpoint overhead (everything outside the per-tile search calls),
   * resume accounting (tiles loaded vs computed after the kill),
   * a 64x64 window validated exactly against the XLA encoded kernel.
+
+Unlike the r3 version (which hand-rolled the per-tile fetch, a host numpy
+winner gather, and synchronous dense .npz writes — 76% of wall clock), this
+drives the PRODUCTION path end to end: ``checkpointed_core_search`` over
+``core_search`` with
+
+  * EncodedPlanes winner re-scoring (device gather over the uint8 code
+    planes; decoded float planes never materialize),
+  * compacted result assembly (``compact_min_lh``: the >90% of slots below
+    min_lh are dropped inside assembly, so tiles checkpoint ~15 MB instead
+    of ~235 MB),
+  * the background tile writer (persistence overlaps the next tile's
+    device work).
 
 The observation baseline is chosen so the trajectory reach stays inside the
 packed stream's guards (|dx| <= 710 <= 720), keeping the search on the
@@ -29,9 +42,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 CKPT_DIR = os.environ.get("KB_GATE_DIR", "/tmp/kb_full_grid_ckpt")
-STATE = os.path.join(CKPT_DIR, "gate_state.json")
 T, HW = 100, 4096
 K = 8
+MIN_LH = 10.0
 TILE_ROWS = 256
 EM = np.array([-6.0, 12.0 / 254, 0.1, 4.0 / 254], dtype=np.float32)
 
@@ -58,8 +71,8 @@ def worker():
     logging.basicConfig(level=logging.INFO)
     import jax.numpy as jnp
 
-    from kbmod_tpu.ops.search import trajectory_offsets
-    from kbmod_tpu.ops.search_pallas import pack_psi_phi_words, search_topk_pallas_packed
+    from kbmod_tpu.ops.search import EncodedPlanes, core_search
+    from kbmod_tpu.ops.search_pallas import pack_psi_phi_words
     from kbmod_tpu.search.checkpoint import checkpointed_core_search
 
     vxs, vys = default_grid()
@@ -73,33 +86,32 @@ def worker():
         psi_c, phi_c, t_chunk=8, row_guard=384, col_slack=384
     )
     words_r.block_until_ready()
+    # Winner re-scoring gathers the code planes on device.
+    psi_dev = jnp.asarray(psi_c)
+    phi_dev = jnp.asarray(phi_c)
+    planes = EncodedPlanes(psi_dev, phi_dev, jnp.asarray(EM))
+    del psi_c, phi_c
     t_pack = time.time() - t0
     print(f"pack {t_pack:.1f}s", flush=True)
 
-    em = jnp.asarray(EM)
-    dxs, dys = trajectory_offsets(vxs, vys, times)
     tile_times = []
 
-    def tile_search(psi, phi, valid, times_a, vxs_a, vys_a, x_min, x_max, y0, y1, rpp):
+    def tile_search(psi_, phi_, valid_, times_, vxs_, vys_, x0, x1, y0, y1, rpp_, **kw):
         t1 = time.time()
-        top_lh, top_idx = search_topk_pallas_packed(
-            words_r, np.asarray(dxs, np.int32), np.asarray(dys, np.int32),
-            jnp.float32(10.0), jnp.float32(0.0), em,
-            shape=(T, HW, HW), bits=8, pad_rows=pad_rows,
-            x_min=0, x_max=HW, y_min=y0, y_max=y1, k_results=K,
+        part = core_search(
+            psi_, phi_, valid_, times_, vxs_, vys_, x0, x1, y0, y1, rpp_, **kw
         )
-        lh = np.asarray(top_lh)  # (K, rows, W)
-        idx = np.asarray(top_idx)
         dt = time.time() - t1
         tile_times.append(dt)
         rows = y1 - y0
         print(
-            f"tile y=[{y0},{y1}) {dt:.1f}s  {C * rows * HW / dt / 1e9:.2f}e9 evals/s",
+            f"tile y=[{y0},{y1}) {dt:.1f}s  {C * rows * HW / dt / 1e9:.2f}e9 evals/s"
+            f"  kept={len(part['lh'])}",
             flush=True,
         )
         # Hard-kill hook for the resume demonstration: SIGKILL (no
-        # cleanup, no atexit) right after a tile's device work completes
-        # — the checkpoint of THIS tile is not yet written, so the resume
+        # cleanup, no atexit) right after a tile's search completes —
+        # the checkpoint of THIS tile is not yet written, so the resume
         # must recompute it. Killing at a device-idle moment avoids
         # wedging the TPU tunnel for the whole gate (a mid-DMA kill can
         # stall the remote runtime for an hour+).
@@ -107,50 +119,16 @@ def worker():
         if kill_after and len(tile_times) >= kill_after:
             print(f"[worker] self-SIGKILL after {len(tile_times)} tiles", flush=True)
             os.kill(os.getpid(), signal.SIGKILL)
-        # Pixel-major SoA (checkpoint layout); flux/obs for the sparse
-        # winners via a host gather over the codes.
-        kidx = np.transpose(idx, (1, 2, 0)).reshape(-1)
-        klh = np.transpose(lh, (1, 2, 0)).reshape(-1)
-        jj, ii = np.meshgrid(np.arange(HW), np.arange(rows))
-        xs = np.repeat(jj.reshape(-1), K).astype(np.int32)
-        ys = np.repeat((ii + y0).reshape(-1), K).astype(np.int32)
-        filled = kidx >= 0
-        vx = np.zeros(len(kidx), np.float32)
-        vy = np.zeros(len(kidx), np.float32)
-        vx[filled] = vxs[kidx[filled]]
-        vy[filled] = vys[kidx[filled]]
-        flux = np.zeros(len(kidx), np.float32)
-        obs = np.zeros(len(kidx), np.int32)
-        win = np.nonzero(filled & (klh > 10.0))[0]
-        if len(win):
-            dx_np = np.asarray(dxs)
-            dy_np = np.asarray(dys)
-            px = xs[win][:, None] + dx_np[kidx[win]]
-            py = ys[win][:, None] + dy_np[kidx[win]]
-            inb = (px >= 0) & (px < HW) & (py >= 0) & (py < HW)
-            pxc = np.clip(px, 0, HW - 1)
-            pyc = np.clip(py, 0, HW - 1)
-            tt = np.broadcast_to(np.arange(T), pxc.shape)
-            pc = psi_c[tt, pyc, pxc].astype(np.float32)
-            fc = phi_c[tt, pyc, pxc].astype(np.float32)
-            ok = inb & (pc > 0) & (fc > 0)
-            psi_v = np.where(ok, (pc - 1) * EM[1] + EM[0], 0.0)
-            phi_v = np.where(ok, (fc - 1) * EM[3] + EM[2], 0.0)
-            ps = psi_v.sum(1)
-            fs = phi_v.sum(1)
-            obs[win] = ok.sum(1)
-            good = fs > 0
-            flux[win] = np.where(good, ps / np.where(good, fs, 1.0), -1.0)
-        return {"x": xs, "y": ys, "vx": vx, "vy": vy, "lh": klh.astype(np.float32),
-                "flux": flux, "obs_count": obs}
+        return part
 
     t0 = time.time()
     res = checkpointed_core_search(
-        psi_c[:1, :8, :8].astype(np.float32),  # fingerprint stand-ins: cheap,
-        phi_c[:1, :8, :8].astype(np.float32),  # content-derived, identical
-        None, times, vxs, vys,                 # across kill/resume
+        planes, None, None, times, vxs, vys,
         0, HW, 0, HW, K,
         checkpoint_dir=CKPT_DIR, tile_rows=TILE_ROWS, search_fn=tile_search,
+        min_obs=10, min_lh=MIN_LH, gate_min_obs=True, gate_min_lh=True,
+        compact_min_lh=MIN_LH,
+        packed_provider=lambda: (words_r, pad_rows),
     )
     t_search = time.time() - t0
     n_done = len(tile_times)
@@ -165,23 +143,27 @@ def worker():
             C * TILE_ROWS * HW * max(0, n_done - 1) / sum(tile_times[1:])
             if n_done > 1 else None
         ),
-        # Everything that is not kernel time: npz writes, SoA assembly,
-        # winner host-gathers — the checkpointing overhead envelope.
+        # Everything outside the per-tile search calls: resumed-tile loads,
+        # the final concatenate, whatever checkpoint persistence did not
+        # overlap with device work.
         "ckpt_overhead_frac": (t_search - sum(tile_times)) / t_search if n_done else 0.0,
         "rows": len(res["lh"]),
-        "kept": int((res["lh"] > 10.0).sum()),
+        "kept": int((res["lh"] > MIN_LH).sum()),
     }
     print("WORKER DONE", json.dumps(state), flush=True)
 
     # Window validation vs the XLA encoded kernel on a 1024-candidate
     # subset of the grid (the full-grid XLA reference would take hours;
     # kernel exactness is per-candidate, so a subset is a sound check).
-    from kbmod_tpu.ops.search import search_topk_shift
+    from kbmod_tpu.ops.search import search_topk_shift, trajectory_offsets
+    from kbmod_tpu.ops.search_pallas import search_topk_pallas_packed
 
+    dxs, dys = trajectory_offsets(vxs, vys, times)
     sub = np.random.default_rng(3).choice(C, 1024, replace=False)
     dxs_s = np.asarray(dxs, np.int32)[sub]
     dys_s = np.asarray(dys, np.int32)[sub]
     x0 = y0 = HW // 2
+    em = jnp.asarray(EM)
     lh_win, _ = search_topk_pallas_packed(
         words_r, dxs_s, dys_s,
         jnp.float32(10.0), jnp.float32(0.0), em,
@@ -191,7 +173,7 @@ def worker():
     lh_win = np.asarray(lh_win)
     del words_r
     ref_lh, _ = search_topk_shift(
-        jnp.asarray(psi_c), jnp.asarray(phi_c), jnp.zeros((1, 1, 1), jnp.uint8),
+        psi_dev, phi_dev, jnp.zeros((1, 1, 1), jnp.uint8),
         jnp.asarray(dxs_s), jnp.asarray(dys_s),
         jnp.float32(10.0), jnp.float32(0.0), encode_meta=em,
         x_min=x0, x_max=x0 + 64, y_min=y0, y_max=y0 + 64, k_results=K,
@@ -207,7 +189,8 @@ def parent():
 
     # Phase 1: the worker SIGKILLs itself (no cleanup) after 6 tiles of
     # device work; the 6th tile's checkpoint is NOT yet written at that
-    # point, so 5 tiles survive and the resume recomputes 11 of 16.
+    # point, so at most 5 tiles survive (the background writer may still
+    # be flushing tile 5) and the resume recomputes the rest.
     print("=== phase 1: run + kill ===", flush=True)
     kill_after = 6
     env = dict(os.environ, KB_GATE_SELFKILL_AFTER=str(kill_after))
@@ -218,9 +201,11 @@ def parent():
     )
     print(proc.stdout[-2500:], flush=True)
     assert proc.returncode == -signal.SIGKILL, f"expected SIGKILL death, rc={proc.returncode}"
-    n_after_kill = len([f for f in os.listdir(CKPT_DIR) if f.startswith("tile_")])
+    n_after_kill = len(
+        [f for f in os.listdir(CKPT_DIR) if f.startswith("tile_") and f.endswith(".npz")]
+    )
     print(f"[parent] worker died by SIGKILL; {n_after_kill} tiles survive on disk", flush=True)
-    assert n_after_kill == kill_after - 1, n_after_kill
+    assert 1 <= n_after_kill <= kill_after - 1, n_after_kill
 
     print("[parent] waiting 30s for the device to settle", flush=True)
     time.sleep(30)

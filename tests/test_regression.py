@@ -62,19 +62,45 @@ class TestRegression:
         )
         assert np.all(matches >= 0), f"unrecovered objects: {matches}"
 
+    def test_reference_scale_regression(self, monkeypatch):
+        """The reference's full regression geometry in-suite
+        (tests/test_regression_test.py:26-230): the same 20x1024x512 stack
+        and 20 known trajectories (2 starting off-chip), in-kernel sigma-G
+        with clip_negative, median stamps; every injected object must be
+        recovered and the result-file metadata round-trips.
+
+        Two cost trims keep this inside the default suite's budget on the
+        single-core CPU mesh (the untouched reference config runs under
+        KB_SLOW_TESTS=1 below, and on TPU via scripts/regression_tpu.py):
+
+        * the velocity range is cut to a lattice-identical subset
+          [92, 92 + 458*15/51, 16 steps] of the reference's [92, 550, 52]
+          grid — same spacing, same grid points, covering every object's
+          speed (max 208.7 px/day) with one full spacing of margin, so
+          each object's best-matching candidates are unchanged;
+        * the sigma-G pool runs at KB_SIGMAG_TOPK_FACTOR=1 with
+          auto-refinement off — the top-K insertion cost scales ~15x from
+          K=8 to K=32 on CPU, and the measured miss-rate table
+          (docs/STATUS.md) shows every injected object recovered at
+          factor 1 at every artifact rate (pool churn only reorders noise
+          rows near the cut; these objects are flux-500 detections).
+        """
+        monkeypatch.setenv("KB_SIGMAG_TOPK_FACTOR", "1")
+        monkeypatch.setenv("KB_SIGMAG_AUTO", "0")
+        self._reference_scale_body(velocities=[92.0, 92.0 + 458.0 * 15 / 51, 16])
+
     @pytest.mark.skipif(
         os.environ.get("KB_SLOW_TESTS") != "1",
-        reason="reference-scale regression (~10 min on the CPU mesh): set "
-        "KB_SLOW_TESTS=1 to run; the same config runs on TPU via "
+        reason="full reference regression config (~12 min on the CPU mesh): "
+        "set KB_SLOW_TESTS=1 to run; the same config runs on TPU via "
         "scripts/regression_tpu.py",
     )
-    def test_reference_scale_regression(self):
-        """The reference's full regression config in-suite
-        (tests/test_regression_test.py:26-230): 20x1024x512 stack, 20
-        known trajectories (2 starting off-chip), EclipticCenteredSearch
-        26x52 grid, in-kernel sigma-G with clip_negative, median stamps;
-        every injected object must be recovered and the result-file
-        metadata round-trips."""
+    def test_reference_scale_regression_full(self):
+        """The reference's regression config untrimmed: full 26x52 grid and
+        the default sigma-G pool."""
+        self._reference_scale_body(velocities=[92.0, 550.0, 52])
+
+    def _reference_scale_body(self, velocities):
         from kbmod_tpu.core.psf import PSF
         from kbmod_tpu.fake_data.fake_data_creator import (
             image_stack_add_fake_object,
@@ -129,7 +155,7 @@ class TestRegression:
                 "generator_config": {
                     "name": "EclipticCenteredSearch",
                     "angles": [np.pi - np.pi / 10.0, np.pi + np.pi / 10.0, 26],
-                    "velocities": [92.0, 550.0, 52],
+                    "velocities": list(velocities),
                     "angle_units": "radian",
                     "given_ecliptic": 1.1901106654050821,
                 },
