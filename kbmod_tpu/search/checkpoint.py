@@ -124,6 +124,11 @@ def _fingerprint(psi, phi, valid, times, vxs, vys, bounds, rpp, kwargs):
     for k, v in sorted(kwargs.items()):
         if v is None or np.isscalar(v):
             h.update(json.dumps({k: v}, default=str).encode())
+        elif callable(v) and not hasattr(v, "shape"):
+            # Callable kwargs (e.g. packed_provider) carry no hashable
+            # content; their *inputs* (the code planes) are fingerprinted
+            # above, so record only that the kwarg was present.
+            h.update(f"{k}:<callable>".encode())
         else:
             h.update(k.encode())
             upd_sample(v)

@@ -156,6 +156,38 @@ class TestFingerprintCoverage:
         for key in ref:
             np.testing.assert_array_equal(out[key], ref[key])
 
+    def test_callable_kwargs_fingerprint(self, setup, tmp_path):
+        """Callable kwargs (the survey path passes packed_provider=lambda)
+        must not crash the fingerprint, and the checkpoint must still be
+        reusable across runs that pass an equivalent callable."""
+        from kbmod_tpu.search.checkpoint import _fingerprint
+
+        psi, phi, valid, times, vxs, vys, _ = setup
+        bounds = (0, 56, 0, 48)
+        fp1 = _fingerprint(
+            psi, phi, valid, times, vxs, vys, bounds, 2,
+            {"packed_provider": lambda: None, "min_obs": 3},
+        )
+        fp2 = _fingerprint(
+            psi, phi, valid, times, vxs, vys, bounds, 2,
+            {"packed_provider": lambda: "different body", "min_obs": 3},
+        )
+        assert fp1 == fp2  # callables hash by presence, not identity
+
+        def tile_search(psi_, phi_, valid_, times_, vxs_, vys_, x0, x1, y0, y1, rpp, **kw):
+            kw.pop("packed_provider")
+            return core_search(psi_, phi_, valid_, times_, vxs_, vys_, x0, x1, y0, y1, rpp, **kw)
+
+        ck = str(tmp_path / "ck_callable")
+        out = checkpointed_core_search(
+            psi, phi, valid, times, vxs, vys, 0, 56, 0, 48, 2,
+            checkpoint_dir=ck, tile_rows=16, search_fn=tile_search,
+            packed_provider=lambda: None,
+        )
+        ref = core_search(psi, phi, valid, times, vxs, vys, 0, 56, 0, 48, 2)
+        for key in ref:
+            np.testing.assert_array_equal(out[key], ref[key])
+
     def test_sharded_stack_search_checkpointing(self, setup, tmp_path, monkeypatch):
         """Checkpointing composes with the mesh-sharded search path."""
         monkeypatch.setenv("KB_SHARDED", "1")
