@@ -19,6 +19,12 @@ row tiles concatenate exactly.
 Note: tiling is exact for the plain and quantized kernels; the in-kernel
 sigma-G path re-ranks per pixel, which is also pixel-local, so it tiles
 exactly too.
+
+Multi-process (jax.distributed) searches are supported when
+``checkpoint_dir`` is shared storage: process 0 owns the manifest and all
+tile writes, and broadcasts the finished-tile set so every process takes
+the same load-vs-compute branch (keeping the collectives inside a sharded
+``search_fn`` aligned across hosts).
 """
 
 import hashlib
@@ -174,40 +180,76 @@ def checkpointed_core_search(
     bounds = (int(x_min), int(x_max), int(y_min), int(y_max))
     fp = _fingerprint(psi, phi, valid, times, vxs, vys, bounds, results_per_pixel, core_kwargs)
 
+    # Multi-process (pod) coordination: checkpoint_dir must be SHARED
+    # storage (GCS/NFS on a pod; one filesystem in tests). Process 0 owns
+    # the manifest and every write; the finished-tile set is decided by
+    # process 0 and broadcast, so all processes take the same load-vs-
+    # compute branch — a divergent branch would deadlock the collectives
+    # inside a sharded search_fn.
+    nproc, is_primary = 1, True
+    try:
+        import jax
+
+        nproc = jax.process_count()
+        is_primary = jax.process_index() == 0
+    except Exception:  # pragma: no cover - jax is a hard dep in practice
+        pass
+
     manifest_path = os.path.join(checkpoint_dir, "manifest.json")
-    stale = False
-    if os.path.exists(manifest_path):
-        try:
-            with open(manifest_path) as f:
-                old = json.load(f)
-            stale = old.get("fingerprint") != fp or old.get("tile_rows") != int(tile_rows)
-        except (json.JSONDecodeError, OSError):
-            stale = True
-    if stale:
-        logger.warning(
-            f"Checkpoint dir {checkpoint_dir} belongs to a different search; discarding it."
-        )
-        for name in os.listdir(checkpoint_dir):
-            if (
-                name == "manifest.json"
-                or (name.startswith("tile_") and name.endswith(".npz"))
-                or (name.startswith(".tile_") and name.endswith(".tmp.npz"))
-            ):
-                os.remove(os.path.join(checkpoint_dir, name))
-    with open(manifest_path, "w") as f:
-        json.dump({"fingerprint": fp, "tile_rows": int(tile_rows), "bounds": bounds}, f)
+    if is_primary:
+        stale = False
+        if os.path.exists(manifest_path):
+            try:
+                with open(manifest_path) as f:
+                    old = json.load(f)
+                stale = old.get("fingerprint") != fp or old.get("tile_rows") != int(tile_rows)
+            except (json.JSONDecodeError, OSError):
+                stale = True
+        if stale:
+            logger.warning(
+                f"Checkpoint dir {checkpoint_dir} belongs to a different search; discarding it."
+            )
+            for name in os.listdir(checkpoint_dir):
+                if (
+                    name == "manifest.json"
+                    or (name.startswith("tile_") and name.endswith(".npz"))
+                    or (name.startswith(".tile_") and name.endswith(".tmp.npz"))
+                ):
+                    os.remove(os.path.join(checkpoint_dir, name))
+        with open(manifest_path, "w") as f:
+            json.dump({"fingerprint": fp, "tile_rows": int(tile_rows), "bounds": bounds}, f)
 
     edges = list(range(int(y_min), int(y_max), int(tile_rows))) + [int(y_max)]
     tiles = list(zip(edges[:-1], edges[1:]))
+    paths = [os.path.join(checkpoint_dir, f"tile_{y0}_{y1}.npz") for y0, y1 in tiles]
+    if nproc > 1:
+        from jax.experimental import multihost_utils
+
+        # Barrier: no process may list tiles while process 0 is still
+        # discarding a stale directory or rewriting the manifest.
+        multihost_utils.sync_global_devices("kbmod_ckpt_manifest")
+        local = np.array([os.path.exists(p) for p in paths], np.int32)
+        finished = np.asarray(
+            multihost_utils.broadcast_one_to_all(local if is_primary else np.zeros_like(local))
+        ).astype(bool)
+    else:
+        finished = np.array([os.path.exists(p) for p in paths], bool)
+
     parts = []
     n_loaded = 0
-    writer = _TileWriter(checkpoint_dir)
+    writer = _TileWriter(checkpoint_dir) if is_primary else None
     try:
-        for y0, y1 in tiles:
-            path = os.path.join(checkpoint_dir, f"tile_{y0}_{y1}.npz")
-            if os.path.exists(path):
-                with np.load(path) as z:
-                    parts.append({k: z[k] for k in _RESULT_KEYS})
+        for (y0, y1), path, done in zip(tiles, paths, finished):
+            if done:
+                try:
+                    with np.load(path) as z:
+                        parts.append({k: z[k] for k in _RESULT_KEYS})
+                except OSError as exc:
+                    raise OSError(
+                        f"Process {0 if is_primary else 'n'} cannot read finished tile "
+                        f"{path}; multi-process checkpointing requires checkpoint_dir "
+                        f"to be shared storage."
+                    ) from exc
                 n_loaded += 1
                 continue
             part = search_fn(
@@ -218,16 +260,23 @@ def checkpointed_core_search(
             # this tile while the NEXT tile's device work runs. Each file
             # still lands atomically (hidden tmp + os.replace), so a kill
             # at any moment leaves only complete tiles behind.
-            writer.submit(path, {k: part[k] for k in _RESULT_KEYS})
+            if writer is not None:
+                writer.submit(path, {k: part[k] for k in _RESULT_KEYS})
             parts.append(part)
             logger.debug(f"Checkpointed search tile y=[{y0},{y1}) -> {path}")
     finally:
-        writer.close()
+        if writer is not None:
+            writer.close()
     if n_loaded:
         logger.info(f"Resumed {n_loaded}/{len(tiles)} search tiles from {checkpoint_dir}.")
 
     results = {k: np.concatenate([p[k] for p in parts]) for k in _RESULT_KEYS}
-    if cleanup:
+    if cleanup and nproc > 1:
+        from jax.experimental import multihost_utils
+
+        # No process may still be loading tiles once process 0 deletes them.
+        multihost_utils.sync_global_devices("kbmod_ckpt_cleanup")
+    if cleanup and is_primary:
         for y0, y1 in tiles:
             path = os.path.join(checkpoint_dir, f"tile_{y0}_{y1}.npz")
             if os.path.exists(path):

@@ -1,0 +1,184 @@
+"""Full SearchRunner pipeline at survey scale (VERDICT r3 #1).
+
+Drives ``SearchRunner.run_search`` END TO END — not just the kernel — on a
+100 x 4096 x 4096 float stack with the reference's DEFAULT survey grid
+(EclipticCenteredSearch velocities [92, 526] x 257, angle offsets
++-pi/15 x 129 = 33,153 candidates; configuration.py:196-207) and ~20
+injected objects:
+
+  core device search (uint8-encoded psi/phi, compacted assembly)
+    -> near-duplicate grid prefilter over the millions of raw rows
+    -> batched sigma-G load_and_filter (psi/phi curve extraction on device)
+    -> clustering
+    -> coadd stamps
+    -> results file written + read back
+
+and asserts every injected object is recovered in the FINAL results file.
+Per-phase wall/RSS comes from SearchRunner's own phase stats. The matching
+reference flow is run_search.py:396-586; this gate is the proof that the
+pipeline — not only the kernel — survives survey-scale row counts.
+
+The observation baseline spans 1.35 days so the maximum trajectory reach
+(526 px/day) stays inside the packed stream's 720-px guards, keeping the
+search on the grouped mask-free fast path (the shipped survey config).
+
+Usage: python scripts/survey_pipeline_gate.py          # ~15-25 min on TPU
+       KB_GATE_T=20 KB_GATE_HW=1024 ... for a reduced rehearsal
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import numpy as np
+
+T = int(os.environ.get("KB_GATE_T", 100))
+HW = int(os.environ.get("KB_GATE_HW", 4096))
+SPAN_DAYS = 1.35  # max reach 526 * 1.35 = 710 px <= the 720-px guards
+NOISE = 2.0  # sci ~ N(0, NOISE); var = NOISE^2
+PSF_SIGMA = 1.0
+N_BRIGHT, N_FAINT = 12, 8
+FLUX_BRIGHT, FLUX_FAINT = 350.0, 220.0
+
+
+def inject_objects(sci, zeroed_times, psf_kernel, objects):
+    """Add flux * psf_kernel at each object's snapped per-time position.
+
+    Equivalent to fake_data_creator.image_stack_add_fake_object (delta
+    convolved with the PSF) for interior positions, but ~1000x faster at
+    4k: a (2r+1)^2 patch add instead of a full-frame convolution per
+    (object, time). Objects are constrained to stay >= r px from every
+    edge so no clipping is needed and the equivalence is exact.
+    """
+    r = psf_kernel.shape[0] // 2
+    for x, y, vx, vy, flux in objects:
+        for idx, dt in enumerate(zeroed_times):
+            ix = int(np.floor(x + vx * dt + 0.5))
+            iy = int(np.floor(y + vy * dt + 0.5))
+            assert r <= ix < HW - r and r <= iy < HW - r, "object leaves the interior"
+            sci[idx][iy - r : iy + r + 1, ix - r : ix + r + 1] += flux * psf_kernel
+
+
+def make_objects(rng):
+    """~20 objects inside the default grid, two flux tiers, interior-safe."""
+    objects = []
+    margin = 16
+    for i in range(N_BRIGHT + N_FAINT):
+        speed = rng.uniform(110.0, 500.0)
+        ang = rng.uniform(-np.pi / 16, np.pi / 16)
+        vx, vy = speed * np.cos(ang), speed * np.sin(ang)
+        reach_x, reach_y = vx * SPAN_DAYS, vy * SPAN_DAYS
+        x = rng.uniform(margin, HW - margin - reach_x)
+        y = rng.uniform(margin + max(0.0, -reach_y), HW - margin - max(0.0, reach_y))
+        flux = FLUX_BRIGHT if i < N_BRIGHT else FLUX_FAINT
+        objects.append((float(x), float(y), float(vx), float(vy), flux))
+    return objects
+
+
+def recovered(results, obj, zeroed_times):
+    """An injected object counts as recovered if some final row matches its
+    start pixel within 2 px and its END-of-window position within 4 px
+    (velocity agreement at the grid's resolution)."""
+    x, y, vx, vy, _ = obj
+    dt = float(zeroed_times[-1])
+    rx = np.asarray(results["x"], dtype=float)
+    ry = np.asarray(results["y"], dtype=float)
+    rvx = np.asarray(results["vx"], dtype=float)
+    rvy = np.asarray(results["vy"], dtype=float)
+    close_start = (np.abs(rx - x) <= 2.0) & (np.abs(ry - y) <= 2.0)
+    close_end = (np.abs((rx + rvx * dt) - (x + vx * dt)) <= 4.0) & (
+        np.abs((ry + rvy * dt) - (y + vy * dt)) <= 4.0
+    )
+    return bool(np.any(close_start & close_end))
+
+
+def main():
+    import logging
+
+    logging.basicConfig(level=logging.INFO)
+
+    from kbmod_tpu.configuration import SearchConfiguration
+    from kbmod_tpu.core.image_stack_py import ImageStackPy
+    from kbmod_tpu.core.psf import PSF
+    from kbmod_tpu.results import Results
+    from kbmod_tpu.run_search import SearchRunner
+
+    rng = np.random.default_rng(17)
+    t0 = time.time()
+    times = 57130.0 + np.linspace(0.0, SPAN_DAYS, T)
+    psf_kernel = PSF.make_gaussian_kernel(PSF_SIGMA)
+    sci = [rng.normal(0.0, NOISE, (HW, HW)).astype(np.float32) for _ in range(T)]
+    var = [np.full((HW, HW), NOISE * NOISE, dtype=np.float32) for _ in range(T)]
+    objects = make_objects(rng)
+    zeroed = times - times[0]
+    inject_objects(sci, zeroed, psf_kernel, objects)
+    stack = ImageStackPy(times, sci, var, psfs=[psf_kernel] * T)
+    del sci, var
+    t_build = time.time() - t0
+    print(f"build {t_build:.1f}s ({T}x{HW}x{HW}, {len(objects)} objects)", flush=True)
+
+    out_path = os.environ.get("KB_GATE_RESULTS", "/tmp/survey_pipeline_results.ecsv")
+    config = SearchConfiguration()
+    config.set("generator_config", {
+        "name": "EclipticCenteredSearch",
+        "velocities": [92.0, 526.0, 257],
+        "angles": [-np.pi / 15, np.pi / 15, 129],
+        "angle_units": "radian",
+        "given_ecliptic": 0.0,
+    })
+    config.set("encode_num_bytes", 1)
+    config.set("lh_level", 10.0)
+    config.set("num_obs", 10)
+    # Defaults kept deliberately: sigmaG_filter=True (host-side batched
+    # re-filter), near_dup_thresh=10 (grid prefilter), max_results=100k.
+    # DBSCAN-"all" on the post-sigma-G row count is the reference default
+    # but quadratic-memory-hostile at survey scale; nn_start_end is the
+    # production choice for large grids (SNS-style sweep).
+    config.set("cluster_type", "nn_start_end")
+    config.set("cluster_eps", 20.0)
+    config.set("coadds", ["mean", "median", "sum"])
+    config.set("stamp_radius", 10)
+    config.set("result_filename", out_path)
+    config.set("save_config", False)
+
+    runner = SearchRunner()
+    t1 = time.time()
+    results = runner.run_search(config, stack)
+    t_pipeline = time.time() - t1
+    print(f"pipeline {t_pipeline:.1f}s -> {len(results)} final rows", flush=True)
+
+    phases = {
+        name: round(t[1] - t[0], 2)
+        for name, t in runner.phase_times.items()
+        if t[1] is not None
+    }
+    rss_peak = max(m[1] for m in runner.phase_memory.values() if m[1] is not None)
+    print("PHASES " + json.dumps(phases), flush=True)
+    print(f"peak RSS {rss_peak / 2**30:.1f} GiB", flush=True)
+
+    # Every injected object must be present in the FINAL results (after
+    # sigma-G, clustering, stamps, file write).
+    missed = [obj for obj in objects if not recovered(results, obj, zeroed)]
+    for obj in missed:
+        print(f"MISSED object x={obj[0]:.0f} y={obj[1]:.0f} vx={obj[2]:.1f} vy={obj[3]:.1f} flux={obj[4]}")
+    assert not missed, f"{len(missed)}/{len(objects)} injected objects missing from final results"
+
+    # The stamp columns exist and the results file reads back.
+    assert "coadd_mean" in results.colnames and "stamp" in results.colnames
+    loaded = Results.read_table(out_path)
+    assert len(loaded) == len(results)
+    state = {
+        "t_build": round(t_build, 1),
+        "t_pipeline": round(t_pipeline, 1),
+        "phases": phases,
+        "rows_final": len(results),
+        "objects": len(objects),
+        "recovered": len(objects) - len(missed),
+        "peak_rss_gib": round(rss_peak / 2**30, 1),
+    }
+    print("PIPELINE GATE PASSED " + json.dumps(state), flush=True)
+
+
+if __name__ == "__main__":
+    main()
