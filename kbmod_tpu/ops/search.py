@@ -49,6 +49,41 @@ FLT_MAX = float(np.finfo(np.float32).max)
 # Host-side offset precomputation
 # ----------------------------------------------------------------------
 
+def snap_vy_rows(vys, zeroed_times, max_row_error=0.75):
+    """Quantize vy onto a lattice so rounded per-time row sequences
+    collapse into few classes, with a bounded sub-pixel error.
+
+    The uniform (exact-row) kernel plan engages only when many candidates
+    share an identical rounded row sequence ``floor(vy*t + 0.5)`` — true
+    for normalized grids (235 classes at BASELINE config 3) but not for
+    long-baseline physical grids (the 12-day default grid has ~9k classes
+    and falls back to the ~40%-slower spread plan; docs/STATUS.md
+    "Measured no-go"). Snapping vy to multiples of
+    ``q = 2*max_row_error/t_max`` collapses the class count to
+    ``row_reach_span / (2*max_row_error)`` (e.g. ~±330 px reach, 0.75 px
+    error -> ~440 classes) while every candidate's row position moves at
+    most ``max_row_error`` px at the last observation — below the 0.5 px
+    the rounding itself already introduces at typical grid resolutions.
+
+    Column offsets (vx) are untouched: the kernel handles per-candidate
+    column motion exactly, only rows need grouping. The snapped vy IS the
+    searched (and reported) velocity, so results stay self-consistent.
+    Opt-in via KB_SNAP_ROW_ERROR (StackSearch.search_all) or by calling
+    this on a generator's velocity arrays.
+
+    Returns
+    -------
+    (snapped, num_classes) : (np.ndarray float32 of vy, int)
+    """
+    vys = np.asarray(vys, dtype=np.float64)
+    t_max = float(np.max(zeroed_times)) if len(np.asarray(zeroed_times)) else 0.0
+    if t_max <= 0.0 or max_row_error <= 0.0:
+        return vys.astype(np.float32), len(np.unique(vys.astype(np.float32)))
+    q = 2.0 * float(max_row_error) / t_max
+    snapped = (np.round(vys / q) * q).astype(np.float32)
+    return snapped, len(np.unique(snapped))
+
+
 def trajectory_offsets(vxs, vys, times):
     """Integer pixel offsets floor(v * t + 0.5) for each (candidate, time).
 

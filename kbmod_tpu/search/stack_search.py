@@ -10,6 +10,7 @@ kbmod_tpu.ops.search instead of the CUDA gather kernel.
 """
 
 import logging
+import os
 
 import jax.numpy as jnp
 import numpy as np
@@ -267,8 +268,6 @@ class StackSearch:
         The post-filter results are identical. KB_COMPACT_RESULTS=0 keeps
         the dense reference layout (kernels.cu:286) for debugging.
         """
-        import os
-
         if os.environ.get("KB_COMPACT_RESULTS", "1") == "0":
             return None
         return self.params.min_lh
@@ -318,6 +317,18 @@ class StackSearch:
         if len(vxs) == 0:
             raise RuntimeError("No candidate trajectories to search.")
 
+        # Opt-in row-class snapping for sparse-class (long-baseline) grids:
+        # KB_SNAP_ROW_ERROR=<px> quantizes vy so rounded row sequences
+        # collapse onto the uniform exact-row kernel plan, trading <= that
+        # many px of row position at the last obs (ops/search.snap_vy_rows).
+        snap_err = float(os.environ.get("KB_SNAP_ROW_ERROR", "0") or 0.0)
+        if snap_err > 0.0:
+            vys, n_classes = search_ops.snap_vy_rows(vys, self._zeroed_times, snap_err)
+            logger.info(
+                f"Row-class snapping (max err {snap_err}px): "
+                f"{len(vys)} candidates -> {n_classes} vy classes."
+            )
+
         if on_gpu:
             rpp = p.results_per_pixel
             gate_min_obs = True
@@ -332,8 +343,6 @@ class StackSearch:
         # over-provisioned pool matches single-device pooling, and the
         # opt-in KB_SIGMAG_MODE=exact kernel shards over candidates).
         # KB_SHARDED=0 disables; KB_SHARD_MODE picks candidates|pixels.
-        import os
-
         import jax
 
         use_sharded = (
