@@ -105,19 +105,13 @@ def check_gpu_memory(config, stack, trj_generator=None):
     num_candidates = 0 if trj_generator is None else len(trj_generator)
     candidate_memory = kb.TrajectoryList.estimate_memory(num_candidates)
 
-    search_width = stack.width
-    if config["x_pixel_bounds"] and len(config["x_pixel_bounds"]) == 2:
-        search_width = config["x_pixel_bounds"][1] - config["x_pixel_bounds"][0]
-    elif config["x_pixel_buffer"] and config["x_pixel_buffer"] > 0:
-        search_width += 2 * config["x_pixel_buffer"]
+    def extent(axis, image_extent):
+        bounds = _resolve_start_bounds(config, axis, image_extent)
+        return image_extent if bounds is None else bounds[1] - bounds[0]
 
-    search_height = stack.height
-    if config["y_pixel_bounds"] and len(config["y_pixel_bounds"]) == 2:
-        search_height = config["y_pixel_bounds"][1] - config["y_pixel_bounds"][0]
-    elif config["y_pixel_buffer"] and config["y_pixel_buffer"] > 0:
-        search_height += 2 * config["y_pixel_buffer"]
-
-    num_results = search_width * search_height * config["results_per_pixel"]
+    num_results = (
+        extent("x", stack.width) * extent("y", stack.height) * config["results_per_pixel"]
+    )
     result_memory = kb.TrajectoryList.estimate_memory(num_results)
 
     return bytes_free > (2 * img_stack_size + result_memory + candidate_memory)
@@ -345,18 +339,15 @@ class SearchRunner:
         self._start_phase("KBMOD")
         self._maybe_start_profiler()
 
-        if trj_generator is None:
-            trj_generator = create_trajectory_generator(config, work_unit=None)
+        trj_generator = trj_generator or create_trajectory_generator(config, work_unit=None)
         keep = self.do_core_search(config, stack, trj_generator)
 
         if config["do_clustering"] and len(keep) > 1:
             self._start_phase("clustering")
             cluster_params = {
-                "cluster_type": config["cluster_type"],
-                "cluster_eps": config["cluster_eps"],
-                "cluster_v_scale": config["cluster_v_scale"],
-                "times": np.asarray(stack.times),
+                key: config[key] for key in ("cluster_type", "cluster_eps", "cluster_v_scale")
             }
+            cluster_params["times"] = np.asarray(stack.times)
             apply_clustering(keep, cluster_params)
             self._end_phase("clustering")
 
