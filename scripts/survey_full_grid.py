@@ -95,6 +95,8 @@ def worker():
     print(f"pack {t_pack:.1f}s", flush=True)
 
     tile_times = []
+    tile_marks = []  # (entry, exit) per search_fn call: attributes the
+    # between-tile time (resumed loads, writer stalls, final concat).
 
     def tile_search(psi_, phi_, valid_, times_, vxs_, vys_, x0, x1, y0, y1, rpp_, **kw):
         t1 = time.time()
@@ -103,6 +105,7 @@ def worker():
         )
         dt = time.time() - t1
         tile_times.append(dt)
+        tile_marks.append((t1, time.time()))
         rows = y1 - y0
         print(
             f"tile y=[{y0},{y1}) {dt:.1f}s  {C * rows * HW / dt / 1e9:.2f}e9 evals/s"
@@ -147,6 +150,14 @@ def worker():
         # the final concatenate, whatever checkpoint persistence did not
         # overlap with device work.
         "ckpt_overhead_frac": (t_search - sum(tile_times)) / t_search if n_done else 0.0,
+        # Where the non-tile time sits: before the first computed tile
+        # (resumed-tile loads), between tiles (writer stalls), after the
+        # last tile (final writer drain + concatenate).
+        "gap_before_first": round(tile_marks[0][0] - t0, 2) if n_done else None,
+        "gaps_between": [
+            round(tile_marks[i + 1][0] - tile_marks[i][1], 2) for i in range(n_done - 1)
+        ],
+        "gap_after_last": round(t0 + t_search - tile_marks[-1][1], 2) if n_done else None,
         "rows": len(res["lh"]),
         "kept": int((res["lh"] > MIN_LH).sum()),
     }

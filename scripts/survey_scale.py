@@ -39,7 +39,17 @@ if grid == "default":
 else:
     vel = rng.uniform(1, 60, C).astype(np.float32)
     ang = rng.uniform(-0.4, 0.4, C).astype(np.float32)
-dxs, dys = (jnp.asarray(a) for a in trajectory_offsets(np.cos(ang) * vel, np.sin(ang) * vel, times))
+vxs_f, vys_f = np.cos(ang) * vel, np.sin(ang) * vel
+# KB_SURVEY_SNAP=<px>: row-class snapping (ops/search.snap_vy_rows) — the
+# opt-in lever that collapses this long-baseline grid's ~9k row classes
+# so the uniform exact-row kernel engages (docs/env_vars.md).
+snap = float(os.environ.get("KB_SURVEY_SNAP", "0") or 0)
+if snap > 0:
+    from kbmod_tpu.ops.search import snap_vy_rows
+
+    vys_f, n_classes = snap_vy_rows(vys_f, times, snap)
+    print(f"snap {snap}px: {len(vys_f)} candidates -> {n_classes} vy classes", flush=True)
+dxs, dys = (jnp.asarray(a) for a in trajectory_offsets(vxs_f, vys_f, times))
 print(f"stack: T={T} {H}x{W} u8, C={C}", flush=True)
 t0 = time.time()
 # Guards sized for this grid's concrete trajectory reach (col_slack is in
