@@ -80,6 +80,24 @@ def generate_psi_phi_images(sci, var, psf):
     return np.asarray(psi[0]), np.asarray(phi[0])
 
 
+def _psf_conv_groups(sci, psfs):
+    """Group image indices by identical PSF kernel, with a streaming batch
+    size bounding the per-dispatch device footprint: sci/var in + psi/phi
+    out is 4 float planes per image, so a whole 100-image 4k x 4k group
+    would put ~27 GB on one chip. KB_CONV_BATCH_BYTES overrides the ~2 GiB
+    default budget. Returns (groups: {key: [indices]}, kernels, batch)."""
+    import os
+
+    kernels = [np.asanyarray(getattr(p, "kernel", p), dtype=np.float32) for p in psfs]
+    groups = {}
+    for i, k in enumerate(kernels):
+        groups.setdefault((k.shape, k.tobytes()), []).append(i)
+    h, w = np.asanyarray(sci[0]).shape
+    budget = float(os.environ.get("KB_CONV_BATCH_BYTES", 2 * 2**30))
+    batch = max(1, int(budget // (4 * h * w * 4)))
+    return groups, kernels, batch
+
+
 def generate_all_psi_phi_images(sci, var, psfs):
     """Generate psi/phi image lists for corresponding lists of inputs.
 
@@ -87,24 +105,9 @@ def generate_all_psi_phi_images(sci, var, psfs):
     device (the common case: one PSF per stack or few distinct sizes).
     """
     num = len(sci)
-    kernels = [np.asanyarray(getattr(p, "kernel", p), dtype=np.float32) for p in psfs]
     psi_out = [None] * num
     phi_out = [None] * num
-
-    # Group by (psf shape, psf bytes) to batch identical-PSF images.
-    groups = {}
-    for i, k in enumerate(kernels):
-        groups.setdefault((k.shape, k.tobytes()), []).append(i)
-
-    # Bound the per-dispatch device footprint: sci/var in + psi/phi out is
-    # 4 float planes per image, so a whole 100-image 4k x4k group would put
-    # ~27 GB on one chip. Chunks of `batch` images keep the build streaming
-    # (KB_CONV_BATCH_BYTES overrides the ~2 GiB default budget).
-    import os
-
-    h, w = np.asanyarray(sci[0]).shape
-    budget = float(os.environ.get("KB_CONV_BATCH_BYTES", 2 * 2**30))
-    batch = max(1, int(budget // (4 * h * w * 4)))
+    groups, kernels, batch = _psf_conv_groups(sci, psfs)
 
     for (_, _), idxs in groups.items():
         k = kernels[idxs[0]]
@@ -124,6 +127,150 @@ def generate_all_psi_phi_images(sci, var, psfs):
 def generate_psi_phi_from_image_stack(stack):
     """Generate psi/phi lists from an ImageStackPy."""
     return generate_all_psi_phi_images(stack.sci, stack.var, stack.psfs)
+
+
+# ----------------------------------------------------------------------
+# Streaming device-side quantized build
+# ----------------------------------------------------------------------
+
+@jax.jit
+def _chunk_minmax(sci_b, var_b, kernel):
+    """Finite min/max of a chunk's psi/phi without leaving the device."""
+    psi_b, phi_b = _psi_phi_from_sci_var(sci_b, var_b, kernel)
+
+    def mm(a):
+        ok = jnp.isfinite(a)
+        return (
+            jnp.min(jnp.where(ok, a, jnp.inf)),
+            jnp.max(jnp.where(ok, a, -jnp.inf)),
+        )
+
+    pmn, pmx = mm(psi_b)
+    fmn, fmx = mm(phi_b)
+    return pmn, pmx, fmn, fmx
+
+
+def _encode_chunk(a, params, dtype):
+    """Device mirror of :func:`_encode_array` (psi_phi_array_ds.h:40-42)."""
+    mn, mx, scale = params[0], params[1], params[2]
+    safe_max = mx - scale / 100.0
+    ok = jnp.isfinite(a)
+    clamped = jnp.clip(jnp.where(ok, a, mn), mn, safe_max)
+    codes = jnp.floor((clamped - mn) / scale + 1.0)
+    return jnp.where(ok, codes, 0.0).astype(dtype)
+
+
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnames=("nbits",), donate_argnums=(0, 1))
+def _chunk_encode_scatter(psi_acc, phi_acc, sci_b, var_b, kernel, idxs, psi_params, phi_params, nbits):
+    """conv + encode one chunk and scatter it into the (T, H, W) code
+    accumulators, all fused in one dispatch. Donation keeps the update
+    in-place; ``idxs`` may repeat (tail padding) — duplicates write
+    identical values, so the scatter stays deterministic."""
+    psi_b, phi_b = _psi_phi_from_sci_var(sci_b, var_b, kernel)
+    dtype = jnp.uint8 if nbits == 8 else jnp.uint16
+    psi_acc = psi_acc.at[idxs].set(_encode_chunk(psi_b, psi_params, dtype))
+    phi_acc = phi_acc.at[idxs].set(_encode_chunk(phi_b, phi_params, dtype))
+    return psi_acc, phi_acc
+
+
+def fill_psi_phi_array_streaming(result, num_bytes, sci, var, psfs, zeroed_times):
+    """Quantized build that never materializes float psi/phi on the host.
+
+    The legacy path (generate_all_psi_phi_images + fill_psi_phi_array)
+    fetches the full (T, H, W) float psi/phi to the host, runs five
+    full-size numpy passes (stack, finite-scan, clip, floor, cast), and
+    re-uploads the codes — at survey scale (100 x 4k x 4k) that is ~13 GB
+    down + ~3 GB up through the device tunnel plus minutes of single-core
+    numpy. Here both passes stay on device:
+
+      pass 1  conv each sci/var chunk, reduce finite min/max (4 scalars
+              per chunk cross the tunnel, nothing else);
+      pass 2  conv again, encode with the global params, scatter into
+              donated (T, H, W) uint8/uint16 accumulators.
+
+    The conv runs twice, but on-device conv is orders of magnitude cheaper
+    than the tunnel round-trip it replaces. Tail chunks are padded by
+    REPEATING the last (index, image) pair so every dispatch shares one
+    compiled shape; duplicate scatter indices write identical values.
+    Codes match :func:`fill_psi_phi_array` up to conv fusion differences
+    (+-1 ulp at a code boundary; the suite pins exact equality on the XLA
+    conv path where both routes share one conv computation).
+    """
+    num_times = len(sci)
+    if num_times == 0:
+        raise RuntimeError("No images to fill PsiPhiArray.")
+    height, width = np.asanyarray(sci[0]).shape
+    dtype = np.uint8 if num_bytes == 1 else np.uint16
+    nbits = 8 * dtype().itemsize
+
+    groups, kernels, batch = _psf_conv_groups(sci, psfs)
+
+    def chunks():
+        for (_, _), idxs in groups.items():
+            k = jnp.asarray(kernels[idxs[0]])
+            for lo in range(0, len(idxs), batch):
+                chunk = idxs[lo : lo + batch]
+                pad = 0
+                if lo and len(chunk) < batch:
+                    pad = batch - len(chunk)
+                    chunk = chunk + [chunk[-1]] * pad
+                sci_b = jnp.asarray(
+                    np.stack([np.asanyarray(sci[i]) for i in chunk]), dtype=jnp.float32
+                )
+                var_b = jnp.asarray(
+                    np.stack([np.asanyarray(var[i]) for i in chunk]), dtype=jnp.float32
+                )
+                yield k, chunk, sci_b, var_b
+
+    # Pass 1: global finite min/max (psi_phi_array.cpp:219-245 semantics).
+    psi_min, psi_max = np.inf, -np.inf
+    phi_min, phi_max = np.inf, -np.inf
+    for k, _, sci_b, var_b in chunks():
+        pmn, pmx, fmn, fmx = (float(v) for v in _chunk_minmax(sci_b, var_b, k))
+        psi_min, psi_max = min(psi_min, pmn), max(psi_max, pmx)
+        phi_min, phi_max = min(phi_min, fmn), max(phi_max, fmx)
+
+    def scale_of(mn, mx):
+        w = mx - mn
+        return max(w, 1e-6) / float((1 << nbits) - 1)
+
+    psi_params = np.array([psi_min, psi_max, scale_of(psi_min, psi_max)], np.float32)
+    phi_params = np.array([phi_min, phi_max, scale_of(phi_min, phi_max)], np.float32)
+
+    # Pass 2: encode + scatter into donated device accumulators.
+    psi_acc = jnp.zeros((num_times, height, width), dtype)
+    phi_acc = jnp.zeros((num_times, height, width), dtype)
+    psi_params_j = jnp.asarray(psi_params)
+    phi_params_j = jnp.asarray(phi_params)
+    for k, chunk, sci_b, var_b in chunks():
+        psi_acc, phi_acc = _chunk_encode_scatter(
+            psi_acc, phi_acc, sci_b, var_b, k,
+            jnp.asarray(np.asarray(chunk, np.int32)), psi_params_j, phi_params_j, nbits,
+        )
+
+    meta = result.meta
+    meta.num_bytes = num_bytes
+    meta.block_size = num_bytes
+    meta.num_times = num_times
+    meta.height = height
+    meta.width = width
+    meta.pixels_per_image = height * width
+    meta.num_entries = 2 * meta.pixels_per_image * num_times
+    meta.total_array_size = meta.block_size * meta.num_entries
+    meta.psi_min_val, meta.psi_max_val, meta.psi_scale = (
+        psi_min, psi_max, scale_of(psi_min, psi_max),
+    )
+    meta.phi_min_val, meta.phi_max_val, meta.phi_scale = (
+        phi_min, phi_max, scale_of(phi_min, phi_max),
+    )
+    result.psi = psi_acc
+    result.phi = phi_acc
+    result.valid = None
+    result.times = np.asarray(zeroed_times, dtype=float)
+    return result
 
 
 # ----------------------------------------------------------------------
@@ -441,6 +588,11 @@ def fill_psi_phi_array(result, num_bytes, psi_imgs, phi_imgs, zeroed_times):
 def fill_psi_phi_array_from_image_arrays(result, num_bytes, sci, var, psfs, zeroed_times):
     """Generate psi/phi from sci/var/psf and pack them.
 
-    Mirrors psi_phi_array.cpp:374-410."""
+    Mirrors psi_phi_array.cpp:374-410. Quantized builds stream on device
+    (:func:`fill_psi_phi_array_streaming`) unless KB_DEVICE_ENCODE=0."""
+    import os
+
+    if num_bytes in (1, 2) and os.environ.get("KB_DEVICE_ENCODE", "1") != "0":
+        return fill_psi_phi_array_streaming(result, num_bytes, sci, var, psfs, zeroed_times)
     psi_imgs, phi_imgs = generate_all_psi_phi_images(sci, var, psfs)
     return fill_psi_phi_array(result, num_bytes, psi_imgs, phi_imgs, zeroed_times)

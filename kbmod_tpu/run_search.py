@@ -325,7 +325,7 @@ class SearchRunner:
                 stack = workunit.im_stack
             else:
                 stack.filter_images(keep_mask)
-        logger.debug(f"Number of images to use in search: {stack.num_times}")
+        logger.debug(f"Searching over {stack.num_times} images after the obs-validity cut.")
 
         # num_obs can never exceed the number of usable (<90% masked)
         # images; -1 means "derive it from the stack".
@@ -487,13 +487,13 @@ def append_positions_to_results(workunit, results):
     all_dec = np.zeros((num_results, num_times))
 
     if workunit.wcs is not None:
-        logger.info("Found common WCS. Adding global_ra and global_dec columns (vectorized).")
+        logger.info("Common WCS present - computing global_ra/global_dec for every result row.")
         ra, dec = workunit.wcs.pixel_to_world_values(xp, yp)
         results.table["global_ra"] = ra
         results.table["global_dec"] = dec
 
         if workunit.reprojected and workunit.reprojection_frame != "ebd":
-            logger.warning("No EBD reprojection found. Skipping img_ra and img_dec columns.")
+            logger.warning("WorkUnit was not reprojected to EBD space; per-image img_ra/img_dec are omitted.")
             all_ra = ra
             all_dec = dec
         elif workunit.reprojected:

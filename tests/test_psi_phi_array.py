@@ -148,3 +148,76 @@ class TestGeneratePsiPhi:
         p, f = arr.read_psi_phi(0, 3, 3)
         assert np.isclose(p, psi_expected[3, 3], atol=1e-5)
         assert np.isclose(f, phi_expected[3, 3], atol=1e-5)
+
+
+class TestStreamingEncodedBuild:
+    """The device-streaming quantized build (fill_psi_phi_array_streaming)
+    must produce the same codes and meta as the legacy host-side encode.
+    On the CPU/XLA conv path both routes share one conv computation, so
+    equality is exact."""
+
+    def _stack(self, seed, T=10, H=12, W=14, mixed_psfs=False):
+        rng = np.random.default_rng(seed)
+        sci = [rng.normal(0, 2, (H, W)).astype(np.float32) for _ in range(T)]
+        var = [rng.uniform(0.5, 4.0, (H, W)).astype(np.float32) for _ in range(T)]
+        sci[1][3, 4] = np.nan
+        var[2][5, 6] = np.nan
+        var[3][0, 0] = 0.0  # zero variance must mask
+        if mixed_psfs:
+            # Interleave two kernel sizes so the PSF groups are
+            # NON-contiguous index sets (exercises the scatter).
+            psfs = [
+                PSF.make_gaussian_kernel(0.5 if i % 2 else 1.0) for i in range(T)
+            ]
+        else:
+            psfs = [PSF.make_gaussian_kernel(0.7)] * T
+        return sci, var, psfs
+
+    def _compare(self, num_bytes, mixed_psfs, monkeypatch, batch_bytes=None):
+        from kbmod_tpu.ops.psi_phi import fill_psi_phi_array_streaming
+
+        sci, var, psfs = self._stack(11, mixed_psfs=mixed_psfs)
+        times = np.arange(len(sci)) * 0.1
+        if batch_bytes is not None:
+            monkeypatch.setenv("KB_CONV_BATCH_BYTES", str(batch_bytes))
+
+        ref = PsiPhiArray()
+        monkeypatch.setenv("KB_DEVICE_ENCODE", "0")
+        fill_psi_phi_array_from_image_arrays(ref, num_bytes, sci, var, psfs, times)
+
+        got = PsiPhiArray()
+        fill_psi_phi_array_streaming(got, num_bytes, sci, var, psfs, times)
+
+        assert got.psi.dtype == ref.psi.dtype
+        np.testing.assert_array_equal(np.asarray(got.psi), np.asarray(ref.psi))
+        np.testing.assert_array_equal(np.asarray(got.phi), np.asarray(ref.phi))
+        for f in ("psi_min_val", "psi_max_val", "psi_scale",
+                  "phi_min_val", "phi_max_val", "phi_scale",
+                  "num_bytes", "block_size", "num_times", "height", "width"):
+            assert np.isclose(getattr(got.meta, f), getattr(ref.meta, f), rtol=1e-6), f
+        assert got.valid is None
+
+    def test_uint8_single_psf(self, monkeypatch):
+        self._compare(1, mixed_psfs=False, monkeypatch=monkeypatch)
+
+    def test_uint16_single_psf(self, monkeypatch):
+        self._compare(2, mixed_psfs=False, monkeypatch=monkeypatch)
+
+    def test_uint8_mixed_psfs(self, monkeypatch):
+        self._compare(1, mixed_psfs=True, monkeypatch=monkeypatch)
+
+    def test_uint8_small_chunks_tail_padding(self, monkeypatch):
+        # Force batch=3 (3 * 4 planes * 12*14 * 4B = 8064B) so a 10-image
+        # group splits 3+3+3+1 and the tail pads by repeating an index.
+        self._compare(1, mixed_psfs=False, monkeypatch=monkeypatch,
+                      batch_bytes=3 * 4 * 12 * 14 * 4)
+
+    def test_dispatch_uses_streaming_by_default(self, monkeypatch):
+        sci, var, psfs = self._stack(12)
+        times = np.arange(len(sci)) * 0.1
+        arr = PsiPhiArray()
+        fill_psi_phi_array_from_image_arrays(arr, 1, sci, var, psfs, times)
+        ref = PsiPhiArray()
+        monkeypatch.setenv("KB_DEVICE_ENCODE", "0")
+        fill_psi_phi_array_from_image_arrays(ref, 1, sci, var, psfs, times)
+        np.testing.assert_array_equal(np.asarray(arr.psi), np.asarray(ref.psi))
