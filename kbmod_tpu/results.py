@@ -194,6 +194,35 @@ class Results:
                     self.filtered[label] = tbl
         return self
 
+    def extend_batches(self, batches):
+        """Append many Results in ONE table copy.
+
+        ``extend`` re-vstacks the accumulated table per call, which is
+        quadratic over a long batch loop — at survey scale
+        (load_and_filter_results walks ~85 batches of 100k rows whose
+        psi/phi curves make rows ~1 KB) that is hundreds of GB of memcpy.
+        Here every batch lands in a single vstack.
+        """
+        batches = list(batches)
+        non_empty = [b for b in batches if len(b) > 0]
+        for b in non_empty:
+            if len(self) > 0 and set(self.colnames) != set(b.colnames):
+                raise ValueError("Column mismatch in extend_batches().")
+        if non_empty:
+            self.table = vstack([self.table] + [b.table for b in non_empty])
+        # Filter bookkeeping merges from EVERY batch — a batch whose rows
+        # were all filtered away still carries its stats.
+        for b in batches:
+            for label, count in b.filtered_stats.items():
+                self.filtered_stats[label] = self.filtered_stats.get(label, 0) + count
+            if self.track_filtered:
+                for label, tbl in b.filtered.items():
+                    if label in self.filtered:
+                        self.filtered[label] = vstack([self.filtered[label], tbl])
+                    else:
+                        self.filtered[label] = tbl
+        return self
+
     def sort(self, colname, descending=True):
         if colname not in self.table.colnames:
             raise KeyError(f"Column {colname} not found.")

@@ -232,6 +232,7 @@ class SearchRunner:
             self._end_phase("near duplicate removal")
 
         num_kept = len(arrays["x"])
+        batches = []
         batch_start = 0
         while batch_start < num_kept:
             self._check_timeout()
@@ -257,9 +258,12 @@ class SearchRunner:
                 batch_results.filter_rows(row_mask, "sigma-g")
                 logger.debug(f"After sigma-G filtering, batch size = {len(batch_results)}")
 
-            keep.extend(batch_results)
+            batches.append(batch_results)
             batch_start += batch_size
 
+        # One vstack for the whole loop: per-batch extend() is quadratic
+        # in total rows (survey scale walks ~85 batches of 100k rows).
+        keep.extend_batches(batches)
         self._end_phase("load_and_filter_results")
         return keep
 

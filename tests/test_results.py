@@ -317,3 +317,42 @@ class TestResultsIOEdges:
         assert "extra" not in fresh.colnames
         fresh.load_column(str(tmp_path / "extra.npy"), "extra")
         np.testing.assert_allclose(fresh["extra"], extra)
+
+
+def test_extend_batches_matches_extend():
+    from kbmod_tpu.search import Trajectory
+
+    def mk(n, start=0, track=False):
+        trjs = [Trajectory(x=start + i, y=2 * i, vx=1.0, vy=-1.0, flux=10.0 * i, lh=5.0 + i, obs_count=7)
+                for i in range(n)]
+        return Results.from_trajectories(trjs, track_filtered=track)
+
+    batches_a = [mk(4), mk(0), mk(3, start=100)]
+    batches_b = [mk(4), mk(0), mk(3, start=100)]
+    # A batch whose rows were all filtered away still carries its stats.
+    batches_a[1].filtered_stats["sigma-g"] = 11
+    batches_b[1].filtered_stats["sigma-g"] = 11
+
+    one = mk(0)
+    for b in batches_a:
+        one.extend(b)
+    many = mk(0)
+    many.extend_batches(batches_b)
+
+    assert len(one) == len(many) == 7
+    np.testing.assert_array_equal(np.asarray(one["x"]), np.asarray(many["x"]))
+    assert one.filtered_stats == many.filtered_stats
+
+
+def test_extend_batches_tracked_filtered():
+    from kbmod_tpu.search import Trajectory
+
+    trjs = [Trajectory(x=i, y=i, vx=1.0, vy=1.0, flux=1.0, lh=float(i), obs_count=5) for i in range(6)]
+    b1 = Results.from_trajectories(trjs[:3], track_filtered=True)
+    b1.filter_rows(np.array([True, False, True]), "cut")
+    b2 = Results.from_trajectories(trjs[3:], track_filtered=True)
+    b2.filter_rows(np.array([False, True, True]), "cut")
+    acc = Results(track_filtered=True)
+    acc.extend_batches([b1, b2])
+    assert len(acc) == 4
+    assert len(acc.get_filtered("cut")) == 2
