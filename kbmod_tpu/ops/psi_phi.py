@@ -226,12 +226,13 @@ def fill_psi_phi_array_streaming(result, num_bytes, sci, var, psfs, zeroed_times
                 yield k, chunk, sci_b, var_b
 
     # Pass 1: global finite min/max (psi_phi_array.cpp:219-245 semantics).
-    psi_min, psi_max = np.inf, -np.inf
-    phi_min, phi_max = np.inf, -np.inf
-    for k, _, sci_b, var_b in chunks():
-        pmn, pmx, fmn, fmx = (float(v) for v in _chunk_minmax(sci_b, var_b, k))
-        psi_min, psi_max = min(psi_min, pmn), max(psi_max, pmx)
-        phi_min, phi_max = min(phi_min, fmn), max(phi_max, fmx)
+    # Fetches are deferred to the end so chunk uploads overlap the conv of
+    # the previous chunk instead of serializing on a per-chunk sync.
+    mms = [_chunk_minmax(sci_b, var_b, k) for k, _, sci_b, var_b in chunks()]
+    psi_min = min(float(m[0]) for m in mms)
+    psi_max = max(float(m[1]) for m in mms)
+    phi_min = min(float(m[2]) for m in mms)
+    phi_max = max(float(m[3]) for m in mms)
 
     def scale_of(mn, mx):
         w = mx - mn

@@ -927,7 +927,7 @@ def core_search(
                     # Survey-scale path: reuse the cached interleaved word
                     # stream instead of re-packing per call.
                     words_r, pad_rows = packed_provider()
-                    codes = np.asarray(psi_codes)
+                    codes = psi_codes  # shape/dtype only — never fetch
                     try:
                         # Host offsets stay host-side: the dispatcher needs
                         # them concrete for grouping plans and bounds checks.

@@ -2373,8 +2373,12 @@ def pack_psi_phi_words(
     """
     import os
 
-    psi_codes = np.asarray(psi_codes)
-    phi_codes = np.asarray(phi_codes)
+    # Device-resident codes (the streaming quantized build) slice on
+    # device below; only coerce hostward when given lists/other hosts.
+    if not isinstance(psi_codes, (np.ndarray, jax.Array)):
+        psi_codes = np.asarray(psi_codes)
+    if not isinstance(phi_codes, (np.ndarray, jax.Array)):
+        phi_codes = np.asarray(phi_codes)
     T, H, W = psi_codes.shape
     if psi_codes.dtype == np.uint8:
         COLS = 2
