@@ -992,7 +992,7 @@ def core_search(
     return results
 
 
-def _fetch_topk(top_lh, top_idx):
+def _fetch_topk(top_lh, top_idx, band=1 << 25):
     """Bring (K, SH, SW) top-K maps to the host.
 
     Empty slots (idx == -1, lh == -FLT_MAX — searchFilterImages'
@@ -1010,19 +1010,33 @@ def _fetch_topk(top_lh, top_idx):
     n = int(jnp.sum(mask))
     if 4 * n >= total or total < 1 << 16:
         return np.asarray(top_lh), np.asarray(top_idx)
-    # Power-of-two bucket bounds retraces of the static-size nonzero.
-    size = min(total, 1 << max(10, int(n - 1).bit_length()))
-    pos = jnp.nonzero(mask, size=size, fill_value=total)[0]
-    lh_pad = jnp.concatenate([top_lh.reshape(-1), jnp.array([-FLT_MAX], jnp.float32)])
-    idx_pad = jnp.concatenate([top_idx.reshape(-1), jnp.array([-1], jnp.int32)])
-    pos_np = np.asarray(pos)
-    lh_v = np.asarray(lh_pad[pos])
-    idx_v = np.asarray(idx_pad[pos])
-    keep = pos_np < total
+    # Compact in flat BANDS: nonzero's scatter/cumsum internals allocate
+    # several times the mask size, which OOMs a survey-scale full-frame
+    # map (K x 4k x 4k = 134M slots) sharing HBM with the packed kernel
+    # stream. Banding caps the intermediates (~2^25 elements per band)
+    # without changing the result; positions are gathered with clamped
+    # indices so no padded copy of the maps is ever made.
+    lh_flat = top_lh.reshape(-1)
+    idx_flat = top_idx.reshape(-1)
     lh_np = np.full(total, -FLT_MAX, dtype=np.float32)
     idx_np = np.full(total, -1, dtype=np.int32)
-    lh_np[pos_np[keep]] = lh_v[keep]
-    idx_np[pos_np[keep]] = idx_v[keep]
+    for lo in range(0, total, band):
+        hi = min(lo + band, total)
+        blen = hi - lo
+        m_b = mask[lo:hi]
+        n_b = int(jnp.sum(m_b))
+        if n_b == 0:
+            continue
+        # Power-of-two bucket bounds retraces of the static-size nonzero.
+        size = min(blen, 1 << max(10, int(n_b - 1).bit_length()))
+        pos = jnp.nonzero(m_b, size=size, fill_value=blen)[0]
+        safe = jnp.minimum(pos, blen - 1)
+        pos_np = np.asarray(pos)
+        lh_v = np.asarray(lh_flat[lo:hi][safe])
+        idx_v = np.asarray(idx_flat[lo:hi][safe])
+        keep = pos_np < blen
+        lh_np[lo + pos_np[keep]] = lh_v[keep]
+        idx_np[lo + pos_np[keep]] = idx_v[keep]
     return lh_np.reshape(shape), idx_np.reshape(shape)
 
 

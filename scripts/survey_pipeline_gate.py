@@ -162,6 +162,18 @@ def main():
     if debug:
         config.set("track_filtered", True)
 
+    # Production survey path: per-row-tile search (KB_SEARCH_CKPT_DIR)
+    # bounds device memory per tile AND makes the search resumable — an
+    # untiled 4k full-frame assembly would share HBM with the ~8 GB
+    # packed kernel stream. Rehearsals at small frames run untiled
+    # unless the env var is set explicitly.
+    if HW >= 2048 and not os.environ.get("KB_SEARCH_CKPT_DIR"):
+        ckpt_dir = "/tmp/kb_pipeline_gate_ckpt"
+        os.makedirs(ckpt_dir, exist_ok=True)
+        for name in os.listdir(ckpt_dir):
+            os.remove(os.path.join(ckpt_dir, name))
+        os.environ["KB_SEARCH_CKPT_DIR"] = ckpt_dir
+
     runner = SearchRunner()
     t1 = time.time()
     results = runner.run_search(config, stack)

@@ -334,3 +334,26 @@ class TestFetchTopkCompaction:
         out_lh, out_idx = _fetch_topk(jnp.asarray(lh), jnp.asarray(idx))
         np.testing.assert_array_equal(out_lh, lh)
         np.testing.assert_array_equal(out_idx, idx)
+
+    @pytest.mark.parametrize("band", [1 << 12, 1 << 14, 60_000])
+    def test_banded_exact(self, band):
+        """The banded compaction (memory cap for survey-scale full-frame
+        maps) must match a dense fetch band-for-band: real entries
+        straddling band edges, empty bands, and a non-power-of-two tail."""
+        import jax.numpy as jnp
+
+        from kbmod_tpu.ops.search import _fetch_topk
+
+        rng = np.random.default_rng(17)
+        lh, idx = self._maps(rng, n_real=3000)
+        # Force one fully-empty band and entries hugging band edges.
+        flat_idx = idx.reshape(-1)
+        flat_idx[band : 2 * band] = -1
+        lh.reshape(-1)[band : 2 * band] = np.float32(-3.4028235e38)
+        flat_idx[band - 1] = 7
+        flat_idx[2 * band] = 8
+        lh.reshape(-1)[band - 1] = 1.5
+        lh.reshape(-1)[2 * band] = 2.5
+        out_lh, out_idx = _fetch_topk(jnp.asarray(lh), jnp.asarray(idx), band=band)
+        np.testing.assert_array_equal(out_lh, lh)
+        np.testing.assert_array_equal(out_idx, idx)
