@@ -22,9 +22,13 @@ vs_baseline is relative to the 1e9 evals/s/chip north star — plus a
 
 Each config runs in its own subprocess (clean device memory between
 scales); a config that fails or times out records {"error": ...} without
-sinking the others, so the JSON line always prints. KB_BENCH_CONFIGS
-selects a subset (e.g. KB_BENCH_CONFIGS=3 restores the old single-config
-behavior); cfg3 knobs stay overridable by KB_BENCH_T/H/W/C/K/KERNEL.
+sinking the others, so the JSON line always prints. The headline config 3
+runs FIRST and its JSON line is printed eagerly, so a driver-level timeout
+later in the ladder still leaves a parseable artifact; a global wall
+budget (KB_BENCH_WALL, default 1500 s) skips configs that no longer fit.
+KB_BENCH_CONFIGS selects a subset (e.g. KB_BENCH_CONFIGS=3 restores the
+old single-config behavior); cfg3 knobs stay overridable by
+KB_BENCH_T/H/W/C/K/KERNEL.
 """
 
 import json
@@ -335,7 +339,25 @@ def cfg5_survey_tiles():
 
 CONFIGS = {1: cfg1_readme_example, 2: cfg2_real_data, 3: cfg3_kernel,
            4: cfg4_reprojected, 5: cfg5_survey_tiles}
-TIMEOUTS = {1: 600, 2: 600, 3: 900, 4: 900, 5: 1800}
+# cfg3 (the headline) runs FIRST so its JSON line exists even if a later
+# config hits the driver's wall; per-config budgets sum to < 27 min and a
+# global wall (KB_BENCH_WALL, default 25 min) skips any config that no
+# longer fits, so the final full-ladder line always prints (VERDICT r4 #3).
+ORDER = [3, 1, 2, 4, 5]
+TIMEOUTS = {1: 240, 2: 300, 3: 420, 4: 360, 5: 600}
+
+
+def _headline(ladder, wanted):
+    head = next((e for e in ladder if e.get("config") == 3 and "value" in e), None)
+    value = head["value"] if head else float("nan")
+    unit = head["unit"] if head else "evals/s (config 3 failed)"
+    return {
+        "metric": "candidate_trajectory_evals_per_sec",
+        "value": value,
+        "unit": f"{unit}; ladder = BASELINE configs {wanted}",
+        "vs_baseline": value / NORTH_STAR,
+        "ladder": ladder,
+    }
 
 
 def main():
@@ -345,13 +367,21 @@ def main():
         return
 
     wanted = [int(s) for s in os.environ.get("KB_BENCH_CONFIGS", "1,2,3,4,5").split(",")]
+    wall = float(os.environ.get("KB_BENCH_WALL", 1500))
+    t_start = time.perf_counter()
     ladder = []
-    for n in wanted:
+    for n in [c for c in ORDER if c in wanted] + [c for c in wanted if c not in ORDER]:
+        remaining = wall - (time.perf_counter() - t_start)
+        budget = min(TIMEOUTS[n], max(0.0, remaining))
+        if budget < 30.0:
+            ladder.append({"config": n, "skipped": f"wall budget exhausted ({wall:.0f}s)"})
+            print(f"[bench] config {n}: {json.dumps(ladder[-1])}", file=sys.stderr, flush=True)
+            continue
         try:
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--config", str(n)],
                 stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
-                timeout=TIMEOUTS[n], cwd=REPO_ROOT,
+                timeout=budget, cwd=REPO_ROOT,
             )
             lines = [l for l in proc.stdout.splitlines() if l.startswith("CFG_RESULT ")]
             if proc.returncode == 0 and lines:
@@ -359,19 +389,13 @@ def main():
             else:
                 ladder.append({"config": n, "error": proc.stdout[-800:]})
         except subprocess.TimeoutExpired:
-            ladder.append({"config": n, "error": f"timeout after {TIMEOUTS[n]}s"})
+            ladder.append({"config": n, "error": f"timeout after {budget:.0f}s"})
         print(f"[bench] config {n}: {json.dumps(ladder[-1])[:220]}", file=sys.stderr, flush=True)
+        if n == 3:
+            # Eager headline: a parseable line exists from this moment on.
+            print(json.dumps(_headline(ladder, wanted)), flush=True)
 
-    head = next((e for e in ladder if e.get("config") == 3 and "value" in e), None)
-    value = head["value"] if head else float("nan")
-    unit = head["unit"] if head else "evals/s (config 3 failed)"
-    print(json.dumps({
-        "metric": "candidate_trajectory_evals_per_sec",
-        "value": value,
-        "unit": f"{unit}; ladder = BASELINE configs {wanted}",
-        "vs_baseline": value / NORTH_STAR,
-        "ladder": ladder,
-    }))
+    print(json.dumps(_headline(ladder, wanted)), flush=True)
 
 
 if __name__ == "__main__":

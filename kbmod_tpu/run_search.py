@@ -312,6 +312,70 @@ class SearchRunner:
         self._end_phase("do_core_search")
         return keep
 
+    def _truncate_to_max_results(self, keep, config):
+        """Cap the row count at config max_results (best likelihood first),
+        after all trajectory-space filtering and before stamps are attached
+        (reference run_search.py:482-490 for the ordering contract)."""
+        limit = config["max_results"]
+        if limit <= -1 or len(keep) <= limit:
+            return
+        self._start_phase("max_results")
+        logger.info(f"Keeping the {limit} highest-likelihood of {len(keep)} rows.")
+        keep.sort("likelihood", descending=True)
+        keep.filter_rows(np.arange(limit), "max_results")
+        self._end_phase("max_results")
+
+    def _stamp_phase(self, keep, config, stack):
+        """Attach coadd stamps, then run every stamp-space vetting step.
+
+        One umbrella phase wraps four config-gated sub-steps; the set of
+        steps and their order is the reference's pipeline contract
+        (run_search.py:492-531): coadds (always, plus the legacy "stamp"
+        alias), peak-offset veto, predictive line clustering, CNN vetting,
+        and optionally the full per-time stamp cube.
+        """
+        radius = config["stamp_radius"]
+        legacy = config["stamp_type"]
+        self._start_phase("stamp generation")
+
+        self._start_phase("appending co-adds")
+        append_coadds(keep, stack, set(config["coadds"]) | {legacy}, radius,
+                      nightly=config["nightly_coadds"])
+        if f"coadd_{legacy}" in keep.colnames:
+            keep.table["stamp"] = keep.table[f"coadd_{legacy}"]
+        self._end_phase("appending co-adds")
+
+        if config["peak_offset_max"] is not None:
+            self._start_phase("peak_offset_filtering")
+            peak_offset_filter(keep, peak_offset_max=config["peak_offset_max"])
+            self._end_phase("peak_offset_filtering")
+
+        if config["pred_line_cluster"]:
+            params = config["pred_line_params"]
+            if len(params) != 3:
+                raise ValueError(f"pred_line_params needs [dist_lim, min_samples, proc_dist], got {params}")
+            self._start_phase("predictive_line_clustering")
+            predictive_line_cluster(keep, stack.times, *params)
+            self._end_phase("predictive_line_clustering")
+
+        if config["cnn_filter"]:
+            if config["cnn_model"] is None:
+                raise ValueError("cnn_filter requires cnn_model.")
+            self._start_phase("cnn filtering")
+            filter_stamps_by_cnn(
+                keep,
+                config["cnn_model"],
+                model_type=config["cnn_model_type"],
+                coadd_type=config["cnn_coadd_type"],
+                stamp_radius=config["cnn_stamp_radius"],
+                coadd_radius=radius,
+            )
+            self._end_phase("cnn filtering")
+
+        if config["save_all_stamps"]:
+            append_all_stamps(keep, stack, radius)
+        self._end_phase("stamp generation")
+
     def run_search(self, config, stack, trj_generator=None, workunit=None, extra_meta=None):
         """The highest-level entry: search an ImageStackPy with a
         SearchConfiguration (reference run_search.py:396-593)."""
@@ -355,57 +419,8 @@ class SearchRunner:
             apply_clustering(keep, cluster_params)
             self._end_phase("clustering")
 
-        # Truncate to max_results (by likelihood) before adding stamps.
-        if config["max_results"] > -1 and config["max_results"] < len(keep):
-            self._start_phase("max_results")
-            logger.info(f"Keeping the {config['max_results']} highest-likelihood of {len(keep)} rows.")
-            keep.sort("likelihood", descending=True)
-            keep.filter_rows(np.arange(config["max_results"]), "max_results")
-            self._end_phase("max_results")
-
-        # Stamp generation: coadd_* columns plus the legacy "stamp" column.
-        self._start_phase("stamp generation")
-        stamp_radius = config["stamp_radius"]
-        stamp_type = config["stamp_type"]
-        coadds = set(config["coadds"])
-        coadds.add(stamp_type)
-
-        self._start_phase("appending co-adds")
-        append_coadds(keep, stack, coadds, stamp_radius, nightly=config["nightly_coadds"])
-        if f"coadd_{stamp_type}" in keep.colnames:
-            keep.table["stamp"] = keep.table[f"coadd_{stamp_type}"]
-        self._end_phase("appending co-adds")
-
-        if config["peak_offset_max"] is not None:
-            self._start_phase("peak_offset_filtering")
-            peak_offset_filter(keep, peak_offset_max=config["peak_offset_max"])
-            self._end_phase("peak_offset_filtering")
-
-        if config["pred_line_cluster"]:
-            self._start_phase("predictive_line_clustering")
-            if len(config["pred_line_params"]) != 3:
-                raise ValueError("Exactly three predictive line cluster parameters must be set")
-            dist_lim, min_samp, proc_distance = config["pred_line_params"]
-            predictive_line_cluster(keep, stack.times, dist_lim, min_samp, proc_distance)
-            self._end_phase("predictive_line_clustering")
-
-        if config["cnn_filter"]:
-            if config["cnn_model"] is None:
-                raise ValueError("cnn_model must be set to use cnn_filter.")
-            self._start_phase("cnn filtering")
-            filter_stamps_by_cnn(
-                keep,
-                config["cnn_model"],
-                model_type=config["cnn_model_type"],
-                coadd_type=config["cnn_coadd_type"],
-                stamp_radius=config["cnn_stamp_radius"],
-                coadd_radius=config["stamp_radius"],
-            )
-            self._end_phase("cnn filtering")
-
-        if config["save_all_stamps"]:
-            append_all_stamps(keep, stack, stamp_radius)
-        self._end_phase("stamp generation")
+        self._truncate_to_max_results(keep, config)
+        self._stamp_phase(keep, config, stack)
 
         # Sky-coordinate output from the WorkUnit's WCS information.
         if workunit is not None:

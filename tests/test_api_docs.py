@@ -21,10 +21,15 @@ class TestApiDocs:
         # optional-import-gated ButlerStandardizer page documents, so an
         # in-process run is order-dependent. The committed tree must match
         # what ``python scripts/gen_api_docs.py`` itself produces.
-        subprocess.run(
+        proc = subprocess.run(
             [sys.executable, str(REPO / "scripts" / "gen_api_docs.py"), str(tmp_path)],
-            check=True, cwd=REPO, capture_output=True, text=True,
+            cwd=REPO, capture_output=True, text=True,
         )
+        if proc.returncode != 0:
+            pytest.fail(
+                f"gen_api_docs.py failed (rc={proc.returncode}):\n"
+                f"--- stdout ---\n{proc.stdout}\n--- stderr ---\n{proc.stderr}"
+            )
         names = sorted(os.listdir(tmp_path))
         assert (API_DIR / "index.md").exists(), "docs/api missing — run scripts/gen_api_docs.py"
         stale = []
