@@ -592,9 +592,16 @@ def search_topk_core(
     cand_valid=None,
     has_masked=True,
     encode_meta=None,
+    reduce_fn=None,
 ):
     """The shift-and-accumulate top-K kernel body (trace-time bounds are
     dynamic so it composes with shard_map pixel/candidate sharding).
+
+    ``reduce_fn`` (optional) is applied to the per-candidate partial sums
+    (psi_sum, phi_sum, obs) after the time loop and before gating/top-K —
+    the hook time sharding uses to psum partial sums across a mesh axis
+    (the per-candidate statistic is a pure sum over T, so it factorizes
+    exactly over a time-sharded stack).
 
     ``has_masked=False`` (static) skips the validity-plane reads entirely —
     valid for stacks with no masked pixels, saving a third of the HBM
@@ -704,6 +711,8 @@ def search_topk_core(
         top_lh, top_idx = carry
         dy, dx, cidx, c_ok = inp
         psi_s, phi_s, obs = accumulate(dy, dx)
+        if reduce_fn is not None:
+            psi_s, phi_s, obs = reduce_fn(psi_s, phi_s, obs)
         lh = jnp.where(phi_s > 0, psi_s / jnp.sqrt(phi_s), -1.0)
         ok = jnp.broadcast_to(c_ok, lh.shape)
         if gate_min_obs:

@@ -589,6 +589,68 @@ def sharded_search_topk(
             )
         return np.asarray(top_lh)[:, :SH, :], np.asarray(top_idx)[:, :SH, :]
 
+    if shard_mode == "time":
+        # Capacity mode for stacks too long (T) for one chip's HBM: each
+        # device holds a contiguous slice of the time axis and accumulates
+        # its local (psi_sum, phi_sum, obs) partials per candidate; a psum
+        # over the mesh completes the exact per-candidate statistics before
+        # gating and top-K insertion (replicated on every device). The
+        # statistic is a pure sum over T, so the result is bit-identical to
+        # the single-device XLA kernel. XLA kernel only — the fused Pallas
+        # kernels compute likelihoods internally and do not factorize.
+        if kernel != "xla":
+            raise ValueError("shard_mode='time' supports only kernel='xla'")
+        use_codes = psi_codes is not None and encode_meta is not None
+        in0 = jnp.asarray(psi_codes) if use_codes else jnp.asarray(psi)
+        in1 = jnp.asarray(phi_codes) if use_codes else jnp.asarray(phi)
+        T = in0.shape[0]
+        t_per = math.ceil(T / n_dev)
+        # Padding timesteps contribute nothing: valid=0 (float path) or
+        # code 0 = masked (encoded path); their dx/dy entries stay 0.
+        def pad_t(a, axis):
+            width = [(0, 0)] * a.ndim
+            width[axis] = (0, t_per * n_dev - T)
+            return np.pad(np.asarray(a), width)
+
+        in0 = jnp.asarray(pad_t(in0, 0))
+        in1 = jnp.asarray(pad_t(in1, 0))
+        in2 = (
+            jnp.zeros((1, 1, 1), jnp.uint8) if use_codes
+            else jnp.asarray(pad_t(np.asarray(valid), 0))
+        )
+        dxs_p = jnp.asarray(pad_t(dxs, 1))
+        dys_p = jnp.asarray(pad_t(dys, 1))
+        em = (
+            jnp.asarray(np.asarray(encode_meta, dtype=np.float32))
+            if use_codes else None
+        )
+
+        @partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=(P(AXIS), P(AXIS), P() if use_codes else P(AXIS),
+                      P(None, AXIS), P(None, AXIS)),
+            out_specs=(P(), P()),
+            check_rep=False,
+        )
+        def run(psi_t, phi_t, valid_t, dxs_t, dys_t):
+            def psum_partials(psi_s, phi_s, obs):
+                stacked = jnp.stack([psi_s, phi_s, obs])
+                psi_s, phi_s, obs = jax.lax.psum(stacked, AXIS)
+                return psi_s, phi_s, obs
+
+            return search_topk_core(
+                psi_t, phi_t, valid_t, dxs_t, dys_t, min_obs, min_lh,
+                jnp.int32(x_min), jnp.int32(y_min), jnp.int32(0),
+                sh=SH, sw=SW, k_results=k_results,
+                gate_min_obs=gate_min_obs, gate_min_lh=gate_min_lh,
+                unroll=unroll, encode_meta=em, reduce_fn=psum_partials,
+            )
+
+        with mesh:
+            top_lh, top_idx = jax.jit(run)(in0, in1, in2, dxs_p, dys_p)
+        return np.asarray(top_lh), np.asarray(top_idx)
+
     raise ValueError(f"Unknown shard_mode {shard_mode}")
 
 

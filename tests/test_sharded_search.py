@@ -46,7 +46,7 @@ class TestShardedSearch:
     def test_eight_devices_available(self):
         assert len(jax.devices()) == 8
 
-    @pytest.mark.parametrize("shard_mode", ["candidates", "pixels"])
+    @pytest.mark.parametrize("shard_mode", ["candidates", "pixels", "time"])
     def test_matches_single_device(self, data, shard_mode):
         psi_z, phi_z, valid, times, vxs, vys, (T, H, W) = data
         k = 3
@@ -63,6 +63,44 @@ class TestShardedSearch:
         distinct = np.abs(np.sort(exp_lh, axis=0)[1:] - np.sort(exp_lh, axis=0)[:-1]).min() > 1e-6
         if distinct:
             np.testing.assert_array_equal(got_idx, exp_idx)
+
+    def test_time_shard_encoded_codes(self, data):
+        """Time sharding on uint8 code planes: the affine decode commutes
+        with the cross-shard psum, so the result matches an encoded
+        single-device search."""
+        psi_z, phi_z, valid, times, vxs, vys, (T, H, W) = data
+        arr = PsiPhiArray()
+        fill_psi_phi_array(arr, 1, [np.asarray(p) for p in psi_z],
+                           [np.asarray(p) for p in phi_z], times)
+        m = arr.meta
+        em = np.array([m.psi_min_val, m.psi_scale, m.phi_min_val, m.phi_scale], np.float32)
+        dxs, dys = trajectory_offsets(vxs, vys, times)
+        import jax.numpy as jnp
+
+        exp_lh, exp_idx = search_topk_shift(
+            jnp.asarray(arr.psi), jnp.asarray(arr.phi), jnp.zeros((1, 1, 1), jnp.uint8),
+            jnp.asarray(dxs), jnp.asarray(dys), jnp.float32(0), jnp.float32(0),
+            x_min=0, x_max=W, y_min=0, y_max=H, k_results=3,
+            encode_meta=jnp.asarray(em),
+        )
+        mesh = build_mesh(8)
+        got_lh, got_idx = sharded_search_topk(
+            None, None, None, dxs, dys, mesh,
+            x_min=0, x_max=W, y_min=0, y_max=H, k_results=3,
+            shard_mode="time",
+            psi_codes=arr.psi, phi_codes=arr.phi, encode_meta=em,
+        )
+        np.testing.assert_allclose(got_lh, np.asarray(exp_lh), rtol=1e-5, atol=1e-5)
+
+    def test_time_shard_rejects_pallas(self, data):
+        psi_z, phi_z, valid, times, vxs, vys, (T, H, W) = data
+        dxs, dys = trajectory_offsets(vxs, vys, times)
+        with pytest.raises(ValueError, match="time"):
+            sharded_search_topk(
+                psi_z, phi_z, valid, dxs, dys, build_mesh(8),
+                x_min=0, x_max=W, y_min=0, y_max=H, k_results=2,
+                shard_mode="time", kernel="pallas",
+            )
 
     def test_sharded_core_search_matches(self, data):
         psi_z, phi_z, valid, times, vxs, vys, (T, H, W) = data
