@@ -2344,6 +2344,34 @@ def _pack_guards(H, W, COLS, SW4, row_guard, col_slack):
     return row_guard, col_slack, W4
 
 
+def packed_stream_bytes(T, H, W, itemsize=1, sw_max=None, sh_max=None,
+                        row_guard=None, col_slack=None, paired=None):
+    """Exact device size in bytes of :func:`pack_psi_phi_words`'s output
+    for a (T, H, W) code stack — the dominant HBM term at survey scale
+    (~8.3 GB for 100 x 4096^2 uint8 with the default guards), used by the
+    written HBM budget (:func:`kbmod_tpu.ops.search.estimate_search_hbm`).
+
+    Mirrors the layout arithmetic of the packer itself: guard resolution
+    via :func:`_pack_guards`, ``pad_rows`` upper bound, the dual-parity
+    doubling for the uint8 paired layout.
+    """
+    import os
+
+    COLS = 2 if itemsize == 1 else 1
+    sw_max = W if sw_max is None else int(sw_max)
+    sh_max = H if sh_max is None else int(sh_max)
+    SW4 = pl.cdiv(sw_max, COLS)
+    pad_rows = _round_up(sh_max + 256 + H + 16, 8)
+    row_guard, col_slack, W4 = _pack_guards(H, W, COLS, SW4, row_guard, col_slack)
+    if paired is None:
+        paired = itemsize == 1 and os.environ.get("KB_PAIRED_KERNEL", "1") != "0"
+    HG = H + row_guard
+    if paired:
+        ROWS1 = _round_up(T * HG + 2 * pad_rows, 8)
+        return 2 * ROWS1 * W4 * 4
+    return (T * HG + 2 * pad_rows) * W4 * 4
+
+
 def pack_psi_phi_words(
     psi_codes, phi_codes, sw_max=None, sh_max=None, t_chunk=8,
     row_guard=None, col_slack=None,

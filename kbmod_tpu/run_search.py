@@ -93,28 +93,46 @@ def configure_kb_search_stack(search, config):
 
 
 def check_gpu_memory(config, stack, trj_generator=None):
-    """Check whether the search fits in device (HBM) memory: the budget is
-    2x the encoded psi/phi stack + results + candidates
-    (reference run_search.py:75-126)."""
+    """Check whether the search fits in device (HBM) memory.
+
+    Uses the written TPU budget (:func:`kbmod_tpu.ops.search.
+    estimate_search_hbm` — packed kernel stream + code planes + per-tile
+    maps + compaction/gather workspaces) plus the candidate/result tables,
+    replacing the reference's 2x-stack heuristic (run_search.py:75-126)
+    which under-counts the interleaved word stream the TPU kernels read.
+    """
+    from kbmod_tpu.ops.search import estimate_search_hbm
+
     bytes_free = kb.get_gpu_free_memory()
-    logger.debug(f"Checking device memory needs (Free memory = {bytes_free} bytes):")
-
-    gpu_float_size = config["encode_num_bytes"] if config["encode_num_bytes"] > 0 else 4
-    img_stack_size = stack.get_total_pixels() * gpu_float_size
-
-    num_candidates = 0 if trj_generator is None else len(trj_generator)
-    candidate_memory = kb.TrajectoryList.estimate_memory(num_candidates)
 
     def extent(axis, image_extent):
         bounds = _resolve_start_bounds(config, axis, image_extent)
         return image_extent if bounds is None else bounds[1] - bounds[0]
 
-    num_results = (
-        extent("x", stack.width) * extent("y", stack.height) * config["results_per_pixel"]
+    k = config["results_per_pixel"]
+    over = int(os.environ.get("KB_SIGMAG_TOPK_FACTOR", "4"))
+    budget = estimate_search_hbm(
+        stack.num_times, stack.height, stack.width,
+        encode_num_bytes=config["encode_num_bytes"],
+        k_search=over * k if config["sigmaG_filter"] else k,
+        tile_rows=int(os.environ.get("KB_SEARCH_CKPT_TILE_ROWS", "256"))
+        if os.environ.get("KB_SEARCH_CKPT_DIR")
+        else extent("y", stack.height),
     )
-    result_memory = kb.TrajectoryList.estimate_memory(num_results)
 
-    return bytes_free > (2 * img_stack_size + result_memory + candidate_memory)
+    # Candidate offset tables ride to the device (2 int32 per (cand, time));
+    # result rows do NOT — assembly compacts on device into host numpy, and
+    # the per-tile device slot maps are already the topk_maps budget term.
+    num_candidates = 0 if trj_generator is None else len(trj_generator)
+    candidate_memory = 2 * 4 * num_candidates * stack.num_times
+
+    needed = budget["total"] + candidate_memory
+    logger.debug(
+        f"Device memory check: need {needed / 2**30:.2f} GiB "
+        f"({ {kk: round(vv / 2**30, 2) for kk, vv in budget.items()} }), "
+        f"free {bytes_free / 2**30:.2f} GiB"
+    )
+    return bytes_free > needed
 
 
 class SearchRunner:
