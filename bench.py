@@ -25,10 +25,15 @@ scales); a config that fails or times out records {"error": ...} without
 sinking the others, so the JSON line always prints. The headline config 3
 runs FIRST and its JSON line is printed eagerly, so a driver-level timeout
 later in the ladder still leaves a parseable artifact; a global wall
-budget (KB_BENCH_WALL, default 1500 s) skips configs that no longer fit.
+budget (KB_BENCH_WALL, default 1080 s) skips configs that no longer fit.
 KB_BENCH_CONFIGS selects a subset (e.g. KB_BENCH_CONFIGS=3 restores the
 old single-config behavior); cfg3 knobs stay overridable by
 KB_BENCH_T/H/W/C/K/KERNEL.
+
+The default wall (1080 s) is set from the observed driver behavior: the
+round-4 artifact was rc=124 (driver kill) with the tail cut during config
+5, after cfg1 80s + cfg2 600s-timeout + cfg3 + cfg4 70s ~ 900-1200 s — so
+the ladder must self-terminate with its full JSON line inside ~18 min.
 """
 
 import json
@@ -341,7 +346,7 @@ CONFIGS = {1: cfg1_readme_example, 2: cfg2_real_data, 3: cfg3_kernel,
            4: cfg4_reprojected, 5: cfg5_survey_tiles}
 # cfg3 (the headline) runs FIRST so its JSON line exists even if a later
 # config hits the driver's wall; per-config budgets sum to < 27 min and a
-# global wall (KB_BENCH_WALL, default 25 min) skips any config that no
+# global wall (KB_BENCH_WALL, default 18 min) skips any config that no
 # longer fits, so the final full-ladder line always prints (VERDICT r4 #3).
 ORDER = [3, 1, 2, 4, 5]
 TIMEOUTS = {1: 240, 2: 300, 3: 420, 4: 360, 5: 600}
@@ -367,7 +372,7 @@ def main():
         return
 
     wanted = [int(s) for s in os.environ.get("KB_BENCH_CONFIGS", "1,2,3,4,5").split(",")]
-    wall = float(os.environ.get("KB_BENCH_WALL", 1500))
+    wall = float(os.environ.get("KB_BENCH_WALL", 1080))
     t_start = time.perf_counter()
     ladder = []
     for n in [c for c in ORDER if c in wanted] + [c for c in wanted if c not in ORDER]:
