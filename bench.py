@@ -290,8 +290,8 @@ def cfg5_survey_tiles():
     unit the sustained survey gate uses; scripts/survey_full_grid.py)."""
     import jax.numpy as jnp
 
-    from kbmod_tpu.ops.search import EncodedPlanes, core_search
-    from kbmod_tpu.ops.search_pallas import pack_psi_phi_words
+    from kbmod_tpu.ops.search import EncodedPlanes, core_search, trajectory_offsets
+    from kbmod_tpu.ops.search_pallas import auto_pack_guards, pack_psi_phi_words
 
     T, HW, K = 100, 4096, 8
     tile_rows, n_tiles = 256, 4
@@ -301,7 +301,7 @@ def cfg5_survey_tiles():
     vxs = (vv * np.cos(aa)).ravel().astype(np.float32)
     vys = (vv * np.sin(aa)).ravel().astype(np.float32)
     C = len(vxs)
-    times = np.linspace(0.0, 1.35, T)  # reach 710 px <= the 720-px guards
+    times = np.linspace(0.0, 1.35, T)  # reach 710 px, inside the auto guards
 
     rng = np.random.default_rng(11)
     psi_c = rng.integers(0, 256, (T, HW, HW), dtype=np.uint8)
@@ -309,7 +309,10 @@ def cfg5_survey_tiles():
     em = np.array([-6.0, 12.0 / 254, 0.1, 4.0 / 254], dtype=np.float32)
 
     t0 = time.perf_counter()
-    words_r, pad_rows = pack_psi_phi_words(psi_c, phi_c, t_chunk=8, row_guard=384, col_slack=384)
+    # Canonical guards = the production pipeline's stream shape for this
+    # grid, so the persistent cache shares executables with SearchRunner.
+    rg, cs = auto_pack_guards(*trajectory_offsets(vxs, vys, times))
+    words_r, pad_rows = pack_psi_phi_words(psi_c, phi_c, t_chunk=8, row_guard=rg, col_slack=cs)
     words_r.block_until_ready()
     planes = EncodedPlanes(jnp.asarray(psi_c), jnp.asarray(phi_c), jnp.asarray(em))
     del psi_c, phi_c

@@ -407,13 +407,23 @@ class PsiPhiArray:
 
         if self.meta.num_bytes not in (1, 2):
             raise RuntimeError("packed_words requires a uint8/uint16 quantized array.")
-        from kbmod_tpu.ops.search_pallas import PackGeom, pack_psi_phi_words
+        from kbmod_tpu.ops.search_pallas import (
+            PackGeom,
+            canonical_pack_guards,
+            pack_psi_phi_words,
+        )
 
+        # Request-driven guards are bucketed onto the canonical lattice so
+        # every search over this stack with a similar reach shares ONE
+        # stream shape — and therefore one persistent-cache executable
+        # (canonical_pack_guards).
         want_guard = want_slack = None
-        if os.environ.get("KB_PACK_GUARD") is None and min_row_guard is not None:
-            want_guard = max(256, int(min_row_guard))
-        if os.environ.get("KB_PACK_COLSLACK") is None and min_col_slack is not None:
-            want_slack = max(256, int(min_col_slack))
+        if min_row_guard is not None or min_col_slack is not None:
+            rg, cs = canonical_pack_guards(min_row_guard or 0, min_col_slack or 0)
+            if os.environ.get("KB_PACK_GUARD") is None and min_row_guard is not None:
+                want_guard = rg
+            if os.environ.get("KB_PACK_COLSLACK") is None and min_col_slack is not None:
+                want_slack = cs
         if self._packed is not None and (want_guard or want_slack):
             geom = self._packed[1]
             if isinstance(geom, PackGeom) and (

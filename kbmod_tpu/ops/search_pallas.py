@@ -2324,6 +2324,46 @@ def _norm_geom(pad_rows):
     return PackGeom(int(pad_rows), 0, 0)
 
 
+def canonical_pack_guards(min_row_guard, min_col_slack):
+    """Bucket request-driven guard sizes onto the coarse lattice
+    {256, 512, 1024, ...}.
+
+    Stream shapes are compile keys: every distinct (row_guard, col_slack)
+    produces a distinct packed-stream shape and therefore a distinct
+    compiled executable — before bucketing, the pipeline, the gate
+    scripts, and the benches each derived slightly different guards for
+    the SAME search and re-compiled the same 4k kernels per script
+    (300-460 s each on a v5e, uncacheable across the fleet of entry
+    points). Bucketing collapses every search over the same stack with a
+    similar reach onto ONE canonical stream shape, so the persistent
+    compile cache serves them all. Explicitly-passed guard sizes bypass
+    this (tests/debugging); the production resolution
+    (PsiPhiArray.packed_words) and the survey scripts route through it.
+    """
+    def _bucket(v):
+        b = 256  # the floor the old resolution used (max(256, request))
+        while b < v:
+            b *= 2
+        return b
+
+    # Deliberately no image-size cap: capping below the request would
+    # disengage the mask-free fast path on small fixtures whose reach
+    # exceeds the frame (the old resolution also floored at 256
+    # regardless of image size).
+    return _bucket(int(min_row_guard)), _bucket(int(min_col_slack))
+
+
+def auto_pack_guards(dxs, dys):
+    """Canonical guard sizes for a concrete trajectory reach: the minimum
+    row/column guards that keep every read of the mask-free kernel
+    variants on guard zeros (reach + the kernels' window spread), bucketed
+    by :func:`canonical_pack_guards` so same-stack searches share one
+    stream shape/executable."""
+    min_guard = int(np.abs(np.asarray(dys)).max()) + 56
+    min_slack = int(np.abs(np.asarray(dxs)).max()) // 2 + 56
+    return canonical_pack_guards(min_guard, min_slack)
+
+
 def _pack_guards(H, W, COLS, SW4, row_guard, col_slack):
     """Resolve the packer's guard sizes (env defaults, caps, rounding) and
     the resulting padded row width. Guards wider than the image cover only

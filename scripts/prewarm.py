@@ -1,0 +1,144 @@
+"""Pre-warm the persistent compile cache for the production shapes.
+
+Cold compiles are the dominant cost of first runs on a fresh machine
+(~80 s for the README example, minutes for the first 4k survey tile);
+the reference never pays this because its CUDA kernels ship precompiled
+(kernels.cu). The TPU equivalent is JAX's persistent compilation cache
+(configured at import, kbmod_tpu/__init__.py): executables compiled once
+on a machine are served to every later process from
+``~/.kbmod_tpu_jax_cache``.
+
+This script pays those compiles ONCE, deliberately, for the shapes real
+runs use, so every subsequent pipeline/bench/gate run starts warm:
+
+  tier 0 (default)   the README/demo scale: 10-20 x 512^2 float pipeline
+                     (psi/phi build, search, sigma-G, stamps).
+  tier 1 (--tier 1)  the rehearsal scale: 20 x 1024^2 uint8-encoded
+                     pipeline (packed/grouped kernels at 1024).
+  tier 2 (--tier 2)  the survey scale: one 256-row tile of the
+                     100 x 4096^2 encoded search at the full default
+                     33,153-candidate grid (the shape every production
+                     tile reuses) plus the survey stamp/coadd shapes.
+
+Each tier subsumes nothing — shapes are compile keys, so only exact
+production shapes help. Run ``python scripts/prewarm.py --tier 2`` on a
+new machine (~10-15 min); repeated runs are no-ops served from the cache
+(the script prints per-stage walls, so a warm cache is also visible).
+"""
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import numpy as np
+
+
+def _stage(name, fn):
+    t0 = time.time()
+    fn()
+    print(f"prewarm {name}: {time.time() - t0:.1f}s", flush=True)
+
+
+def tier0():
+    """README/demo scale: the quick-start block, executed verbatim.
+
+    Compile keys include every shape — image dims AND candidate count —
+    so warming the README's exact executable means running the README's
+    exact block (the same extraction bench.py cfg1 uses)."""
+    import re
+
+    readme = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "README.md")
+    with open(readme) as f:
+        blocks = re.findall(r"```python\n(.*?)```", f.read(), flags=re.DOTALL)
+    block = next(b for b in blocks if "FakeDataSet" in b)
+
+    def run():
+        exec(compile(block, "README.md", "exec"), {})  # noqa: S102
+
+    _stage("tier0 readme quick-start (10x512^2 f32, 441 candidates)", run)
+
+
+def tier1():
+    """Rehearsal scale: 20x1024^2 uint8-encoded pipeline shapes."""
+    from kbmod_tpu.configuration import SearchConfiguration
+    from kbmod_tpu.fake_data.fake_data_creator import FakeDataSet, create_fake_times
+    from kbmod_tpu.run_search import SearchRunner
+    from kbmod_tpu.search import Trajectory
+
+    def run():
+        times = list(57130.0 + np.linspace(0.0, 1.35, 20))
+        ds = FakeDataSet(1024, 1024, times, use_seed=11)
+        ds.insert_object(Trajectory(x=300, y=400, vx=210.0, vy=8.0, flux=400.0))
+        config = SearchConfiguration()
+        config.set("generator_config", {
+            "name": "EclipticCenteredSearch",
+            "velocities": [92.0, 526.0, 64],
+            "angles": [-np.pi / 15, np.pi / 15, 32],
+            "angle_units": "radian",
+            "given_ecliptic": 0.0,
+        })
+        config.set("encode_num_bytes", 1)
+        config.set("num_obs", 10)
+        config.set("lh_level", 10.0)
+        config.set("cluster_type", "nn_start_end")
+        config.set("coadds", ["mean", "median", "sum"])
+        SearchRunner().run_search(config, ds.stack_py)
+
+    _stage("tier1 rehearsal pipeline (20x1024^2 u8)", run)
+
+
+def tier2():
+    """Survey scale: one 256-row tile of the 100x4096^2 encoded search at
+    the full default grid — the exact executable every production tile
+    reuses (scripts/survey_full_grid.py, survey_pipeline_gate.py)."""
+    import jax.numpy as jnp
+
+    from kbmod_tpu.ops.search import EncodedPlanes, core_search, trajectory_offsets
+    from kbmod_tpu.ops.search_pallas import auto_pack_guards, pack_psi_phi_words
+
+    T, HW, K = 100, 4096, 8
+    vel = np.linspace(92.0, 526.0, 257)
+    ang = np.linspace(-np.pi / 15.0, np.pi / 15.0, 129)
+    vv, aa = np.meshgrid(vel, ang, indexing="ij")
+    vxs = (vv * np.cos(aa)).ravel().astype(np.float32)
+    vys = (vv * np.sin(aa)).ravel().astype(np.float32)
+    times = np.linspace(0.0, 1.35, T)
+    em = np.array([-6.0, 12.0 / 254, 0.1, 4.0 / 254], dtype=np.float32)
+
+    rng = np.random.default_rng(5)
+    psi_c = rng.integers(0, 256, (T, HW, HW), dtype=np.uint8)
+    phi_c = rng.integers(1, 256, (T, HW, HW), dtype=np.uint8)
+
+    def run():
+        rg, cs = auto_pack_guards(*trajectory_offsets(vxs, vys, times))
+        words_r, pad_rows = pack_psi_phi_words(
+            psi_c, phi_c, t_chunk=8, row_guard=rg, col_slack=cs
+        )
+        words_r.block_until_ready()
+        planes = EncodedPlanes(jnp.asarray(psi_c), jnp.asarray(phi_c), jnp.asarray(em))
+        part = core_search(
+            planes, None, None, times, vxs, vys,
+            0, HW, 0, 256, K,
+            min_obs=10, min_lh=10.0, gate_min_obs=True, gate_min_lh=True,
+            compact_min_lh=10.0, packed_provider=lambda: (words_r, pad_rows),
+        )
+        len(part["lh"])
+
+    _stage("tier2 survey tile (100x4096^2 u8, C=33153, 256 rows)", run)
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tier", type=int, default=0, choices=(0, 1, 2),
+                    help="warm all tiers up to this one (0=readme, 1=rehearsal, 2=survey)")
+    args = ap.parse_args()
+    t0 = time.time()
+    tier0()
+    if args.tier >= 1:
+        tier1()
+    if args.tier >= 2:
+        tier2()
+    print(f"prewarm total: {time.time() - t0:.1f}s "
+          f"(cache dir: {os.environ.get('KB_COMPILE_CACHE_DIR', '~/.kbmod_tpu_jax_cache')})",
+          flush=True)

@@ -71,19 +71,23 @@ def worker():
     logging.basicConfig(level=logging.INFO)
     import jax.numpy as jnp
 
-    from kbmod_tpu.ops.search import EncodedPlanes, core_search
-    from kbmod_tpu.ops.search_pallas import pack_psi_phi_words
+    from kbmod_tpu.ops.search import EncodedPlanes, core_search, trajectory_offsets
+    from kbmod_tpu.ops.search_pallas import auto_pack_guards, pack_psi_phi_words
     from kbmod_tpu.search.checkpoint import checkpointed_core_search
 
     vxs, vys = default_grid()
     C = len(vxs)
-    # Baseline 1.35 days: reach 526 * 1.35 = 710 px <= the 720-px guards.
+    # Baseline 1.35 days: reach 526 * 1.35 = 710 px, inside the auto guards.
     times = np.linspace(0.0, 1.35, T)
     psi_c, phi_c = build_codes()
 
     t0 = time.time()
+    # Canonical guards: the same bucketed stream shape the production
+    # pipeline, bench cfg5, and prewarm tier 2 use, so the persistent
+    # compile cache serves one executable to all of them.
+    rg, cs = auto_pack_guards(*trajectory_offsets(vxs, vys, times))
     words_r, pad_rows = pack_psi_phi_words(
-        psi_c, phi_c, t_chunk=8, row_guard=384, col_slack=384
+        psi_c, phi_c, t_chunk=8, row_guard=rg, col_slack=cs
     )
     words_r.block_until_ready()
     # Winner re-scoring gathers the code planes on device.

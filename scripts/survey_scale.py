@@ -52,11 +52,12 @@ if snap > 0:
 dxs, dys = (jnp.asarray(a) for a in trajectory_offsets(vxs_f, vys_f, times))
 print(f"stack: T={T} {H}x{W} u8, C={C}", flush=True)
 t0 = time.time()
-# Guards sized for this grid's concrete trajectory reach (col_slack is in
-# words = 2 px): searches fitting the guards run the mask-free variants.
-dx_np, dy_np = np.asarray(dxs), np.asarray(dys)
-guard_auto = int(np.abs(dy_np).max()) + 48
-slack_auto = int(np.abs(dx_np).max()) // 2 + 48
+# Canonical guards for this grid's concrete trajectory reach: the same
+# bucketed sizes the production pipeline packs, so the persistent cache
+# shares executables across scripts (search_pallas.auto_pack_guards).
+from kbmod_tpu.ops.search_pallas import auto_pack_guards
+
+guard_auto, slack_auto = auto_pack_guards(np.asarray(dxs), np.asarray(dys))
 words_r, pad_rows = pack_psi_phi_words(
     psi_c, phi_c, t_chunk=8,
     row_guard=int(os.environ.get("KB_PACK_GUARD", guard_auto)),

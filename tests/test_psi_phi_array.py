@@ -116,6 +116,35 @@ class TestPsiPhiArray:
         monkeypatch.setenv("KB_PACK_COLSLACK", "256")
         assert arr.packed_words(min_row_guard=10_000, min_col_slack=10_000)[0] is w1
 
+    def test_packed_words_canonical_buckets(self, monkeypatch):
+        """Request-driven guards land on the canonical {256, 512, 1024,...}
+        lattice: stream shapes are compile keys, so near-identical searches
+        (pipeline vs gate scripts vs benches) must resolve to ONE shape for
+        the persistent compile cache to serve them all."""
+        from kbmod_tpu.ops.search_pallas import auto_pack_guards, canonical_pack_guards
+
+        monkeypatch.delenv("KB_PACK_GUARD", raising=False)
+        monkeypatch.delenv("KB_PACK_COLSLACK", raising=False)
+        # Bucketing covers every request and is piecewise constant.
+        assert canonical_pack_guards(1, 1) == (256, 256)
+        assert canonical_pack_guards(204, 411) == (256, 512)
+        assert canonical_pack_guards(256, 512) == (256, 512)
+        assert canonical_pack_guards(257, 513) == (512, 1024)
+        # The reach-derived helper: the default 1.35-day survey grid
+        # (dx reach 710, dy reach ~148) resolves to the production
+        # pipeline's (256, 512) stream shape.
+        vel = np.linspace(92.0, 526.0, 257)
+        ang = np.linspace(-np.pi / 15.0, np.pi / 15.0, 129)
+        vv, aa = np.meshgrid(vel, ang, indexing="ij")
+        times = np.linspace(0.0, 1.35, 10)
+        dxs = np.floor((vv * np.cos(aa)).ravel()[:, None] * times[None, :] + 0.5)
+        dys = np.floor((vv * np.sin(aa)).ravel()[:, None] * times[None, :] + 0.5)
+        assert auto_pack_guards(dxs, dys) == (256, 512)
+        # packed_words routes requests through the same lattice.
+        arr, _, _ = self._make(1)
+        _, g = arr.packed_words(min_row_guard=204, min_col_slack=411)
+        assert (g.row_guard, g.col_slack) == (256, 512)
+
 
 class TestGeneratePsiPhi:
     def test_from_sci_var(self):
