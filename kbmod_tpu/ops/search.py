@@ -203,6 +203,46 @@ def _gather_curves(psi, phi, valid, xs, ys, dxs, dys):
     return psi_v, phi_v, ok
 
 
+def _bucket_rows(n, cap):
+    """Gather batch sizes are compile keys: bucket a chunk's row count to
+    the next power of two (>= 1024, <= cap) so differently-sized remainder
+    chunks share ONE _gather_curves executable. Without this, every
+    survey tile's winner re-scoring retraced the gather for its unique
+    remainder size and re-compiled the (T, 4k, 4k) gather program per tile
+    (30-90 s each on a single-core host) — the dominant per-tile cost the
+    round-5 full-grid gate exposed."""
+    b = 1024
+    while b < n:
+        b *= 2
+    return min(b, cap)
+
+
+def _gather_curves_padded(psi, phi, valid, times, xs, ys, vxs, vys, lo, hi, cap):
+    """One bucketed _gather_curves call for rows [lo, hi): pads the batch
+    to the bucketed size (repeating row ``lo`` — clamped/in-bounds math
+    makes any row safe). Returns the PADDED device arrays plus the real
+    row count m; callers reduce on device at the padded (bucketed) shape —
+    so the reductions share executables too — and slice host-side."""
+    m = hi - lo
+    nb = _bucket_rows(m, cap)
+    sl = slice(lo, hi)
+    xs_c, ys_c = xs[sl], ys[sl]
+    vxs_c = np.asarray(vxs[sl], dtype=np.float32)
+    vys_c = np.asarray(vys[sl], dtype=np.float32)
+    if nb != m:
+        pad = nb - m
+        xs_c = np.concatenate([xs_c, np.full(pad, xs_c[0], np.int32)])
+        ys_c = np.concatenate([ys_c, np.full(pad, ys_c[0], np.int32)])
+        vxs_c = np.concatenate([vxs_c, np.full(pad, vxs_c[0], np.float32)])
+        vys_c = np.concatenate([vys_c, np.full(pad, vys_c[0], np.float32)])
+    dxs, dys = trajectory_offsets(vxs_c, vys_c, times)
+    psi_v, phi_v, ok = _gather_curves(
+        psi, phi, valid, jnp.asarray(xs_c), jnp.asarray(ys_c),
+        jnp.asarray(dxs), jnp.asarray(dys),
+    )
+    return psi_v, phi_v, ok, m
+
+
 def evaluate_trajectories(psi, phi, valid, times, xs, ys, vxs, vys, chunk=262144):
     """Exact evaluation of a list of trajectories (reference semantics of
     evaluateTrajectory without sigma-G; kernels.cu:154-197).
@@ -216,13 +256,12 @@ def evaluate_trajectories(psi, phi, valid, times, xs, ys, vxs, vys, chunk=262144
     out["obs_count"] = np.zeros(n, dtype=np.int32)
     for lo in range(0, n, chunk):
         hi = min(lo + chunk, n)
-        dxs, dys = trajectory_offsets(vxs[lo:hi], vys[lo:hi], times)
-        psi_v, phi_v, ok = _gather_curves(
-            psi, phi, valid, jnp.asarray(xs[lo:hi]), jnp.asarray(ys[lo:hi]), jnp.asarray(dxs), jnp.asarray(dys)
+        psi_v, phi_v, ok, m = _gather_curves_padded(
+            psi, phi, valid, times, xs, ys, vxs, vys, lo, hi, chunk
         )
-        psi_sum = np.asarray(jnp.sum(psi_v, axis=1))
-        phi_sum = np.asarray(jnp.sum(phi_v, axis=1))
-        obs = np.asarray(jnp.sum(ok, axis=1, dtype=jnp.int32))
+        psi_sum = np.asarray(jnp.sum(psi_v, axis=1))[:m]
+        phi_sum = np.asarray(jnp.sum(phi_v, axis=1))[:m]
+        obs = np.asarray(jnp.sum(ok, axis=1, dtype=jnp.int32))[:m]
         good = phi_sum > 0
         out["psi_sum"][lo:hi] = psi_sum
         out["phi_sum"][lo:hi] = phi_sum
@@ -248,22 +287,21 @@ def _curves_and_stats(psi, phi, valid, times, xs, ys, vxs, vys, chunk=262144):
     out["obs_count"] = np.zeros(n, dtype=np.int32)
     for lo in range(0, n, chunk):
         hi = min(lo + chunk, n)
-        dxs, dys = trajectory_offsets(vxs[lo:hi], vys[lo:hi], times)
-        psi_v, phi_v, ok = _gather_curves(
-            psi, phi, valid, jnp.asarray(xs[lo:hi]), jnp.asarray(ys[lo:hi]), jnp.asarray(dxs), jnp.asarray(dys)
+        psi_v, phi_v, ok, m = _gather_curves_padded(
+            psi, phi, valid, times, xs, ys, vxs, vys, lo, hi, chunk
         )
-        psi_sum = np.asarray(jnp.sum(psi_v, axis=1))
-        phi_sum = np.asarray(jnp.sum(phi_v, axis=1))
-        obs = np.asarray(jnp.sum(ok, axis=1, dtype=jnp.int32))
+        psi_sum = np.asarray(jnp.sum(psi_v, axis=1))[:m]
+        phi_sum = np.asarray(jnp.sum(phi_v, axis=1))[:m]
+        obs = np.asarray(jnp.sum(ok, axis=1, dtype=jnp.int32))[:m]
         good = phi_sum > 0
         out["psi_sum"][lo:hi] = psi_sum
         out["phi_sum"][lo:hi] = phi_sum
         out["obs_count"][lo:hi] = obs
         out["lh"][lo:hi] = np.where(good, psi_sum / np.sqrt(phi_sum, where=good, out=np.ones_like(phi_sum)), -1.0)
         out["flux"][lo:hi] = np.where(good, psi_sum / np.where(good, phi_sum, 1.0), -1.0)
-        psi_c[lo:hi] = np.asarray(psi_v)
-        phi_c[lo:hi] = np.asarray(phi_v)
-        ok_c[lo:hi] = np.asarray(ok)
+        psi_c[lo:hi] = np.asarray(psi_v)[:m]
+        phi_c[lo:hi] = np.asarray(phi_v)[:m]
+        ok_c[lo:hi] = np.asarray(ok)[:m]
     return psi_c, phi_c, ok_c, out
 
 

@@ -130,13 +130,28 @@ def batched_coadds(
 
     for lo in range(0, n, chunk):
         hi = min(lo + chunk, n)
+        m = hi - lo
+        # Batch sizes are compile keys: bucket the chunk's row count to a
+        # power of two (>= 64, <= chunk) so differently-sized result sets
+        # share one _coadd_chunk executable instead of re-compiling the
+        # (T, H, W) gather program per run (ops/search._bucket_rows has
+        # the survey-scale war story). Pad rows repeat row `lo` with an
+        # all-False validity mask and are sliced off after the fetch.
+        nb = 64
+        while nb < m:
+            nb *= 2
+        nb = min(nb, chunk)
+        idx = np.arange(lo, lo + nb)
+        idx[m:] = lo
         # Stamp centers: int(x + v*t + 0.5) truncation (stamp_utils.py:202).
-        cx = (np.asarray(xs[lo:hi], dtype=np.float64)[:, None] + times[None, :] * np.asarray(vxs[lo:hi], dtype=np.float64)[:, None] + 0.5).astype(np.int32)
-        cy = (np.asarray(ys[lo:hi], dtype=np.float64)[:, None] + times[None, :] * np.asarray(vys[lo:hi], dtype=np.float64)[:, None] + 0.5).astype(np.int32)
+        cx = (np.asarray(xs, dtype=np.float64)[idx][:, None] + times[None, :] * np.asarray(vxs, dtype=np.float64)[idx][:, None] + 0.5).astype(np.int32)
+        cy = (np.asarray(ys, dtype=np.float64)[idx][:, None] + times[None, :] * np.asarray(vys, dtype=np.float64)[idx][:, None] + 0.5).astype(np.int32)
         if obs_valid is not None:
-            valid = jnp.asarray(np.asarray(obs_valid[lo:hi], dtype=bool))
+            valid_np = np.asarray(obs_valid, dtype=bool)[idx]
         else:
-            valid = jnp.ones((hi - lo, len(times)), dtype=bool)
+            valid_np = np.ones((nb, len(times)), dtype=bool)
+        valid_np[m:] = False
+        valid = jnp.asarray(valid_np)
         # One fused jit per chunk: the gather, the shared masking, and all
         # requested reductions run in one dispatch; one device->host fetch.
         res = _coadd_chunk(
@@ -145,9 +160,9 @@ def batched_coadds(
         )
         res = jax.device_get(res)
         for ctype in kinds:
-            out[ctype][lo:hi] = res[ctype]
+            out[ctype][lo:hi] = res[ctype][:m]
         if want_all:
-            out["all_stamps"][lo:hi] = np.nan_to_num(res["all_stamps"], nan=0.0)
+            out["all_stamps"][lo:hi] = np.nan_to_num(res["all_stamps"][:m], nan=0.0)
     return out
 
 

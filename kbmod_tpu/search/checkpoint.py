@@ -31,6 +31,7 @@ import hashlib
 import json
 import logging
 import os
+import time
 
 import numpy as np
 
@@ -178,7 +179,9 @@ def checkpointed_core_search(
         search_fn = search_ops.core_search
     os.makedirs(checkpoint_dir, exist_ok=True)
     bounds = (int(x_min), int(x_max), int(y_min), int(y_max))
+    t_fp = time.monotonic()
     fp = _fingerprint(psi, phi, valid, times, vxs, vys, bounds, results_per_pixel, core_kwargs)
+    logger.info(f"Checkpoint fingerprint in {time.monotonic() - t_fp:.1f}s.")
 
     # Multi-process (pod) coordination: checkpoint_dir must be SHARED
     # storage (GCS/NFS on a pod; one filesystem in tests). Process 0 owns
@@ -237,10 +240,12 @@ def checkpointed_core_search(
 
     parts = []
     n_loaded = 0
+    t_load = 0.0
     writer = _TileWriter(checkpoint_dir) if is_primary else None
     try:
         for (y0, y1), path, done in zip(tiles, paths, finished):
             if done:
+                t_l = time.monotonic()
                 try:
                     with np.load(path) as z:
                         parts.append({k: z[k] for k in _RESULT_KEYS})
@@ -251,6 +256,7 @@ def checkpointed_core_search(
                         f"to be shared storage."
                     ) from exc
                 n_loaded += 1
+                t_load += time.monotonic() - t_l
                 continue
             part = search_fn(
                 psi, phi, valid, times, vxs, vys,
@@ -268,7 +274,10 @@ def checkpointed_core_search(
         if writer is not None:
             writer.close()
     if n_loaded:
-        logger.info(f"Resumed {n_loaded}/{len(tiles)} search tiles from {checkpoint_dir}.")
+        logger.info(
+            f"Resumed {n_loaded}/{len(tiles)} search tiles from {checkpoint_dir} "
+            f"in {t_load:.1f}s."
+        )
 
     results = {k: np.concatenate([p[k] for p in parts]) for k in _RESULT_KEYS}
     if cleanup and nproc > 1:

@@ -127,6 +127,31 @@ def tier2():
 
     _stage("tier2 survey tile (100x4096^2 u8, C=33153, 256 rows)", run)
 
+    def run_stamps():
+        # The survey coadd executable (the pipeline-gate config: radius 10,
+        # ["mean", "median", "sum"], valid_only) at the bucketed 1024-row
+        # batch the stamp phase uses after clustering. The search arrays
+        # must be off-device first: float sci (6.7 GB) + the packed stream
+        # + code planes exceed HBM together.
+        import gc
+
+        from kbmod_tpu.ops.stamps import batched_coadds
+
+        gc.collect()
+        rng2 = np.random.default_rng(7)
+        sci = rng2.normal(0.0, 1.0, (T, HW, HW)).astype(np.float32)
+        n = 1024
+        xs = rng2.integers(0, HW, n).astype(np.int32)
+        ys = rng2.integers(0, HW, n).astype(np.int32)
+        vxs_s = rng2.uniform(90.0, 520.0, n).astype(np.float32)
+        vys_s = rng2.uniform(-110.0, 110.0, n).astype(np.float32)
+        valid = rng2.random((n, T)) < 0.95
+        out = batched_coadds(sci, None, times, xs, ys, vxs_s, vys_s,
+                             10, ["mean", "median", "sum"], obs_valid=valid)
+        out["mean"][0, 0, 0]
+
+    _stage("tier2 survey coadds (100x4096^2 f32, 1024 rows, r=10)", run_stamps)
+
 
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
