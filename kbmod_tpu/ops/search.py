@@ -33,7 +33,9 @@ the candidate scan carry, mirroring the reference's per-thread insertion sort
 (kernels.cu:322-330) but vectorized over all pixels at once.
 """
 
+import logging
 import os
+import time
 from functools import partial
 from typing import NamedTuple
 
@@ -41,6 +43,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax import lax
+
+logger = logging.getLogger("kbmod.search")
 
 FLT_MAX = float(np.finfo(np.float32).max)
 
@@ -1020,7 +1024,16 @@ def core_search(
                 top_lh, top_idx = search_topk_shift(*args, **kernel_kwargs)
         return top_lh, top_idx
 
+    timing = bool(os.environ.get("KB_TIMING"))
+    t0 = time.perf_counter()
     top_lh, top_idx = _topk_maps(k_search, sigmag_mode)
+    if timing:
+        # Force the (lazy) kernel dispatch to completion so the stage walls
+        # attribute correctly (a 1-element fetch; block_until_ready does
+        # not block through the axon tunnel).
+        float(np.asarray(top_lh[0, 0, 0]))
+        logger.info(f"KB_TIMING core_search kernel: {time.perf_counter() - t0:.2f}s")
+        t0 = time.perf_counter()
     refine_fn = None
     if escalate.enabled:
         refine_fn = partial(
@@ -1036,6 +1049,8 @@ def core_search(
         warn_on_churn=not escalate.enabled, refine_fn=refine_fn,
         compact_min_lh=compact_min_lh,
     )
+    if timing:
+        logger.info(f"KB_TIMING core_search assemble: {time.perf_counter() - t0:.2f}s")
     return results
 
 
@@ -1175,7 +1190,12 @@ def assemble_core_results(
     if eval_fn is None:
         eval_fn = evaluate_trajectories
 
+    timing = bool(os.environ.get("KB_TIMING"))
+    t0 = time.perf_counter()
     top_lh, top_idx = _fetch_topk(top_lh, top_idx)  # (K', SH, SW) numpy
+    if timing:
+        logger.info(f"KB_TIMING assemble fetch_topk: {time.perf_counter() - t0:.2f}s")
+        t0 = time.perf_counter()
 
     # Pixel-major layout: result[(i*SW + j)*K + k].
     kidx = np.transpose(top_idx, (1, 2, 0)).reshape(-1)  # (SH*SW*K',)
@@ -1212,6 +1232,12 @@ def assemble_core_results(
     obs = np.zeros(len(kidx), dtype=np.int32)
     lh = klh.copy()
     filled &= klh >= float(min_lh)
+    if timing:
+        logger.info(
+            f"KB_TIMING assemble host-compact: {time.perf_counter() - t0:.2f}s "
+            f"({int(filled.sum())} rows to re-score)"
+        )
+        t0 = time.perf_counter()
     if filled.any():
         f_idx = np.nonzero(filled)[0]
         if do_sigmag:
@@ -1247,6 +1273,8 @@ def assemble_core_results(
         "flux": flux,
         "obs_count": obs,
     }
+    if timing:
+        logger.info(f"KB_TIMING assemble rescore: {time.perf_counter() - t0:.2f}s")
 
     tail_frac = 0.0
     if do_sigmag and k_search > k:

@@ -104,13 +104,23 @@ def _fingerprint(psi, phi, valid, times, vxs, vys, bounds, rpp, kwargs):
 
     def upd_sample(a):
         # Slice BEFORE any host conversion: device arrays stay on device
-        # and only the ~4096-element sample crosses to the host (a full
+        # and only a ~4k-element sample crosses to the host (a full
         # np.asarray of a survey-scale code plane is a multi-GB fetch).
+        # The sample is 8 strided rows x 512 CONTIGUOUS elements: a flat
+        # stride-409600 gather over a 1.7e9-element plane measured 200 s
+        # on a v5e through the tunnel (the whole resume gap of the r5
+        # full-grid gate); leading-axis strided slice + contiguous tail
+        # is a plain DMA.
         shape = tuple(int(s) for s in a.shape)
         h.update(np.asarray(shape, dtype=np.int64).tobytes())
-        size = int(np.prod(shape)) if shape else 1
-        sample = a.reshape(-1)[:: max(1, size // 4096)]
-        h.update(np.ascontiguousarray(np.asarray(sample)).tobytes())
+        if not shape or a.ndim == 0:
+            h.update(np.ascontiguousarray(np.asarray(a)).tobytes())
+            return
+        lead = a.reshape(shape[0], -1)
+        rows = lead[:: max(1, shape[0] // 8)][:8]
+        mid = int(rows.shape[1]) // 2
+        for blk in (rows[:, :256], rows[:, mid : mid + 256]):
+            h.update(np.ascontiguousarray(np.asarray(blk)).tobytes())
 
     if isinstance(psi, search_ops.EncodedPlanes):
         # Survey-scale eval planes: fingerprint the code planes + decode
