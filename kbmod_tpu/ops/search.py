@@ -168,6 +168,19 @@ def _traj_sample_indices(shape, xs, ys, dxs, dys):
 
 
 @jax.jit
+def _gather_curves_idx(psi, phi, valid, xs, ys, cidx, dxs_tab, dys_tab):
+    """Index-based variant of :func:`_gather_curves`: per-row offsets are
+    looked up ON DEVICE from the (C, T) trajectory-offset tables by the
+    rows' candidate indices. The winner re-scoring previously built and
+    uploaded dense (N, T) offset arrays per chunk — ~210 MB through the
+    tunnel for a 262144-row chunk, 18-26 s per survey tile, attributed by
+    KB_TIMING — while the same offsets are rows of the ~13 MB (C, T)
+    table the kernel dispatch already derives. Bit-identical samples (the
+    table IS trajectory_offsets' host float64 output)."""
+    return _gather_curves.__wrapped__(psi, phi, valid, xs, ys, dxs_tab[cidx], dys_tab[cidx])
+
+
+@jax.jit
 def _gather_curves(psi, phi, valid, xs, ys, dxs, dys):
     """Gather per-time psi/phi values along trajectories.
 
@@ -307,6 +320,54 @@ def _curves_and_stats(psi, phi, valid, times, xs, ys, vxs, vys, chunk=262144):
         phi_c[lo:hi] = np.asarray(phi_v)[:m]
         ok_c[lo:hi] = np.asarray(ok)[:m]
     return psi_c, phi_c, ok_c, out
+
+
+def _eval_by_index_chunked(
+    psi, phi, valid, xs, ys, cidx, dxs_tab, dys_tab, chunk, want_curves, T
+):
+    """Shared chunk driver for the index-based winner re-scoring: bucketed
+    batches (compile-key discipline, :func:`_bucket_rows`), device offset
+    lookup (:func:`_gather_curves_idx`), stats always, curves when the
+    sigma-G re-scoring needs them."""
+    xs = np.asarray(xs, dtype=np.int32)
+    ys = np.asarray(ys, dtype=np.int32)
+    cidx = np.asarray(cidx, dtype=np.int32)
+    n = len(xs)
+    out = {k: np.zeros(n, dtype=np.float32) for k in ("psi_sum", "phi_sum", "lh", "flux")}
+    out["obs_count"] = np.zeros(n, dtype=np.int32)
+    curves = None
+    if want_curves:
+        curves = (
+            np.zeros((n, T), dtype=np.float32),
+            np.zeros((n, T), dtype=np.float32),
+            np.zeros((n, T), dtype=np.float32),
+        )
+    for lo in range(0, n, chunk):
+        hi = min(lo + chunk, n)
+        m = hi - lo
+        nb = _bucket_rows(m, chunk)
+        idx = np.arange(lo, lo + nb)
+        idx[m:] = lo
+        psi_v, phi_v, ok = _gather_curves_idx(
+            psi, phi, valid, jnp.asarray(xs[idx]), jnp.asarray(ys[idx]),
+            jnp.asarray(cidx[idx]), dxs_tab, dys_tab,
+        )
+        psi_sum = np.asarray(jnp.sum(psi_v, axis=1))[:m]
+        phi_sum = np.asarray(jnp.sum(phi_v, axis=1))[:m]
+        obs = np.asarray(jnp.sum(ok, axis=1, dtype=jnp.int32))[:m]
+        good = phi_sum > 0
+        out["psi_sum"][lo:hi] = psi_sum
+        out["phi_sum"][lo:hi] = phi_sum
+        out["obs_count"][lo:hi] = obs
+        out["lh"][lo:hi] = np.where(good, psi_sum / np.sqrt(phi_sum, where=good, out=np.ones_like(phi_sum)), -1.0)
+        out["flux"][lo:hi] = np.where(good, psi_sum / np.where(good, phi_sum, 1.0), -1.0)
+        if want_curves:
+            curves[0][lo:hi] = np.asarray(psi_v)[:m]
+            curves[1][lo:hi] = np.asarray(phi_v)[:m]
+            curves[2][lo:hi] = np.asarray(ok)[:m]
+    if want_curves:
+        return curves[0], curves[1], curves[2], out
+    return out
 
 
 def extract_psi_phi_curves(psi, phi, valid, times, xs, ys, vxs, vys):
@@ -1185,6 +1246,13 @@ def assemble_core_results(
     ``warn_on_churn`` keeps the log warning for callers that do not
     escalate.
     """
+    # With the default (single-device) gathers, re-score winners by
+    # CANDIDATE INDEX: the (C, T) offset tables upload once (~13 MB at the
+    # full default grid) instead of dense per-row (N, T) offsets per chunk
+    # (~210 MB each through the tunnel — the dominant survey-tile cost,
+    # see _gather_curves_idx). Callers that pass custom curves_fn/eval_fn
+    # (the sharded path) keep the velocity-based contract.
+    use_idx = curves_fn is None and eval_fn is None
     if curves_fn is None:
         curves_fn = _curves_and_stats
     if eval_fn is None:
@@ -1240,7 +1308,18 @@ def assemble_core_results(
         t0 = time.perf_counter()
     if filled.any():
         f_idx = np.nonzero(filled)[0]
-        if do_sigmag:
+        if use_idx:
+            dxs_t, dys_t = trajectory_offsets(vxs, vys, times)
+            dxs_tab, dys_tab = jnp.asarray(dxs_t), jnp.asarray(dys_t)
+            res = _eval_by_index_chunked(
+                psi, phi, valid, xs_all[f_idx], ys_all[f_idx], kidx[f_idx],
+                dxs_tab, dys_tab, 262144, do_sigmag, len(np.asarray(times)),
+            )
+            if do_sigmag:
+                psi_v, phi_v, okg, stats = res
+            else:
+                stats = res
+        elif do_sigmag:
             # One gather serves the stats and the clipped re-scoring.
             psi_v, phi_v, okg, stats = curves_fn(
                 psi, phi, valid, times, xs_all[f_idx], ys_all[f_idx], vx_arr[f_idx], vy_arr[f_idx]
