@@ -1311,9 +1311,12 @@ def assemble_core_results(
         if use_idx:
             dxs_t, dys_t = trajectory_offsets(vxs, vys, times)
             dxs_tab, dys_tab = jnp.asarray(dxs_t), jnp.asarray(dys_t)
+            # 524288-row chunks: ~630 MB of gather buffers (inside the HBM
+            # budget next to the packed stream) and half the dispatch
+            # round-trips of the former 262144 at survey keep rates.
             res = _eval_by_index_chunked(
                 psi, phi, valid, xs_all[f_idx], ys_all[f_idx], kidx[f_idx],
-                dxs_tab, dys_tab, 262144, do_sigmag, len(np.asarray(times)),
+                dxs_tab, dys_tab, 524288, do_sigmag, len(np.asarray(times)),
             )
             if do_sigmag:
                 psi_v, phi_v, okg, stats = res

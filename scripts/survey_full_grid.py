@@ -45,7 +45,10 @@ CKPT_DIR = os.environ.get("KB_GATE_DIR", "/tmp/kb_full_grid_ckpt")
 T, HW = 100, 4096
 K = 8
 MIN_LH = 10.0
-TILE_ROWS = 256
+# 512-row tiles amortize the per-launch dispatch overhead (~1.5-4 s/tile
+# through the tunnel) that dominated the margin once assembly dropped to
+# ~4 s; the checkpoint unit stays small (~30 MB compacted).
+TILE_ROWS = int(os.environ.get("KB_GATE_TILE_ROWS", "512"))
 EM = np.array([-6.0, 12.0 / 254, 0.1, 4.0 / 254], dtype=np.float32)
 
 
@@ -90,13 +93,19 @@ def worker():
         psi_c, phi_c, t_chunk=8, row_guard=rg, col_slack=cs
     )
     words_r.block_until_ready()
-    # Winner re-scoring gathers the code planes on device.
+    # Winner re-scoring gathers the code planes on device. Force the
+    # (lazy, ~3.4 GB) uploads to completion HERE so they are accounted as
+    # data staging — otherwise the first downstream sync (the checkpoint
+    # fingerprint, in the r5c run: "fingerprint in 364.4s") silently
+    # absorbs the transfer time.
     psi_dev = jnp.asarray(psi_c)
     phi_dev = jnp.asarray(phi_c)
     planes = EncodedPlanes(psi_dev, phi_dev, jnp.asarray(EM))
     del psi_c, phi_c
+    float(np.asarray(psi_dev[0, 0, 0]))
+    float(np.asarray(phi_dev[0, 0, 0]))
     t_pack = time.time() - t0
-    print(f"pack {t_pack:.1f}s", flush=True)
+    print(f"pack+stage {t_pack:.1f}s", flush=True)
 
     tile_times = []
     tile_marks = []  # (entry, exit) per search_fn call: attributes the
@@ -202,12 +211,13 @@ def parent():
     for name in os.listdir(CKPT_DIR):
         os.remove(os.path.join(CKPT_DIR, name))
 
-    # Phase 1: the worker SIGKILLs itself (no cleanup) after 6 tiles of
-    # device work; the 6th tile's checkpoint is NOT yet written at that
-    # point, so at most 5 tiles survive (the background writer may still
-    # be flushing tile 5) and the resume recomputes the rest.
+    # Phase 1: the worker SIGKILLs itself (no cleanup) after ~3/8 of the
+    # tiles' device work; the last tile's checkpoint is NOT yet written at
+    # that point, so at most kill_after-1 tiles survive (the background
+    # writer may still be flushing) and the resume recomputes the rest —
+    # leaving phase 2 a long steady run for the sustained-rate measurement.
     print("=== phase 1: run + kill ===", flush=True)
-    kill_after = 6
+    kill_after = max(2, (HW // TILE_ROWS) * 3 // 8)
     env = dict(os.environ, KB_GATE_SELFKILL_AFTER=str(kill_after))
     proc = subprocess.run(
         [sys.executable, os.path.abspath(__file__), "--worker"],
