@@ -91,6 +91,26 @@ class _TileWriter:
             raise self._error
 
 
+def _sample_blocks(lead):
+    """One fused device dispatch for the fingerprint sample of a (R, N)
+    array: 8 leading-axis strided rows x two 256-element contiguous
+    blocks, concatenated. Jitted so the whole sample is one executable +
+    one host fetch instead of a chain of eager slice round-trips."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def _take(x):
+        rows = x[:: max(1, x.shape[0] // 8)][:8]
+        mid = rows.shape[1] // 2
+        take = min(256, rows.shape[1])
+        return jnp.concatenate(
+            [rows[:, :take], rows[:, mid : mid + take]], axis=1
+        )
+
+    return _take(lead)
+
+
 def _fingerprint(psi, phi, valid, times, vxs, vys, bounds, rpp, kwargs):
     """Cheap content hash binding a checkpoint dir to one search setup.
 
@@ -106,21 +126,25 @@ def _fingerprint(psi, phi, valid, times, vxs, vys, bounds, rpp, kwargs):
         # Slice BEFORE any host conversion: device arrays stay on device
         # and only a ~4k-element sample crosses to the host (a full
         # np.asarray of a survey-scale code plane is a multi-GB fetch).
-        # The sample is 8 strided rows x 512 CONTIGUOUS elements: a flat
-        # stride-409600 gather over a 1.7e9-element plane measured 200 s
-        # on a v5e through the tunnel (the whole resume gap of the r5
-        # full-grid gate); leading-axis strided slice + contiguous tail
-        # is a plain DMA.
+        # The sample is 8 strided rows x two 256-element CONTIGUOUS
+        # blocks, computed in ONE jitted dispatch: a flat stride-409600
+        # gather over a 1.7e9-element plane measured 200 s on a v5e
+        # through the tunnel (the whole resume gap of the r5 full-grid
+        # gate), and even eager slice chains cost ~39 s of per-op round
+        # trips when the tunnel degrades.
         shape = tuple(int(s) for s in a.shape)
         h.update(np.asarray(shape, dtype=np.int64).tobytes())
-        if not shape or a.ndim == 0:
+        if not shape or getattr(a, "ndim", 0) == 0:
             h.update(np.ascontiguousarray(np.asarray(a)).tobytes())
             return
         lead = a.reshape(shape[0], -1)
-        rows = lead[:: max(1, shape[0] // 8)][:8]
-        mid = int(rows.shape[1]) // 2
-        for blk in (rows[:, :256], rows[:, mid : mid + 256]):
-            h.update(np.ascontiguousarray(np.asarray(blk)).tobytes())
+        if isinstance(a, np.ndarray):
+            rows = lead[:: max(1, shape[0] // 8)][:8]
+            mid = rows.shape[1] // 2
+            h.update(np.ascontiguousarray(rows[:, :256]).tobytes())
+            h.update(np.ascontiguousarray(rows[:, mid : mid + 256]).tobytes())
+            return
+        h.update(np.asarray(_sample_blocks(lead)).tobytes())
 
     if isinstance(psi, search_ops.EncodedPlanes):
         # Survey-scale eval planes: fingerprint the code planes + decode
