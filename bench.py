@@ -28,7 +28,10 @@ later in the ladder still leaves a parseable artifact; a global wall
 budget (KB_BENCH_WALL, default 1080 s) skips configs that no longer fit.
 KB_BENCH_CONFIGS selects a subset (e.g. KB_BENCH_CONFIGS=3 restores the
 old single-config behavior); cfg3 knobs stay overridable by
-KB_BENCH_T/H/W/C/K/KERNEL.
+KB_BENCH_T/H/W/C/K/KERNEL. Configs that error or time out get ONE retry
+after the whole ladder has run, inside the same wall budget — the shared
+TPU frontend wedges for minutes at a time, and a config caught in such a
+window should not lose its number for the round.
 
 The default wall (1080 s) is set from the observed driver behavior: the
 round-4 artifact was rc=124 (driver kill) with the tail cut during config
@@ -368,6 +371,21 @@ def _headline(ladder, wanted):
     }
 
 
+def _run_config(n, budget):
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--config", str(n)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            timeout=budget, cwd=REPO_ROOT,
+        )
+        lines = [l for l in proc.stdout.splitlines() if l.startswith("CFG_RESULT ")]
+        if proc.returncode == 0 and lines:
+            return json.loads(lines[-1][len("CFG_RESULT "):])
+        return {"config": n, "error": proc.stdout[-800:]}
+    except subprocess.TimeoutExpired:
+        return {"config": n, "error": f"timeout after {budget:.0f}s"}
+
+
 def main():
     if "--config" in sys.argv:
         n = int(sys.argv[sys.argv.index("--config") + 1])
@@ -378,30 +396,37 @@ def main():
     wall = float(os.environ.get("KB_BENCH_WALL", 1080))
     t_start = time.perf_counter()
     ladder = []
-    for n in [c for c in ORDER if c in wanted] + [c for c in wanted if c not in ORDER]:
-        remaining = wall - (time.perf_counter() - t_start)
-        budget = min(TIMEOUTS[n], max(0.0, remaining))
-        if budget < 30.0:
-            ladder.append({"config": n, "skipped": f"wall budget exhausted ({wall:.0f}s)"})
-            print(f"[bench] config {n}: {json.dumps(ladder[-1])}", file=sys.stderr, flush=True)
-            continue
-        try:
-            proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--config", str(n)],
-                stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
-                timeout=budget, cwd=REPO_ROOT,
-            )
-            lines = [l for l in proc.stdout.splitlines() if l.startswith("CFG_RESULT ")]
-            if proc.returncode == 0 and lines:
-                ladder.append(json.loads(lines[-1][len("CFG_RESULT "):]))
+    order = [c for c in ORDER if c in wanted] + [c for c in wanted if c not in ORDER]
+    # Two passes: configs that fail on the first pass (the shared-TPU
+    # tunnel wedges for minutes at a time; a config caught in such a
+    # window times out through no fault of its own) get ONE retry with
+    # whatever wall budget remains after everything ran once.
+    for attempt in (1, 2):
+        for n in order:
+            if attempt == 2 and not any(
+                e.get("config") == n and "error" in e for e in ladder
+            ):
+                continue
+            remaining = wall - (time.perf_counter() - t_start)
+            budget = min(TIMEOUTS[n], max(0.0, remaining))
+            if budget < 30.0:
+                entry = {"config": n, "skipped": f"wall budget exhausted ({wall:.0f}s)"}
+                if attempt == 1:
+                    ladder.append(entry)
+                    print(f"[bench] config {n}: {json.dumps(entry)}", file=sys.stderr, flush=True)
+                continue
+            entry = _run_config(n, budget)
+            if attempt == 2:
+                if "error" in entry:
+                    continue  # keep the first-pass error record
+                ladder[next(i for i, e in enumerate(ladder) if e.get("config") == n)] = entry
+                entry = dict(entry, retried=True)
             else:
-                ladder.append({"config": n, "error": proc.stdout[-800:]})
-        except subprocess.TimeoutExpired:
-            ladder.append({"config": n, "error": f"timeout after {budget:.0f}s"})
-        print(f"[bench] config {n}: {json.dumps(ladder[-1])[:220]}", file=sys.stderr, flush=True)
-        if n == 3:
-            # Eager headline: a parseable line exists from this moment on.
-            print(json.dumps(_headline(ladder, wanted)), flush=True)
+                ladder.append(entry)
+            print(f"[bench] config {n}: {json.dumps(entry)[:220]}", file=sys.stderr, flush=True)
+            if n == 3 and "value" in entry:
+                # Eager headline: a parseable line exists from this moment on.
+                print(json.dumps(_headline(ladder, wanted)), flush=True)
 
     print(json.dumps(_headline(ladder, wanted)), flush=True)
 
